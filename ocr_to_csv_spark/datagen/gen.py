@@ -1,0 +1,276 @@
+"""Generate the interleaved text+media document corpus plus golden outputs.
+
+Schemas per FIXTURES.md: ``documents(doc_id, spans[])``, ``media``,
+``aliases``, and flat golden tables ``expected_spans`` / ``expected_rows``.
+Every random draw is seeded per-document (seed ⊕ doc index) so any subset
+of documents regenerates identically regardless of generation order —
+required for distributed regeneration and resume tests.
+
+Golden outputs encode the intended end-to-end semantics:
+- html spans → harvested text blocks + table rows (header rows dropped,
+  boilerplate stripped)
+- text spans → passthrough
+- image/pdf_page spans → date boxes (regex-matched first, reference
+  main.py:176-180 ordering) then table rows as matched alias values with
+  page dates appended (reference main.py:182,199), blank rows dropped
+  (reference modules/sanity.py:55-67)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import random
+import re
+
+import numpy as np
+import pandas as pd
+
+from ..imaging import png, render
+
+DATE_RE = re.compile(r"\d{1,2}\/\d{1,2}\/(\d{4}|\d{2})")
+
+FIRST = ["JOHN", "MARY", "ALICE", "BOB", "CARLOS", "DIANA", "EVE", "FRANK",
+         "GRACE", "HENRY", "IVY", "JACK", "KAREN", "LIAM", "Nina", "OSCAR"]
+LAST = ["SMITH", "JONES", "WANG", "BROWN", "GARCIA", "LEE", "PATEL", "KIM",
+        "NGUYEN", "DAVIS", "MILLER", "WILSON", "MOORE", "TAYLOR", "CLARK", "LOPEZ"]
+PURPOSES = ["ROBOTICS", "CODING", "CHESS CLUB", "STUDY HALL", "TUTORING",
+            "ART", "MUSIC", "DEBATE", "SCIENCE FAIR", "MATH TEAM", "DRAMA", "YEARBOOK"]
+DISTRACTOR_NAMES = ["ZOE ADAMS", "YURI VOLKOV", "XENA PRICE", "WALT FISHER",
+                    "VERA STONE", "URI GOLD", "TINA BLACK", "SAM RIVERS"]
+DISTRACTOR_PURPOSES = ["POTTERY", "SWIMMING", "ARCHERY", "FENCING"]
+WORDS = ("the quick brown fox jumps over a lazy dog while many small tables "
+         "hold rows of names and times for every visitor here today").split()
+DAYS = ["MONDAY", "TUESDAY", "WEDNESDAY", "THURSDAY", "FRIDAY"]
+
+HEADER = ["NO", "NAME", "TIME IN", "TIME OUT", "HOURS", "PURPOSE"]
+
+
+def name_pool() -> list[str]:
+    # NINA upper-cased here; 'Nina' above keeps line lengths honest
+    return sorted({f"{f.upper()} {l}" for f, l in zip(FIRST, LAST)})
+
+
+def alias_names() -> list[str]:
+    return sorted({n.lower() for n in name_pool()} | {n.lower() for n in DISTRACTOR_NAMES})
+
+
+def alias_purposes() -> list[str]:
+    return sorted({p.lower() for p in PURPOSES} | {p.lower() for p in DISTRACTOR_PURPOSES})
+
+
+def _rand_time(rng: random.Random) -> str:
+    return f"{rng.randint(1, 12)}:{rng.randint(0, 59):02d}"
+
+
+def _rand_date(rng: random.Random) -> str:
+    yr = rng.choice([f"{rng.randint(2019, 2026)}", f"{rng.randint(19, 26)}"])
+    return f"{rng.randint(1, 12)}/{rng.randint(1, 28)}/{yr}"
+
+
+def _sheet_rows(rng: random.Random, n_rows: int) -> list[list[str]]:
+    """Ground-truth data rows (without header / '#' column)."""
+    pool = name_pool()
+    rows, prev_name = [], None
+    for _ in range(n_rows):
+        if rng.random() < 0.08:
+            rows.append(["", "", "", "", ""])  # blank row → must be dropped
+            continue
+        if prev_name and rng.random() < 0.15:
+            name = prev_name  # duplicate name → exercises sanity dedup W1
+        else:
+            name = rng.choice(pool)
+        prev_name = name
+        t_in = _rand_time(rng)
+        t_out = _rand_time(rng)
+        hours = str(rng.randint(1, 9)) if rng.random() < 0.7 else ""
+        purpose = rng.choice(PURPOSES) if rng.random() < 0.85 else ""
+        rows.append([name, t_in, t_out, hours, purpose])
+    return rows
+
+
+def _golden_dates(box_texts: list[str]) -> list[str]:
+    """Date ordering parity: regex matches are insert(0)-prepended (so they
+    reverse among themselves), others append (reference main.py:176-180)."""
+    out: list[str] = []
+    for t in box_texts:
+        stripped = t.replace("\n", "").replace(" ", "")
+        if DATE_RE.match(stripped):
+            out.insert(0, stripped)
+        else:
+            out.append(stripped)
+    return out
+
+
+def _html_doc(rng: random.Random, n_table_rows: int) -> tuple[str, list]:
+    """Build an HTML document + its golden items [('text', s) | ('table_row', cells)]."""
+    paras = [
+        " ".join(rng.choice(WORDS) for _ in range(rng.randint(4, 12)))
+        for _ in range(rng.randint(1, 3))
+    ]
+    rows = _sheet_rows(rng, n_table_rows)
+    nav = "".join(f"<a href='/x{i}'>item {i}</a>" for i in range(4))
+    trs = "".join(
+        "<tr>" + "".join(f"<td>{c.title() if i == 0 else c}</td>" for i, c in enumerate(r)) + "</tr>"
+        for r in rows
+    )
+    head_tr = "<tr>" + "".join(f"<th>{h}</th>" for h in HEADER[1:]) + "</tr>"
+    html = (
+        "<html><head><title>t</title><script>var x=1;</script>"
+        "<style>.a{color:red}</style></head><body>"
+        f"<nav>{nav}</nav><header>Site Header</header>"
+        + "".join(f"<p>{p}</p>" for p in paras)
+        + (f"<table>{head_tr}{trs}</table>" if n_table_rows else "")
+        + "<footer>copyright</footer></body></html>"
+    )
+    golden: list = [("text", p) for p in paras]
+    for r in rows:
+        golden.append(("table_row", [r[0].title()] + r[1:]))
+    return html, golden
+
+
+def _image_span(
+    rng: random.Random, n_rows: int
+) -> tuple[bytes, list, list[str]]:
+    """Render a sheet page; return (png_bytes, ground_rows, golden_dates)."""
+    rows = _sheet_rows(rng, n_rows)
+    table = [HEADER] + [
+        [str(i + 1)] + r for i, r in enumerate(rows)
+    ]
+    boxes: list[str] = []
+    draw = rng.random()
+    if draw < 0.45:
+        boxes = [_rand_date(rng)]
+    elif draw < 0.7:
+        boxes = [_rand_date(rng), rng.choice(DAYS)]
+    elif draw < 0.8:
+        boxes = [rng.choice(DAYS)]
+    page = render.render_page(
+        table,
+        dates=boxes,
+        decoy_frame=rng.random() < 0.3,
+        decoy_blob=rng.random() < 0.3,
+    )
+    return png.encode_gray(page), rows, _golden_dates(boxes)
+
+
+def _expected_image_rows(ground_rows: list, dates: list[str]) -> list[list[str]]:
+    """Matched-value rows the pipeline must produce for one page: alias-
+    cased values, blank-row removal on the first 4 slots (reference
+    modules/sanity.py:55-67 via main.py:231-233)."""
+    out = []
+    for r in ground_rows:
+        if all(v == "" for v in r[:4]):
+            continue  # check_blank_row drops on first-4 only
+        out.append([r[0].lower(), r[1], r[2], r[3], r[4].lower()] + dates)
+    return out
+
+
+def gen_corpus(n_docs: int, seed: int = 42) -> dict[str, pd.DataFrame]:
+    docs, media, exp_spans, exp_rows = [], [], [], []
+
+    for d in range(n_docs):
+        doc_id = f"doc-{d:06d}"
+        rng = random.Random(f"{seed}:{d}")
+        mega_html = d % 97 == 96
+        mega_image = d % 211 == 210
+
+        if mega_html:
+            kinds = ["html"]
+        elif mega_image:
+            kinds = ["image"]
+        else:
+            n_spans = rng.randint(1, 6)
+            kinds = [
+                rng.choices(
+                    ["html", "text", "image", "pdf_page"],
+                    weights=[0.45, 0.25, 0.22, 0.08],
+                )[0]
+                for _ in range(n_spans)
+            ]
+
+        spans, order, page_no = [], 0, 0
+        for offset, kind in enumerate(kinds):
+            if kind == "html":
+                n_rows = 1500 if mega_html else (rng.randint(1, 22) if rng.random() < 0.8 else 0)
+                html, golden = _html_doc(rng, n_rows)
+                spans.append(
+                    {"kind": "html", "text": html, "media_ref": None, "offset": offset}
+                )
+                row_num = 0
+                for g_kind, payload in golden:
+                    if g_kind == "text":
+                        exp_spans.append((doc_id, "text", payload, None, order))
+                    else:
+                        exp_spans.append(
+                            (doc_id, "table_row", ",".join(payload), None, order)
+                        )
+                        row_num += 1
+                        exp_rows.append(
+                            (doc_id, offset, row_num, *payload, None, None)
+                        )
+                    order += 1
+            elif kind == "text":
+                blob = " ".join(rng.choice(WORDS) for _ in range(rng.randint(4, 14)))
+                spans.append(
+                    {"kind": "text", "text": blob, "media_ref": None, "offset": offset}
+                )
+                exp_spans.append((doc_id, "text", blob, None, order))
+                order += 1
+            else:  # image | pdf_page
+                n_rows = 150 if mega_image else rng.randint(1, 8)
+                content, ground, dates = _image_span(rng, n_rows)
+                ref = f"m-{d:06d}-{offset}"
+                spans.append(
+                    {"kind": kind, "text": None, "media_ref": ref, "offset": offset}
+                )
+                media.append(
+                    {"media_ref": ref, "content": content, "width": 0, "height": 0}
+                )
+                for dstr in dates:
+                    exp_spans.append((doc_id, "date", dstr, ref, order))
+                    order += 1
+                rows_out = _expected_image_rows(ground, dates)
+                for i, r in enumerate(rows_out):
+                    exp_spans.append((doc_id, "table_row", ",".join(r), ref, order))
+                    padded = (r + [None, None])[:7]
+                    exp_rows.append((doc_id, offset, i + 1, *padded))
+                    order += 1
+                page_no += 1
+        docs.append({"doc_id": doc_id, "spans": spans})
+
+    aliases = [{"col": 1, "value": v} for v in alias_names()] + [
+        {"col": 5, "value": v} for v in alias_purposes()
+    ]
+    return {
+        "documents": pd.DataFrame(docs),
+        "media": pd.DataFrame(
+            media, columns=["media_ref", "content", "width", "height"]
+        ),
+        "aliases": pd.DataFrame(aliases),
+        "expected_spans": pd.DataFrame(
+            exp_spans, columns=["doc_id", "kind", "text", "media_ref", "order"]
+        ),
+        "expected_rows": pd.DataFrame(
+            exp_rows,
+            columns=["doc_id", "page", "row", "name", "time_in", "time_out",
+                     "hours", "purpose", "date", "day"],
+        ),
+    }
+
+
+def write_corpus(out_dir: str, n_docs: int, seed: int = 42) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    tables = gen_corpus(n_docs, seed)
+    for name, df in tables.items():
+        df.to_parquet(os.path.join(out_dir, f"{name}.parquet"), index=False)
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--docs", type=int, default=200)
+    ap.add_argument("--seed", type=int, default=42)
+    a = ap.parse_args()
+    write_corpus(a.out, a.docs, a.seed)
+    print(f"wrote corpus of {a.docs} docs to {a.out}")

@@ -1,0 +1,470 @@
+"""End-to-end extraction pipeline: interleaved documents → ordered span
+sequences + flattened CSV-row tables (SURVEY.md §3.1 Spark lifecycle).
+
+Plan shape (everything declarative; Python only inside mapInPandas):
+
+    documents ──posexplode──> spans
+       ├── html/text ──parse_html mapInPandas──> items ─────────────┐
+       └── image/pdf ──join media──repartition(doc,offset)          │
+              └─ segment mapInPandas ──> dates / cells              │
+                    ├ dates ──ocr──> page_dates (ordered J3 side)   │
+                    └ cells ──F5 filter──repartition(doc,offset,row)│
+                         └─ classify mapInPandas (broadcast aliases)│
+                              └─ groupBy row ── sanity W1 ── F9 ────┤
+                                                                    ▼
+                              unionByName ── global span order ── sinks
+
+Scale levers (SURVEY.md §4.3): the two explicit repartitions spread
+mega-documents (doc-level skew) before the expensive Python stages — the
+second keys on (doc_id, offset, row) so a single 1000-cell page fans
+across tasks; AQE re-coalesces afterwards. Aliases ship as an explicit
+broadcast (J1/J2 dictionary side). The media join is a plain equi-join on
+media_ref so Catalyst/AQE pick broadcast vs shuffle by size.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+DATE_REGEX = r"^\d{1,2}/\d{1,2}/(\d{4}|\d{2})$"
+
+ITEM_SCHEMA = (
+    "doc_id string, offset int, seq int, out_kind string, out_text string, "
+    "cells array<string>"
+)
+SEG_SCHEMA = (
+    "doc_id string, offset int, media_ref string, item string, idx int, "
+    "row int, col int, png binary"
+)
+VAL_SCHEMA = (
+    "doc_id string, offset int, media_ref string, row int, col int, "
+    "text string, prob double, accepted boolean"
+)
+DATE_TXT_SCHEMA = "doc_id string, offset int, media_ref string, idx int, dstr string"
+
+
+# --------------------------------------------------------------------------
+# sources
+# --------------------------------------------------------------------------
+
+
+def load_corpus(spark: SparkSession, corpus_dir: str) -> dict[str, DataFrame]:
+    out = {}
+    for name in ("documents", "media", "aliases"):
+        path = os.path.join(corpus_dir, f"{name}.parquet")
+        out[name] = spark.read.parquet(path)
+    return out
+
+
+def explode_spans(documents: DataFrame) -> DataFrame:
+    """S1: documents → one row per span, quarantining unknown kinds."""
+    spans = documents.select(
+        "doc_id", F.explode("spans").alias("span")
+    ).select(
+        "doc_id",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+    return spans
+
+
+def quarantine_bad_kinds(spans: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """File-extension dispatch analogue (reference modules/image_scraper.py:103):
+    unsupported kinds go to a quarantine sink instead of erroring the job."""
+    good = spans.filter(F.col("kind").isin("html", "text", "image", "pdf_page"))
+    bad = spans.filter(~F.col("kind").isin("html", "text", "image", "pdf_page"))
+    return good, bad
+
+
+# --------------------------------------------------------------------------
+# pandas-UDF stage bodies (vectorized; no per-row Python UDFs)
+# --------------------------------------------------------------------------
+
+
+def _typed_frame(data: dict, dtypes: dict) -> pd.DataFrame:
+    """Build a pandas frame with explicit per-column dtypes so empty
+    batches still convert to the declared Arrow schema (a zero-row dict
+    frame defaults every column to float64, which Arrow can't cast to
+    list/binary types)."""
+    return pd.DataFrame(
+        {k: pd.Series(v, dtype=dtypes.get(k, "object")) for k, v in data.items()}
+    )
+
+
+_ITEM_DTYPES = {"offset": "int64", "seq": "int64"}
+_SEG_DTYPES = {"offset": "int64", "idx": "int64", "row": "int64", "col": "int64"}
+_VAL_DTYPES = {"offset": "int64", "row": "int64", "col": "int64",
+               "prob": "float64", "accepted": "bool"}
+_DATE_DTYPES = {"offset": "int64", "idx": "int64"}
+
+
+def _parse_html_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from .html_extract import parse_html
+
+    for pdf in it:
+        out = {k: [] for k in ("doc_id", "offset", "seq", "out_kind", "out_text", "cells")}
+        for doc_id, offset, kind, text in zip(
+            pdf["doc_id"], pdf["offset"], pdf["kind"], pdf["text"]
+        ):
+            if kind == "text":
+                out["doc_id"].append(doc_id)
+                out["offset"].append(offset)
+                out["seq"].append(0)
+                out["out_kind"].append("text")
+                out["out_text"].append(text)
+                out["cells"].append(None)
+                continue
+            seq = 0
+            for item_kind, payload in parse_html(text):
+                if item_kind == "header_row":
+                    continue  # F5: header rows dropped
+                out["doc_id"].append(doc_id)
+                out["offset"].append(offset)
+                out["seq"].append(seq)
+                if item_kind == "text":
+                    out["out_kind"].append("text")
+                    out["out_text"].append(payload)
+                    out["cells"].append(None)
+                else:
+                    out["out_kind"].append("table_row")
+                    out["out_text"].append(None)
+                    out["cells"].append(list(payload))
+                seq += 1
+        yield _typed_frame(out, _ITEM_DTYPES)
+
+
+def _segment_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ..imaging import png as pngc
+    from ..imaging.segment import segment_page
+
+    for pdf in it:
+        out = {k: [] for k in ("doc_id", "offset", "media_ref", "item", "idx", "row", "col", "png")}
+
+        def emit(doc_id, offset, ref, item, idx, row, col, img):
+            out["doc_id"].append(doc_id)
+            out["offset"].append(offset)
+            out["media_ref"].append(ref)
+            out["item"].append(item)
+            out["idx"].append(idx)
+            out["row"].append(row)
+            out["col"].append(col)
+            out["png"].append(pngc.encode_gray(img))
+
+        for doc_id, offset, ref, content in zip(
+            pdf["doc_id"], pdf["offset"], pdf["media_ref"], pdf["content"]
+        ):
+            page = pngc.decode(bytes(content))
+            dates, cells = segment_page(page)
+            for i, d in enumerate(dates):
+                emit(doc_id, offset, ref, "date", i, -1, -1, d)
+            for r, row_cells in enumerate(cells):
+                for c, cell in enumerate(row_cells):
+                    emit(doc_id, offset, ref, "cell", -1, r, c, cell)
+        yield _typed_frame(out, _SEG_DTYPES)
+
+
+def _make_classify(names: list, purposes: list):
+    def _classify_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..imaging import png as pngc
+        from .cells import correct_cell
+
+        for pdf in it:
+            recs = []
+            for doc_id, offset, ref, row, col, png_bytes in zip(
+                pdf["doc_id"], pdf["offset"], pdf["media_ref"], pdf["row"], pdf["col"], pdf["png"]
+            ):
+                img = pngc.decode(bytes(png_bytes))
+                text, prob, accepted = correct_cell(img, int(col), names, purposes)
+                recs.append((doc_id, int(offset), ref, int(row), int(col),
+                             text, float(prob), bool(accepted)))
+            cols = ["doc_id", "offset", "media_ref", "row", "col",
+                    "text", "prob", "accepted"]
+            yield _typed_frame(
+                {c: [r[i] for r in recs] for i, c in enumerate(cols)}, _VAL_DTYPES
+            )
+
+    return _classify_batches
+
+
+def _date_text_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ..imaging import png as pngc
+    from .cells import read_date_box
+
+    for pdf in it:
+        recs = []
+        for doc_id, offset, ref, idx, png_bytes in zip(
+            pdf["doc_id"], pdf["offset"], pdf["media_ref"], pdf["idx"], pdf["png"]
+        ):
+            recs.append(
+                (doc_id, int(offset), ref, int(idx), read_date_box(pngc.decode(bytes(png_bytes))))
+            )
+        cols = ["doc_id", "offset", "media_ref", "idx", "dstr"]
+        yield _typed_frame(
+            {c: [r[i] for r in recs] for i, c in enumerate(cols)}, _DATE_DTYPES
+        )
+
+
+# --------------------------------------------------------------------------
+# pipeline
+# --------------------------------------------------------------------------
+
+
+def extract(
+    spark: SparkSession,
+    documents: DataFrame,
+    media: DataFrame,
+    aliases: DataFrame,
+    shuffle_partitions: int | None = None,
+) -> dict[str, DataFrame]:
+    """Run the full pipeline; returns {'spans', 'rows', 'quarantine'} DataFrames.
+
+    spans: (doc_id, kind, text, media_ref, order) — the per-document ordered
+    span sequence (the north_rule invariant surface).
+    rows:  (doc_id, page, row, name, time_in, time_out, hours, purpose,
+            date, day) — the flattened CSV-row table (reference main.py:182).
+    """
+    n_part = shuffle_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+
+    spans, quarantine = quarantine_bad_kinds(explode_spans(documents))
+
+    # ---- HTML / text branch ----------------------------------------------
+    ht_items = (
+        spans.filter(F.col("kind").isin("html", "text"))
+        .select("doc_id", "offset", "kind", "text")
+        .mapInPandas(_parse_html_batches, schema=ITEM_SCHEMA)
+    )
+
+    # ---- image branch: segment -------------------------------------------
+    # explicit repartition on (doc_id, offset): spreads a mega-document's
+    # pages across tasks before the expensive Python stage (§4.3 salting)
+    pages = (
+        spans.filter(F.col("kind").isin("image", "pdf_page"))
+        .join(media, "media_ref")
+        .repartition(n_part, "doc_id", "offset")
+    )
+    seg = pages.select("doc_id", "offset", "media_ref", "content").mapInPandas(
+        _segment_batches, schema=SEG_SCHEMA
+    )
+
+    # aliases: small dictionary dimension → driver-collected + broadcast to
+    # every classify task (J1/J2 broadcast side, reference aliases.json)
+    alias_rows = aliases.collect()
+    names = sorted(r["value"] for r in alias_rows if r["col"] == 1)
+    purposes = sorted(r["value"] for r in alias_rows if r["col"] == 5)
+
+    # F5: drop header row / '#' column before OCR — prunes the expensive
+    # stage's input exactly like the reference's loop bounds (main.py:184,194)
+    cells = (
+        seg.filter((F.col("item") == "cell") & (F.col("row") > 0) & (F.col("col") > 0))
+        # cell-level salt: a single mega page fans out across tasks
+        .repartition(n_part, "doc_id", "offset", "row")
+    )
+    vals = cells.mapInPandas(_make_classify(names, purposes), schema=VAL_SCHEMA)
+
+    dates_txt = (
+        seg.filter(F.col("item") == "date")
+        .select("doc_id", "offset", "media_ref", "idx", "png")
+        .mapInPandas(_date_text_batches, schema=DATE_TXT_SCHEMA)
+    )
+
+    # date ordering parity (reference main.py:176-180): regex matches are
+    # insert(0)-prepended (reversing among themselves), others appended
+    page_dates = (
+        dates_txt.withColumn("is_date", F.col("dstr").rlike(DATE_REGEX))
+        .withColumn(
+            "sort_key",
+            F.struct(
+                F.when(F.col("is_date"), F.lit(0)).otherwise(F.lit(1)).alias("grp"),
+                F.when(F.col("is_date"), -F.col("idx")).otherwise(F.col("idx")).alias("pos"),
+                F.col("dstr").alias("dstr"),
+            ),
+        )
+        .groupBy("doc_id", "offset")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list("sort_key")), lambda x: x["dstr"]
+            ).alias("dates")
+        )
+    )
+
+    # ---- assemble one output row per table row ---------------------------
+    def val_of(c: int, field: str):
+        return F.max(F.when(F.col("col") == c, F.col(field)))
+
+    row_vals = vals.groupBy("doc_id", "offset", "media_ref", "row").agg(
+        val_of(1, "text").alias("name"),
+        val_of(1, "prob").alias("name_prob"),
+        val_of(1, "accepted").alias("name_acc"),
+        val_of(2, "text").alias("time_in"),
+        val_of(2, "accepted").alias("ti_acc"),
+        val_of(3, "text").alias("time_out"),
+        val_of(3, "accepted").alias("to_acc"),
+        val_of(4, "text").alias("hours"),
+        val_of(4, "accepted").alias("hr_acc"),
+        val_of(5, "text").alias("purpose"),
+        val_of(5, "accepted").alias("pp_acc"),
+    )
+
+    # W1 sanity dedup: among accepted duplicates of a name on one page keep
+    # the highest probability, first occurrence on ties (strict '>' in
+    # reference modules/sanity.py:25) — order (prob desc, row asc)
+    w = Window.partitionBy("doc_id", "offset", "name", "name_acc").orderBy(
+        F.desc("name_prob"), F.asc("row")
+    )
+    deduped = row_vals.withColumn("dup_rank", F.row_number().over(w)).withColumn(
+        "name_acc",
+        F.when(
+            F.col("name_acc") & (F.col("name") != "") & (F.col("dup_rank") > 1),
+            F.lit(False),
+        ).otherwise(F.col("name_acc")),
+    )
+
+    # F9 blank-row filter: first 4 slots all accepted AND empty → drop
+    # (reference modules/sanity.py:55-67)
+    kept = deduped.filter(
+        ~(
+            F.col("name_acc") & (F.col("name") == "")
+            & F.col("ti_acc") & (F.col("time_in") == "")
+            & F.col("to_acc") & (F.col("time_out") == "")
+            & F.col("hr_acc") & (F.col("hours") == "")
+        )
+    )
+
+    # J3: page dates replicated onto every row of the page
+    image_rows = (
+        kept.join(page_dates, ["doc_id", "offset"], "left")
+        .withColumn("date", F.get("dates", F.lit(0)))
+        .withColumn("day", F.get("dates", F.lit(1)))
+    )
+
+    # renumber surviving rows 1..n per page (reference pops blank rows from
+    # the list, so CSV row indices are post-removal)
+    w_rows = Window.partitionBy("doc_id", "offset").orderBy("row")
+    image_rows = image_rows.withColumn("out_row", F.row_number().over(w_rows))
+
+    html_rows = ht_items.filter(F.col("out_kind") == "table_row").select(
+        "doc_id",
+        "offset",
+        F.col("seq"),
+        F.get("cells", F.lit(0)).alias("name"),
+        F.get("cells", F.lit(1)).alias("time_in"),
+        F.get("cells", F.lit(2)).alias("time_out"),
+        F.get("cells", F.lit(3)).alias("hours"),
+        F.get("cells", F.lit(4)).alias("purpose"),
+        F.lit(None).cast("string").alias("date"),
+        F.lit(None).cast("string").alias("day"),
+    )
+    w_hrows = Window.partitionBy("doc_id", "offset").orderBy("seq")
+    html_rows = html_rows.withColumn("out_row", F.row_number().over(w_hrows))
+
+    rows = html_rows.select(
+        "doc_id", F.col("offset").alias("page"), F.col("out_row").alias("row"),
+        "name", "time_in", "time_out", "hours", "purpose", "date", "day",
+    ).unionByName(
+        image_rows.select(
+            "doc_id", F.col("offset").alias("page"), F.col("out_row").alias("row"),
+            "name", "time_in", "time_out", "hours", "purpose", "date", "day",
+        )
+    )
+
+    # ---- span sequence assembly (W2 ordering) ----------------------------
+    csv_line = F.concat_ws(
+        ",", "name", "time_in", "time_out", "hours", "purpose", "date", "day"
+    )
+    image_row_spans = image_rows.select(
+        "doc_id",
+        "offset",
+        F.lit("table_row").alias("kind"),
+        csv_line.alias("text"),
+        "media_ref",
+        (F.lit(1000000) + F.col("out_row")).alias("seq"),
+    )
+    date_spans = (
+        dates_txt.withColumn("is_date", F.col("dstr").rlike(DATE_REGEX))
+        .withColumn(
+            "seq",
+            F.when(F.col("is_date"), -F.col("idx")).otherwise(
+                F.lit(500000) + F.col("idx")
+            ),
+        )
+        .select(
+            "doc_id", "offset", F.lit("date").alias("kind"),
+            F.col("dstr").alias("text"), "media_ref", "seq",
+        )
+    )
+    html_spans = ht_items.select(
+        "doc_id",
+        "offset",
+        F.when(F.col("out_kind") == "text", "text").otherwise("table_row").alias("kind"),
+        F.when(F.col("out_kind") == "text", F.col("out_text"))
+        .otherwise(F.concat_ws(",", F.col("cells")))
+        .alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        F.col("seq").cast("long").alias("seq"),
+    )
+
+    all_spans = html_spans.unionByName(date_spans).unionByName(image_row_spans)
+    w_order = Window.partitionBy("doc_id").orderBy("offset", "seq")
+    spans_out = all_spans.withColumn(
+        "order", F.row_number().over(w_order) - 1
+    ).select("doc_id", "kind", "text", "media_ref", "order")
+
+    return {"spans": spans_out, "rows": rows, "quarantine": quarantine}
+
+
+# --------------------------------------------------------------------------
+# sinks
+# --------------------------------------------------------------------------
+
+
+def to_csv_strings(rows: DataFrame) -> DataFrame:
+    """S5 CSV sink parity: one CSV string per document — rows newline-joined
+    per page, pages separated by a blank line (reference main.py:242-254)."""
+    line = F.concat_ws(
+        ",", "name", "time_in", "time_out", "hours", "purpose", "date", "day"
+    )
+    per_page = (
+        rows.withColumn("line", line)
+        .groupBy("doc_id", "page")
+        .agg(
+            F.concat(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("row"), F.col("line")))
+                        ),
+                        lambda x: x["line"],
+                    ),
+                    "\n",
+                ),
+                F.lit("\n\n"),
+            ).alias("page_csv")
+        )
+    )
+    return per_page.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("page"), F.col("page_csv")))),
+                lambda x: x["page_csv"],
+            ),
+            "",
+        ).alias("csv")
+    )
+
+
+def write_outputs(result: dict[str, DataFrame], out_dir: str) -> None:
+    """Parquet span/row sinks + per-document CSV directory."""
+    result["spans"].write.mode("overwrite").parquet(os.path.join(out_dir, "extracted"))
+    result["rows"].write.mode("overwrite").parquet(os.path.join(out_dir, "rows"))
+    to_csv_strings(result["rows"]).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "csv")
+    )

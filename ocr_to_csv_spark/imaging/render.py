@@ -21,7 +21,7 @@ CELL_PAD_Y = 18     # keeps ink clear of the blank-check's 8px border strip and
                     # keeps even 2-row tables ≥100px tall so grid lines clear
                     # the 0.9 span fraction after the ±5 crop margin
 PAGE_MARGIN = 24
-DATE_AREA_H = 70
+DATE_AREA_H = 80
 
 
 def _blit(canvas: np.ndarray, img: np.ndarray, y: int, x: int) -> None:
@@ -84,12 +84,19 @@ def render_page(
     x_cursor = PAGE_MARGIN
     for dstr in dates:
         txt = render_text(dstr, scale)
-        # pad the box so the ink fill (border + text) lands inside the
-        # reference's (1%, 20%) keep-window (modules/image_scraper.py:148-157)
-        bw = txt.shape[1] + 30
-        bh = txt.shape[0] + 30
+        # pad the box so the ink fill (border + text) lands safely inside
+        # the reference's (1%, 20%) keep-window (modules/image_scraper.py:148-157):
+        # grow padding until fill ≤ 18%
+        ink = int((txt < 128).sum())
+        pad = 15
+        while True:
+            bw, bh = txt.shape[1] + 2 * pad, txt.shape[0] + 2 * pad
+            border = 2 * LINE_T * (bw + bh) - 4 * LINE_T * LINE_T
+            if (ink + border) / (bw * bh) <= 0.18:
+                break
+            pad += 4
         _rect(page, PAGE_MARGIN, x_cursor, bh, bw)
-        _blit(page, txt, PAGE_MARGIN + 15, x_cursor + 15)
+        _blit(page, txt, PAGE_MARGIN + pad, x_cursor + pad)
         x_cursor += bw + 40
     if decoy_blob:  # solid dark blob → fill ≥20% → must be stripped
         page[PAGE_MARGIN : PAGE_MARGIN + 40, x_cursor : x_cursor + 120] = 0
