@@ -1,0 +1,98 @@
+"""Headline benchmark (driver contract): one JSON line on stdout.
+
+Measures (a) end-to-end extraction throughput (documents/sec) on the
+deterministic synthetic interleaved corpus — the BASELINE.json target
+metric — and (b) the headline relational/training-data queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]``.
+
+Env:
+  SPARK_GRAFT_SF_DIR   sf dir for relational queries (default sf0.1)
+  SPARK_GRAFT_CPUS     local[] parallelism (default 32)
+  SPARK_GRAFT_BENCH_DOCS  corpus size for the extraction bench (default 160)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _corpus(n_docs: int, seed: int = 42) -> str:
+    d = f"/tmp/ocr2csv_bench_corpus_{n_docs}_{seed}"
+    if not os.path.exists(os.path.join(d, "expected_rows.parquet")):
+        from ocr_to_csv_spark.datagen.gen import write_corpus
+
+        write_corpus(d, n_docs, seed=seed)
+    return d
+
+
+def main() -> None:
+    from ocr_to_csv_spark.extraction import pipeline
+    from ocr_to_csv_spark.functions import dedup, relational, similarity, textops
+    from ocr_to_csv_spark.session import get_spark, sf_dir
+
+    sf = sf_dir()
+    sf_label = sf.rstrip("/").rsplit("sf", 1)[-1]
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "160"))
+    corpus = _corpus(n_docs)  # generated before timing starts
+
+    spark = get_spark(
+        "bench", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    # -- extraction throughput (the BASELINE.json headline metric) --------
+    tabs = pipeline.load_corpus(spark, corpus)
+    t0 = time.time()
+    res = pipeline.extract(
+        spark, tabs["documents"], tabs["media"], tabs["aliases"]
+    )
+    n_spans = res["spans"].count()
+    extract_sec = time.time() - t0
+    timings["extract"] = round(extract_sec, 3)
+
+    # -- relational / training-data headline queries ----------------------
+    headline = {
+        "pricing_summary": relational.q_pricing_summary,
+        "broadcast_join": relational.q_broadcast_join,
+        "window_dedup": relational.q_window_dedup,
+        "explode_tokens": relational.q_explode_tokens,
+        "quality_score": textops.q_quality_score,
+        "fingerprint": textops.q_fingerprint,
+        "minhash_sig": dedup.q_minhash_sig,
+        "simhash": dedup.q_simhash,
+        "cosine_topk": similarity.q_cosine_topk,
+    }
+    for name, fn in headline.items():
+        t0 = time.time()
+        fn(spark, sf).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf_label) if sf_label.replace(".", "").isdigit() else sf_label,
+                "extract_docs_per_sec": round(n_docs / extract_sec, 2),
+                "extract_docs": n_docs,
+                "extract_spans": n_spans,
+                "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,275 @@
+"""Near-duplicate detection operators for a training-data pipeline:
+MinHash + LSH banding, SimHash, n-gram Jaccard.
+
+Scale design (100 TB): everything is shingle-explode → hash → groupBy —
+pure shuffle-parallel with no driver-side state. MinHash signatures are
+md5-based (k seeded hashes, lexicographic min per seed), LSH bands hash
+signatures into buckets so candidate generation is an equi-join on
+(band, band_key) instead of an O(n²) cross join; the O(n²) Jaccard query
+exists as the small-scale oracle-checkable baseline.
+
+Parity: md5 hex is identical across Spark and DuckDB; all float-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .util import DUCK_HEX32, hex32, table
+
+N_SEEDS = 8  # minhash permutations
+N_BANDS = 4  # LSH bands of 2 rows each
+SIM_BITS = 16  # simhash signature width
+
+
+def _shingles(text: Column) -> Column:
+    """3-word shingles in document order (empty when < 3 tokens)."""
+    toks = F.filter(F.split(text, r"\s+"), lambda t: t != "")
+    n = F.size(toks)
+    return F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+DUCK_SHINGLES = (
+    "list_transform(generate_series(1, greatest(len(toks) - 2, 0)), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])"
+)
+DUCK_TOKS = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-form minhash: (doc_id, seed, minh) — min over shingles of
+    md5(seed || ':' || shingle), per seed."""
+    d = table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(_shingles(F.col("text"))).alias("sh")
+    )
+    seeded = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(N_SEEDS - 1))).alias("seed"),
+        "sh",
+    )
+    return seeded.groupBy("doc_id", "seed").agg(
+        F.min(
+            F.md5(
+                F.encode(
+                    F.concat_ws(":", F.col("seed").cast("string"), F.col("sh")),
+                    "UTF-8",
+                )
+            )
+        ).alias("minh")
+    )
+
+
+def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signatures(spark, sf_dir)
+
+
+def _lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band, band_key): band_key = seed-ordered concat of the
+    band's minhashes — the LSH bucket id."""
+    sig = minhash_signatures(spark, sf_dir)
+    return (
+        sig.withColumn("band", F.floor(F.col("seed") / (N_SEEDS // N_BANDS)))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "minh"))),
+                    lambda x: x["minh"],
+                ),
+                "|",
+            ).alias("band_key")
+        )
+    )
+
+
+def q_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-band bucket histogram: how many buckets, biggest bucket, and
+    how many buckets hold >1 doc (candidate-pair generators)."""
+    b = _lsh_buckets(spark, sf_dir)
+    per_bucket = b.groupBy("band", "band_key").agg(F.count("*").alias("cnt"))
+    return per_bucket.groupBy("band").agg(
+        F.count("*").alias("n_buckets"),
+        F.max("cnt").alias("max_bucket"),
+        F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0)).alias("collided"),
+    )
+
+
+def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any LSH band bucket
+    (equi-join on (band, band_key) — the scale path vs O(n²))."""
+    b = _lsh_buckets(spark, sf_dir)
+    a = b.alias("a")
+    c = b.alias("c")
+    return (
+        a.join(c, ["band", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("c.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash over token bag: bit j of the signature is the sign of the
+    sum over tokens of ±1 by bit j of the token's 32-bit hash."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", r"\s+"), lambda t: t != "")).alias("w"),
+    ).select("doc_id", hex32(F.col("w")).alias("h"))
+    bits = toks.select(
+        "doc_id",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(SIM_BITS - 1))).alias("j"),
+    ).select(
+        "doc_id",
+        "j",
+        (
+            (F.floor(F.col("h") / F.pow(F.lit(2.0), F.col("j"))).cast("long") % 2)
+            * 2
+            - 1
+        ).alias("contrib"),
+    )
+    per_bit = bits.groupBy("doc_id", "j").agg(F.sum("contrib").alias("s"))
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("j")).cast("long")).otherwise(
+                F.lit(0)
+            )
+        ).alias("simhash")
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most-similar pairs by exact 3-gram Jaccard — the O(n²)
+    brute-force baseline the LSH path approximates (oracle-checkable)."""
+    d = table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(_shingles(F.col("text"))).alias("sh")
+    ).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("nsh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, F.col("a.sh") == F.col("b.sh"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("nsh").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("nsh").alias("nb"))
+    j = (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4
+            ).alias("jaccard"),
+        )
+    )
+    return j.orderBy(F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b")).limit(20)
+
+
+QUERIES = {
+    "minhash_sig": q_minhash_sig,
+    "lsh_bucket_stats": q_lsh_bucket_stats,
+    "lsh_pairs": q_lsh_pairs,
+    "simhash": q_simhash,
+    "ngram_jaccard": q_ngram_jaccard,
+}
+
+_SHINGLE_CTE = f"""
+        WITH sh AS (
+            SELECT doc_id, unnest(shingles) AS sh FROM (
+                SELECT doc_id, {DUCK_SHINGLES} AS shingles FROM (
+                    SELECT doc_id, {DUCK_TOKS} AS toks FROM documents
+                )
+            )
+        )
+"""
+
+_SIG_SQL = f"""{_SHINGLE_CTE}
+        , seeded AS (
+            SELECT doc_id, unnest(generate_series(0, {N_SEEDS - 1})) AS seed, sh
+            FROM sh
+        )
+        SELECT doc_id, seed,
+               min(md5(seed::VARCHAR || ':' || sh)) AS minh
+        FROM seeded GROUP BY doc_id, seed
+"""
+
+_BUCKET_SQL = f"""
+        WITH sig AS ({_SIG_SQL}),
+        buckets AS (
+            SELECT doc_id, seed // {N_SEEDS // N_BANDS} AS band,
+                   string_agg(minh, '|' ORDER BY seed) AS band_key
+            FROM sig GROUP BY doc_id, band
+        )
+"""
+
+ORACLES = {
+    "minhash_sig": _SIG_SQL,
+    "lsh_bucket_stats": f"""{_BUCKET_SQL}
+        , per_bucket AS (
+            SELECT band, band_key, count(*) AS cnt
+            FROM buckets GROUP BY band, band_key
+        )
+        SELECT band, count(*) AS n_buckets, max(cnt) AS max_bucket,
+               sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END)::BIGINT AS collided
+        FROM per_bucket GROUP BY band
+    """,
+    "lsh_pairs": f"""{_BUCKET_SQL}
+        SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+        FROM buckets a JOIN buckets c
+          ON a.band = c.band AND a.band_key = c.band_key
+        WHERE a.doc_id < c.doc_id
+    """,
+    "simhash": f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({DUCK_TOKS}) AS w FROM documents
+        ),
+        bits AS (
+            SELECT doc_id, j,
+                   sum(((CAST(floor(h / pow(2.0, j)) AS BIGINT) % 2) * 2 - 1)) AS s
+            FROM (
+                SELECT doc_id, {DUCK_HEX32.format(x="w")} AS h,
+                       unnest(generate_series(0, {SIM_BITS - 1})) AS j
+                FROM tok
+            ) GROUP BY doc_id, j
+        )
+        SELECT doc_id,
+               sum(CASE WHEN s > 0 THEN CAST(pow(2.0, j) AS BIGINT) ELSE 0 END)::BIGINT AS simhash
+        FROM bits GROUP BY doc_id
+    """,
+    "ngram_jaccard": f"""{_SHINGLE_CTE}
+        , dsh AS (SELECT DISTINCT doc_id, sh FROM sh),
+        sizes AS (SELECT doc_id, count(*) AS nsh FROM dsh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+            FROM dsh a JOIN dsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY doc_a, doc_b
+        )
+        SELECT doc_a, doc_b,
+               round(inter / (na.nsh + nb.nsh - inter), 4) AS jaccard
+        FROM inter
+        JOIN sizes na ON na.doc_id = doc_a
+        JOIN sizes nb ON nb.doc_id = doc_b
+        ORDER BY jaccard DESC, doc_a ASC, doc_b ASC LIMIT 20
+    """,
+}

@@ -1,0 +1,401 @@
+"""Relational operator layer (SURVEY.md §2 mappings, driver contract M2).
+
+Each ``q_*`` takes ``(spark, sf_dir)`` and returns a DataFrame; ``ORACLES``
+holds the equivalent DuckDB SQL with identical column aliases. The queries
+are the Spark-first re-expressions of the reference's operators:
+
+- F1/F8 filters             (reference image_scraper.py:103, main.py:172)
+- scan pruning              (Catalyst pushdown — verified via .explain)
+- A1 argmax / top-1         (corrections.py:296-299)
+- A5/A6 metric rollups      (main.py:98-105,159-162)
+- J3 broadcast joins        (main.py:166-199)
+- anti/semi joins           (rebuild resume logic + F9 blank-row)
+- W1 dedup window           (sanity.py:1-44)
+- W2 ordering window        (image_scraper.py:83-84 span ordering)
+- O3/O5 sort / top-k        (main.py:176-180)
+- set ops                   (rebuild unionByName fast-path merge)
+- explode / pivot / JSON    (spans explode, main.py:182 row pivot, X17)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .util import table
+
+
+def q_f1_kind_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: predicate dispatch — keep allowed kinds, aggregate the rest."""
+    return (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+def q_f8_regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8: regex predicate (date-string classifier analogue)."""
+    return (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("text").rlike("merge (batch|table)"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_scan_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection+filter pushed into the parquet scan (2-col ReadSchema)."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+def q_argmax_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/O5: per-group argmax with the reference's first-max tie-break."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        table(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("top_orderkey"),
+            F.round("o_totalprice", 2).alias("top_price"),
+        )
+    )
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 rollup (TPC-H Q1 shape): partial+final hash aggregate."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: small-dim broadcast join (explicit broadcast hint)."""
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    return (
+        orders.join(
+            F.broadcast(customer),
+            orders.o_custkey == customer.c_custkey,
+            "inner",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+def q_multiway_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained broadcast equi-joins over the dim hierarchy."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+        )
+    )
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (F9 drop semantics / checkpoint-resume primitive)."""
+    c = table(spark, sf_dir, "customer")
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return c.join(o, "c_custkey", "left_anti").select("c_custkey")
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: parts that appear in lineitem, counted per brand."""
+    p = table(spark, sf_dir, "part")
+    li = table(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("p_partkey"))
+    return (
+        p.join(li, "p_partkey", "left_semi")
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: per-partition keep-max with first-occurrence tie-break
+    (sanity.py:25 strict '>')."""
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    return (
+        table(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            F.round("value", 2).alias("best_value"),
+        )
+    )
+
+
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: stable per-partition ordering (span order assignment)."""
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return (
+        table(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "rn")
+    )
+
+
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3/O5: global top-k with deterministic tie-break (TakeOrderedAndProject)."""
+    return (
+        table(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+    )
+
+
+def q_set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 set op: unionByName + distinct of two filtered branches."""
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    c = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") < 0)
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    return o.unionByName(c).distinct()
+
+
+def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode (spans-explode analogue): top-50 corpus words."""
+    return (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(50)
+    )
+
+
+def q_pivot_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """main.py:182 row pivot analogue: conditional aggregation to columns."""
+    e = table(spark, sf_dir, "events")
+
+    def slot(t):
+        return F.round(
+            F.coalesce(F.sum(F.when(F.col("event_type") == t, F.col("value"))), F.lit(0.0)), 2
+        )
+
+    return e.groupBy("user_id").agg(
+        slot("click").alias("click_v"),
+        slot("view").alias("view_v"),
+        slot("purchase").alias("purchase_v"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X17: JSON field extraction (alias-DB parse analogue)."""
+    return (
+        table(spark, sf_dir, "events")
+        .select(F.get_json_object("props", "$.k").cast("int").alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/A6: run-metrics rollup (docs_done / span_count analogue)."""
+    return (
+        table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+    )
+
+
+def q_date_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X16/F8: timestamp normalization to day buckets."""
+    return (
+        table(spark, sf_dir, "events")
+        .select(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+QUERIES = {
+    "f1_kind_filter": q_f1_kind_filter,
+    "f8_regex_filter": q_f8_regex_filter,
+    "scan_prune": q_scan_prune,
+    "argmax_top1": q_argmax_top1,
+    "pricing_summary": q_pricing_summary,
+    "broadcast_join": q_broadcast_join,
+    "multiway_dims": q_multiway_dims,
+    "anti_join": q_anti_join,
+    "semi_join": q_semi_join,
+    "window_dedup": q_window_dedup,
+    "window_rank": q_window_rank,
+    "topk": q_topk,
+    "set_union": q_set_union,
+    "explode_tokens": q_explode_tokens,
+    "pivot_rows": q_pivot_rows,
+    "json_extract": q_json_extract,
+    "metrics_rollup": q_metrics_rollup,
+    "date_bucket": q_date_bucket,
+}
+
+ORACLES = {
+    "f1_kind_filter": """
+        SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        FROM events WHERE event_type IN ('click', 'view')
+        GROUP BY event_type
+    """,
+    "f8_regex_filter": """
+        SELECT lang, count(*) AS n
+        FROM documents WHERE regexp_matches(text, 'merge (batch|table)')
+        GROUP BY lang
+    """,
+    "scan_prune": """
+        SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        FROM lineitem WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+        GROUP BY l_returnflag
+    """,
+    "argmax_top1": """
+        SELECT o_custkey, top_orderkey, top_price FROM (
+            SELECT o_custkey, o_orderkey AS top_orderkey,
+                   round(o_totalprice, 2) AS top_price,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+            FROM orders
+        ) WHERE rn = 1
+    """,
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(avg(l_quantity), 2) AS avg_qty,
+               count(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "broadcast_join": """
+        SELECT c_mktsegment, round(sum(o_totalprice), 2) AS revenue, count(*) AS n
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    "multiway_dims": """
+        SELECT r_name, count(*) AS n, round(avg(c_acctbal), 2) AS avg_bal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+    "anti_join": """
+        SELECT c_custkey FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    """,
+    "semi_join": """
+        SELECT p_brand, count(*) AS n FROM part
+        WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        GROUP BY p_brand
+    """,
+    "window_dedup": """
+        SELECT user_id, event_type, event_id, best_value FROM (
+            SELECT user_id, event_type, event_id, round(value, 2) AS best_value,
+                   row_number() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY value DESC, event_id ASC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+    "window_rank": """
+        SELECT user_id, event_id, rn FROM (
+            SELECT user_id, event_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts ASC, event_id ASC) AS rn
+            FROM events
+        ) WHERE rn <= 3
+    """,
+    "topk": """
+        SELECT o_orderkey, round(o_totalprice, 2) AS price
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+    """,
+    "set_union": """
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        UNION
+        SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0
+    """,
+    "explode_tokens": """
+        SELECT word, count(*) AS n FROM (
+            SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                                      t -> t <> '')) AS word
+            FROM documents
+        ) GROUP BY word ORDER BY n DESC, word ASC LIMIT 50
+    """,
+    "pivot_rows": """
+        SELECT user_id,
+               round(coalesce(sum(CASE WHEN event_type = 'click' THEN value END), 0), 2) AS click_v,
+               round(coalesce(sum(CASE WHEN event_type = 'view' THEN value END), 0), 2) AS view_v,
+               round(coalesce(sum(CASE WHEN event_type = 'purchase' THEN value END), 0), 2) AS purchase_v,
+               count(*) AS n_events
+        FROM events GROUP BY user_id
+    """,
+    "json_extract": """
+        SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, count(*) AS n
+        FROM events GROUP BY k
+    """,
+    "metrics_rollup": """
+        SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars,
+               round(avg(n_chars), 2) AS avg_chars
+        FROM documents GROUP BY source
+    """,
+    "date_bucket": """
+        SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n
+        FROM events GROUP BY day
+    """,
+}

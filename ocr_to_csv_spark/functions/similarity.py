@@ -1,0 +1,256 @@
+"""Embedding similarity search: brute-force cosine top-k (baseline),
+random-hyperplane LSH bucketing and IVF-style assignment (scale paths),
+plus embedding-cosine near-dup pairs.
+
+Scale design (100 TB): brute-force top-k is the correctness baseline; the
+LSH path hashes each vector to a bucket id (8 deterministic hyperplanes →
+256 buckets) so candidate search is an equi-join on bucket, and the IVF
+path assigns vectors to their nearest centroid so search probes one
+(or a few) centroid partitions. Both paths are pure DataFrame ops.
+
+Parity: dot products / norms are sequential left folds (Spark
+``F.aggregate`` == DuckDB ``list_reduce``) so doubles are bit-identical
+across engines; hyperplane components derive from md5 so both engines
+build the same planes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .util import DUCK_HEX32, hex32, table
+
+DIM = 64
+N_PLANES = 8
+N_QUERIES = 10
+TOP_K = 5
+N_CENTROIDS = 5
+
+
+def _dvec(col) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _fold_dot(a, b) -> Column:
+    """Sequential dot product: acc ← acc + a[i]*b[i], i = 1..DIM."""
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(DIM)),
+        F.lit(0.0),
+        lambda acc, i: acc + F.element_at(a, i) * F.element_at(b, i),
+    )
+
+
+def _fold_norm(a) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.sequence(F.lit(1), F.lit(DIM)),
+            F.lit(0.0),
+            lambda acc, i: acc + F.element_at(a, i) * F.element_at(a, i),
+        )
+    )
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id", "label", _dvec(F.col("embedding")).alias("v")
+    ).withColumn("nrm", _fold_norm(F.col("v")))
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: queries = vec_id < N_QUERIES, candidates =
+    the rest; rank by rounded sim desc, neighbor id asc."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    c = e.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    sims = q.crossJoin(c).select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            _fold_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def q_embed_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: top-20 most-similar distinct pairs."""
+    e = _emb(spark, sf_dir)
+    a = e.select(F.col("vec_id").alias("a"), F.col("v").alias("av"), F.col("nrm").alias("an"))
+    b = e.select(F.col("vec_id").alias("b"), F.col("v").alias("bv"), F.col("nrm").alias("bn"))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.round(
+                _fold_dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn")), 4
+            ).alias("sim"),
+        )
+    )
+    return pairs.orderBy(F.desc("sim"), F.asc("a"), F.asc("b")).limit(20)
+
+
+def _plane_component(j: Column, k: Column) -> Column:
+    """Deterministic pseudo-random hyperplane component in [-1, 1):
+    (md5-int(j ',' k) mod 2001 - 1000) / 1000."""
+    h = hex32(F.concat_ws(",", j.cast("string"), k.cast("string")))
+    return (h % 2001 - 1000) / F.lit(1000.0)
+
+
+def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH: 8 sign bits → bucket id; bucket histogram.
+    At scale, search = equi-join on bucket (and neighboring buckets)."""
+    e = _emb(spark, sf_dir)
+    planes = e.select(
+        "vec_id", "v", F.explode(F.sequence(F.lit(0), F.lit(N_PLANES - 1))).alias("j")
+    )
+    dots = planes.select(
+        "vec_id",
+        "j",
+        F.aggregate(
+            F.sequence(F.lit(1), F.lit(DIM)),
+            F.lit(0.0),
+            lambda acc, k: acc
+            + F.element_at(F.col("v"), k) * _plane_component(F.col("j"), k),
+        ).alias("dot"),
+    )
+    buckets = dots.groupBy("vec_id").agg(
+        F.sum(
+            F.when(
+                F.col("dot") > 0, F.pow(F.lit(2.0), F.col("j")).cast("long")
+            ).otherwise(F.lit(0))
+        ).alias("bucket")
+    )
+    return buckets.groupBy("bucket").agg(F.count("*").alias("n"))
+
+
+def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantizer: assign every non-centroid vector to its
+    nearest of N_CENTROIDS seed centroids (vec_id 0..4) by cosine."""
+    e = _emb(spark, sf_dir)
+    cent = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid"), F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    rest = e.filter(F.col("vec_id") >= N_CENTROIDS).select(
+        "vec_id", F.col("v").alias("rv"), F.col("nrm").alias("rn")
+    )
+    sims = rest.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "centroid",
+        F.round(
+            _fold_dot(F.col("rv"), F.col("cv")) / (F.col("rn") * F.col("cn")), 4
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("centroid"))
+    return (
+        sims.withColumn("rn_", F.row_number().over(w))
+        .filter(F.col("rn_") == 1)
+        .select("vec_id", "centroid", "sim")
+    )
+
+
+def q_embed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding stats (norm distribution sanity)."""
+    e = _emb(spark, sf_dir)
+    return e.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(F.round(F.col("nrm"), 6)), 3).alias("avg_norm"),
+    )
+
+
+QUERIES = {
+    "cosine_topk": q_cosine_topk,
+    "embed_near_pairs": q_embed_near_pairs,
+    "ann_lsh_buckets": q_ann_lsh_buckets,
+    "ivf_assign": q_ivf_assign,
+    "embed_stats": q_embed_stats,
+}
+
+_E_CTE = """
+        WITH e AS (
+            SELECT vec_id, label, embedding::DOUBLE[] AS v,
+                   sqrt(list_reduce(
+                       list_prepend(0.0::DOUBLE,
+                           list_transform(generate_series(1, 64), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)),
+                       (x, y) -> x + y)) AS nrm
+            FROM embeddings
+        )
+"""
+
+_DOT = (
+    "list_reduce(list_prepend(0.0::DOUBLE, "
+    "list_transform(generate_series(1, 64), i -> {a}[i] * {b}[i])), "
+    "(x, y) -> x + y)"
+)
+
+ORACLES = {
+    "cosine_topk": f"""{_E_CTE}
+        , sims AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   round({_DOT.format(a="q.v", b="c.v")} / (q.nrm * c.nrm), 4) AS sim
+            FROM e q, e c
+            WHERE q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+        )
+        SELECT query_id, neighbor_id, rank, sim FROM (
+            SELECT query_id, neighbor_id, sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, neighbor_id ASC) AS rank
+            FROM sims
+        ) WHERE rank <= {TOP_K}
+    """,
+    "embed_near_pairs": f"""{_E_CTE}
+        SELECT a.vec_id AS a, b.vec_id AS b,
+               round({_DOT.format(a="a.v", b="b.v")} / (a.nrm * b.nrm), 4) AS sim
+        FROM e a, e b WHERE a.vec_id < b.vec_id
+        ORDER BY sim DESC, a ASC, b ASC LIMIT 20
+    """,
+    "ann_lsh_buckets": f"""{_E_CTE}
+        , dots AS (
+            SELECT vec_id, j,
+                   list_reduce(list_prepend(0.0::DOUBLE,
+                       list_transform(generate_series(1, 64),
+                           k -> v[k] * (({DUCK_HEX32.format(x="j::VARCHAR || ',' || k::VARCHAR")} % 2001 - 1000) / 1000.0))),
+                       (x, y) -> x + y) AS dot
+            FROM (SELECT vec_id, v, unnest(generate_series(0, {N_PLANES - 1})) AS j FROM e)
+        ),
+        buckets AS (
+            SELECT vec_id,
+                   sum(CASE WHEN dot > 0 THEN CAST(pow(2.0, j) AS BIGINT) ELSE 0 END)::BIGINT AS bucket
+            FROM dots GROUP BY vec_id
+        )
+        SELECT bucket, count(*) AS n FROM buckets GROUP BY bucket
+    """,
+    "ivf_assign": f"""{_E_CTE}
+        , sims AS (
+            SELECT r.vec_id AS vec_id, c.vec_id AS centroid,
+                   round({_DOT.format(a="r.v", b="c.v")} / (r.nrm * c.nrm), 4) AS sim
+            FROM e r, e c
+            WHERE r.vec_id >= {N_CENTROIDS} AND c.vec_id < {N_CENTROIDS}
+        )
+        SELECT vec_id, centroid, sim FROM (
+            SELECT vec_id, centroid, sim,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, centroid ASC) AS rn_
+            FROM sims
+        ) WHERE rn_ = 1
+    """,
+    "embed_stats": f"""{_E_CTE}
+        SELECT label, count(*) AS n, round(avg(round(nrm, 6)), 3) AS avg_norm
+        FROM e GROUP BY label
+    """,
+}

@@ -1,0 +1,194 @@
+"""Text-analysis operators for a training-data pipeline: language ID,
+quality scoring, token counting, document fingerprinting, exact dedup.
+
+All heuristics are deterministic, JVM-side expressions (no Python UDFs) so
+they survive whole-stage codegen at 100 TB; each has a DuckDB oracle with
+identical arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .util import DUCK_HEX32, hex32, table
+
+# tiny per-language stopword lexicons (n-gram heuristic; deterministic)
+_LEX = {
+    "en": r"\b(the|a|of|and|is)\b",
+    "de": r"\b(der|die|das|und|ist)\b",
+    "fr": r"\b(le|la|les|et|est)\b",
+    "es": r"\b(el|los|las|y|es)\b",
+}
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID: stopword-hit argmax with fixed priority en>de>fr>es,
+    CJK-codepoint override for zh, 'und' when no lexicon hits."""
+    d = table(spark, sf_dir, "documents")
+    hits = {k: F.regexp_count("text", F.lit(v)) for k, v in _LEX.items()}
+    zh = F.regexp_count("text", F.lit(r"[一-鿿]"))
+    best = F.greatest(*hits.values())
+    pred = (
+        F.when(zh > 0, "zh")
+        .when(best == 0, "und")
+        .when(hits["en"] == best, "en")
+        .when(hits["de"] == best, "de")
+        .when(hits["fr"] == best, "fr")
+        .otherwise("es")
+    )
+    return d.select("doc_id", "lang", pred.alias("lang_pred"))
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length + punctuation-ratio + stopword-ratio blend,
+    banded into keep/review/drop (integer-derived → exact parity)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.size(F.filter(F.split("text", r"\s+"), lambda t: t != ""))
+    punct = F.regexp_count("text", F.lit(r"[.,;:!?]"))
+    stop = F.regexp_count("text", F.lit(_LEX["en"]))
+    quality = F.round(
+        F.least(toks / F.lit(100.0), F.lit(1.0)) * 0.5
+        + (1.0 - punct / F.col("n_chars")) * 0.3
+        + F.least(stop * F.lit(10.0) / toks, F.lit(1.0)) * 0.2,
+        4,
+    )
+    band = (
+        F.when(quality >= 0.7, "keep").when(quality >= 0.4, "review").otherwise("drop")
+    )
+    return d.select(
+        "doc_id",
+        toks.alias("n_tokens"),
+        quality.alias("quality"),
+        band.alias("band"),
+    )
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting per source: whitespace tokens + BPE-ish regex tokens
+    (letter runs / digit runs / single symbols)."""
+    d = table(spark, sf_dir, "documents")
+    ws = F.size(F.filter(F.split("text", r"\s+"), lambda t: t != ""))
+    bpe = F.regexp_count("text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+    return (
+        d.select("source", ws.alias("ws"), bpe.alias("bpe"))
+        .groupBy("source")
+        .agg(
+            F.sum("ws").alias("ws_tokens"),
+            F.sum("bpe").alias("bpe_tokens"),
+            F.round(F.avg("ws"), 2).alias("avg_ws"),
+        )
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: sequential polynomial rolling hash over word
+    hashes mod 2^31-1 (left fold — identical order in both engines), plus a
+    duplicate-group count over the fingerprint."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", r"\s+"), lambda t: t != "")
+    fp = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, w: (acc * 31 + hex32(w)) % F.lit(2147483647),
+    )
+    out = d.select("doc_id", fp.alias("fp"))
+    w = Window.partitionBy("fp")
+    return out.withColumn("dup_cnt", F.count("*").over(w))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 content hash → canonical = min doc_id per hash,
+    keep flag on the canonical row (hash-groupBy dedup at scale)."""
+    d = table(spark, sf_dir, "documents")
+    h = F.md5(F.encode(F.lower(F.col("text")), "UTF-8"))
+    w = Window.partitionBy("h")
+    return (
+        d.select("doc_id", h.alias("h"))
+        .withColumn("canonical", F.min("doc_id").over(w))
+        .withColumn("keep", F.col("doc_id") == F.col("canonical"))
+        .select("doc_id", "h", "canonical", "keep")
+    )
+
+
+QUERIES = {
+    "lang_id": q_lang_id,
+    "quality_score": q_quality_score,
+    "token_stats": q_token_stats,
+    "fingerprint": q_fingerprint,
+    "dedup_exact": q_dedup_exact,
+}
+
+_TOKS = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
+
+ORACLES = {
+    "lang_id": f"""
+        SELECT doc_id, lang,
+               CASE WHEN zh > 0 THEN 'zh'
+                    WHEN best = 0 THEN 'und'
+                    WHEN h_en = best THEN 'en'
+                    WHEN h_de = best THEN 'de'
+                    WHEN h_fr = best THEN 'fr'
+                    ELSE 'es' END AS lang_pred
+        FROM (
+            SELECT doc_id, lang,
+                   len(regexp_extract_all(text, '{_LEX["en"]}')) AS h_en,
+                   len(regexp_extract_all(text, '{_LEX["de"]}')) AS h_de,
+                   len(regexp_extract_all(text, '{_LEX["fr"]}')) AS h_fr,
+                   len(regexp_extract_all(text, '{_LEX["es"]}')) AS h_es,
+                   len(regexp_extract_all(text, '[\\x{{4e00}}-\\x{{9fff}}]')) AS zh,
+                   greatest(len(regexp_extract_all(text, '{_LEX["en"]}')),
+                            len(regexp_extract_all(text, '{_LEX["de"]}')),
+                            len(regexp_extract_all(text, '{_LEX["fr"]}')),
+                            len(regexp_extract_all(text, '{_LEX["es"]}'))) AS best
+            FROM documents
+        )
+    """,
+    "quality_score": f"""
+        SELECT doc_id, n_tokens, quality,
+               CASE WHEN quality >= 0.7 THEN 'keep'
+                    WHEN quality >= 0.4 THEN 'review'
+                    ELSE 'drop' END AS band
+        FROM (
+            SELECT doc_id, toks AS n_tokens,
+                   round(least(toks / 100.0, 1.0) * 0.5
+                         + (1.0 - punct / n_chars) * 0.3
+                         + least(stop * 10.0 / toks, 1.0) * 0.2, 4) AS quality
+            FROM (
+                SELECT doc_id, n_chars,
+                       len({_TOKS}) AS toks,
+                       len(regexp_extract_all(text, '[.,;:!?]')) AS punct,
+                       len(regexp_extract_all(text, '{_LEX["en"]}')) AS stop
+                FROM documents
+            )
+        )
+    """,
+    "token_stats": f"""
+        SELECT source, sum(ws)::BIGINT AS ws_tokens, sum(bpe)::BIGINT AS bpe_tokens,
+               round(avg(ws), 2) AS avg_ws
+        FROM (
+            SELECT source, len({_TOKS}) AS ws,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe
+            FROM documents
+        ) GROUP BY source
+    """,
+    "fingerprint": f"""
+        SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS dup_cnt
+        FROM (
+            SELECT doc_id,
+                   list_reduce(
+                       list_prepend(0::BIGINT,
+                           list_transform({_TOKS}, w -> {DUCK_HEX32.format(x="w")})),
+                       (acc, h) -> (acc * 31 + h) % 2147483647) AS fp
+            FROM documents
+        )
+    """,
+    "dedup_exact": """
+        SELECT doc_id, h, canonical, doc_id = canonical AS keep
+        FROM (
+            SELECT doc_id, md5(lower(text)) AS h,
+                   min(doc_id) OVER (PARTITION BY md5(lower(text))) AS canonical
+            FROM documents
+        )
+    """,
+}

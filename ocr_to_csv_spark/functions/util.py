@@ -1,0 +1,42 @@
+"""Shared helpers for the query library.
+
+Parity discipline (Spark vs DuckDB oracle):
+- hashing: md5 hex of UTF-8 bytes is identical in both engines;
+  ``hex32`` converts the first 8 hex chars to a non-negative int64 the
+  same way on both sides (Spark ``conv(substr(md5(x),1,8),16,10)`` ==
+  DuckDB ``('0x' || substr(md5(x),1,8))::BIGINT``).
+- float math: any value that feeds an ORDER BY / comparison is computed
+  as a *sequential left fold* on both sides (Spark ``F.aggregate`` over
+  an array == DuckDB ``list_reduce``) so doubles are bit-identical, then
+  rounded before output.
+- every output column is explicitly aliased identically in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def table(spark, sf_dir: str, name: str):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def hex32(col: Column) -> Column:
+    """First 32 bits of md5 as a non-negative int64 (parity with DuckDB
+    ``('0x' || substr(md5(x),1,8))::BIGINT``)."""
+    return F.conv(F.substring(F.md5(F.encode(col, "UTF-8")), 1, 8), 16, 10).cast(
+        "long"
+    )
+
+
+DUCK_HEX32 = "(('0x' || substr(md5({x}), 1, 8))::BIGINT)"
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization, empty tokens dropped (same as DuckDB
+    ``list_filter(string_split_regex(x, '\\s+'), t -> t <> '')``)."""
+    return F.filter(F.split(col, r"\s+"), lambda t: t != "")
+
+
+DUCK_TOKENS = "list_filter(string_split_regex({x}, '\\s+'), t -> t <> '')"

@@ -1,0 +1,98 @@
+"""Local emulation of the driver's correctness gate: run every
+``__spark_entry__.queries()`` entry and its ``oracle_sql()`` via DuckDB
+on the same sf dir, compare row count + column names + order-insensitive
+exact values. Usage: python tools/check_queries.py [sf_dir] [name...]"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def _norm_cell(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if hasattr(v, "item"):  # numpy scalar
+        return _norm_cell(v.item())
+    return str(v)
+
+
+def _norm(df):
+    import pandas as pd
+
+    cols = sorted(df.columns)
+    df = df[cols]
+    rows = sorted(
+        tuple(_norm_cell(v) for v in row) for row in df.itertuples(index=False)
+    )
+    return cols, rows
+
+
+def main():
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from ocr_to_csv_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark("check_queries")
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem events "
+              "documents embeddings").split():
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            got = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {e}")
+            continue
+        t_spark = time.time() - t0
+        if name not in oracles:
+            print(f"rows  {name}: {len(got)} rows (no oracle) [{t_spark:.1f}s]")
+            continue
+        t0 = time.time()
+        try:
+            exp = con.sql(oracles[name]).df()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {e}")
+            continue
+        t_duck = time.time() - t0
+        gc, gr = _norm(got)
+        ec, er = _norm(exp)
+        if gc != ec:
+            failures.append(name)
+            print(f"FAIL  {name}: columns {gc} vs {ec}")
+        elif len(gr) != len(er):
+            failures.append(name)
+            print(f"FAIL  {name}: rowcount {len(gr)} vs {len(er)}")
+        elif gr != er:
+            failures.append(name)
+            bad = [(a, b) for a, b in zip(gr, er) if a != b][:3]
+            print(f"FAIL  {name}: values differ; first diffs: {bad}")
+        else:
+            print(f"OK    {name}: {len(gr)} rows [spark {t_spark:.1f}s, duck {t_duck:.1f}s]")
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
