@@ -1,0 +1,57 @@
+"""Streaming extraction: ``readStream`` on the documents table →
+``foreachBatch`` running the SAME batch stage functions → append sinks.
+
+Every stage of the pipeline is a stateless per-document map (SURVEY.md
+§1.3), so the batch plan lifts to Structured Streaming unchanged: each
+micro-batch of documents goes through ``pipeline.extract`` and appends to
+the span/row sinks. Exactly-once lands on Spark's streaming checkpoint +
+idempotent parquet/Iceberg appends. Watermarks/session windows are not
+required (no cross-document state in the extraction path; dedup/metrics
+run as periodic batch passes over the sink tables).
+
+``trigger(availableNow=True)`` drains the backlog and stops — the test
+mode; a production run would use a processing-time trigger.
+"""
+
+from __future__ import annotations
+
+import os
+
+DOC_SCHEMA = (
+    "doc_id string, "
+    "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+)
+
+
+def stream_extract(
+    spark,
+    docs_stream_dir: str,
+    corpus_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Drain ``docs_stream_dir`` (directory of documents-parquet files)
+    through the extraction pipeline into append-mode parquet sinks."""
+    from ..extraction import pipeline
+
+    tabs = pipeline.load_corpus(spark, corpus_dir)
+    media, aliases = tabs["media"], tabs["aliases"]
+
+    reader = spark.readStream.schema(DOC_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    docs = reader.parquet(docs_stream_dir)
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        res = pipeline.extract(batch_df.sparkSession, batch_df, media, aliases)
+        res["spans"].write.mode("append").parquet(os.path.join(out_dir, "extracted"))
+        res["rows"].write.mode("append").parquet(os.path.join(out_dir, "rows"))
+
+    q = (
+        docs.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,120 @@
+"""Checkpoint/resume (north_rule lineage) and streaming-lift tests."""
+
+import os
+import shutil
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from ocr_to_csv_spark.extraction import pipeline
+from ocr_to_csv_spark.plans import checkpoint as cp
+
+
+def _spans_pdf(spark, path):
+    return (
+        spark.read.parquet(path)
+        .select("doc_id", "kind", "text", "media_ref", "order")
+        .toPandas()
+        .sort_values(["doc_id", "order"])
+        .reset_index(drop=True)
+    )
+
+
+def test_checkpoint_resume_no_recompute(spark, corpus_dir, tmp_path):
+    out = str(tmp_path / "out")
+
+    # simulated crash: only the first group of buckets completes
+    r1 = cp.run_extract_checkpointed(
+        spark, corpus_dir, out, run_id="r1", n_buckets=8, group_size=2, max_groups=1
+    )
+    assert r1["processed"] == 2 and r1["skipped"] == 0 and r1["remaining"] == 6
+    done_after_crash = cp.completed_buckets(spark, os.path.join(out, "run_state"), "r1")
+    assert len(done_after_crash) == 2
+
+    # resume: skips the completed buckets, finishes the rest
+    r2 = cp.run_extract_checkpointed(
+        spark, corpus_dir, out, run_id="r1", n_buckets=8, group_size=2
+    )
+    assert r2["skipped"] == 2 and r2["processed"] == 6
+
+    # third invocation is a no-op (everything checkpointed)
+    r3 = cp.run_extract_checkpointed(
+        spark, corpus_dir, out, run_id="r1", n_buckets=8, group_size=2
+    )
+    assert r3["skipped"] == 8 and r3["processed"] == 0
+
+    # outputs equal the golden fixtures despite the crash/resume
+    got = _spans_pdf(spark, os.path.join(out, "extracted"))
+    exp = (
+        pd.read_parquet(f"{corpus_dir}/expected_spans.parquet")
+        .sort_values(["doc_id", "order"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.fillna(""), exp.fillna(""), check_dtype=False
+    )
+
+    # lineage metrics reconcile with the output tables
+    m = cp.run_metrics(spark, os.path.join(out, "run_state"), "r1").collect()
+    assert len(m) == 1 and m[0]["status"] == "done"
+    assert m[0]["span_count"] == len(got)
+    assert m[0]["buckets"] == 8
+
+
+def test_stream_matches_batch(spark, corpus_dir, tmp_path):
+    from ocr_to_csv_spark.streaming.stream import stream_extract
+
+    # stream source: the documents parquet split into multiple files
+    stream_src = str(tmp_path / "docs_stream")
+    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet").select(
+        "doc_id",
+        F.transform(
+            "spans",
+            lambda s: F.struct(
+                s["kind"].alias("kind"),
+                s["text"].alias("text"),
+                s["media_ref"].alias("media_ref"),
+                s["offset"].cast("int").alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+    docs.repartition(3).write.parquet(stream_src)
+
+    out = str(tmp_path / "stream_out")
+    stream_extract(
+        spark,
+        stream_src,
+        corpus_dir,
+        out,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+
+    got = _spans_pdf(spark, os.path.join(out, "extracted"))
+    tabs = pipeline.load_corpus(spark, corpus_dir)
+    batch = pipeline.extract(spark, tabs["documents"], tabs["media"], tabs["aliases"])
+    exp = (
+        batch["spans"]
+        .toPandas()
+        .sort_values(["doc_id", "order"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.fillna(""), exp.fillna(""), check_dtype=False)
+
+
+def test_multimodal_metadata_and_quarantine(spark, corpus_dir):
+    from ocr_to_csv_spark.extraction import multimodal
+
+    media = spark.read.parquet(f"{corpus_dir}/media.parquet")
+    meta = multimodal.media_metadata(media).toPandas()
+    assert (meta["fmt"] == "png").all()
+    assert (meta["width"] > 0).all() and (meta["height"] > 0).all()
+    assert meta["fill_ratio"].between(0, 1).all()
+
+    # non-PNG blob → quarantined metadata row, not a crash
+    junk = spark.createDataFrame(
+        [("j1", bytearray(b"\xff\xd8junkjpeg"))], "media_ref string, content binary"
+    )
+    qmeta = multimodal.media_metadata(junk)
+    quarantined = multimodal.quarantine_undecodable(qmeta).collect()
+    assert len(quarantined) == 1 and quarantined[0]["fmt"] == "jpeg"

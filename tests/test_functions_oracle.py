@@ -1,0 +1,62 @@
+"""Spot-check the query library against its DuckDB oracles at sf0.001
+(fast subset; the full 31-query sweep runs via tools/check_queries.py and
+the driver's own gate at sf0.01)."""
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+SPOT = [
+    "pricing_summary",
+    "window_dedup",
+    "anti_join",
+    "explode_tokens",
+    "quality_score",
+    "fingerprint",
+    "minhash_sig",
+    "simhash",
+    "ngram_jaccard",
+    "cosine_topk",
+    "ivf_assign",
+]
+
+
+def _norm_cell(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else repr(v)
+    if hasattr(v, "item"):
+        return _norm_cell(v.item())
+    return str(v)
+
+
+def _norm(df):
+    cols = sorted(df.columns)
+    df = df[cols]
+    return cols, sorted(
+        tuple(_norm_cell(v) for v in row) for row in df.itertuples(index=False)
+    )
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem events "
+              "documents embeddings").split():
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con
+
+
+@pytest.mark.parametrize("name", SPOT)
+def test_query_matches_oracle(spark, duck, name):
+    got = entrymod.queries()[name](spark, SF).toPandas()
+    exp = duck.sql(entrymod.oracle_sql()[name]).df()
+    gc, gr = _norm(got)
+    ec, er = _norm(exp)
+    assert gc == ec
+    assert gr == er
