@@ -48,6 +48,17 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
+    # -- warmup (untimed): JIT/codegen compile + Python worker pool spin-up
+    # so timings below measure steady-state engine throughput, not JVM
+    # warmup of whichever query happens to run first
+    warm = _corpus(24, seed=7)
+    wt = pipeline.load_corpus(spark, warm)
+    pipeline.extract(spark, wt["documents"], wt["media"], wt["aliases"])[
+        "spans"
+    ].count()
+    relational.q_pricing_summary(spark, sf).count()
+    dedup.q_minhash_sig(spark, sf).count()
+
     # -- extraction throughput (the BASELINE.json headline metric) --------
     tabs = pipeline.load_corpus(spark, corpus)
     t0 = time.time()

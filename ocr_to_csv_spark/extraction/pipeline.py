@@ -237,9 +237,13 @@ def extract(
     spans, quarantine = quarantine_bad_kinds(explode_spans(documents))
 
     # ---- HTML / text branch ----------------------------------------------
+    # explicit repartition: a single-file scan would otherwise feed the
+    # whole HTML-parse Python stage to one task (same skew lever as the
+    # image branch below)
     ht_items = (
         spans.filter(F.col("kind").isin("html", "text"))
         .select("doc_id", "offset", "kind", "text")
+        .repartition(n_part, "doc_id", "offset")
         .mapInPandas(_parse_html_batches, schema=ITEM_SCHEMA)
     )
 
@@ -254,6 +258,13 @@ def extract(
     seg = pages.select("doc_id", "offset", "media_ref", "content").mapInPandas(
         _segment_batches, schema=SEG_SCHEMA
     )
+    # one materialized exchange directly after segmentation: the cell and
+    # date branches below both consume `seg`, and without this boundary
+    # each branch's shuffle-map stage would RE-RUN the whole segment UDF
+    # (physical planner dedups identical exchanges via ReusedExchange).
+    # The key (doc_id, offset, row) is also the cell-level salt: a single
+    # mega page fans out across tasks before the OCR-heavy stage (§4.3)
+    seg = seg.repartition(n_part, "doc_id", "offset", "row")
 
     # aliases: small dictionary dimension → driver-collected + broadcast to
     # every classify task (J1/J2 broadcast side, reference aliases.json)
@@ -263,10 +274,8 @@ def extract(
 
     # F5: drop header row / '#' column before OCR — prunes the expensive
     # stage's input exactly like the reference's loop bounds (main.py:184,194)
-    cells = (
-        seg.filter((F.col("item") == "cell") & (F.col("row") > 0) & (F.col("col") > 0))
-        # cell-level salt: a single mega page fans out across tasks
-        .repartition(n_part, "doc_id", "offset", "row")
+    cells = seg.filter(
+        (F.col("item") == "cell") & (F.col("row") > 0) & (F.col("col") > 0)
     )
     vals = cells.mapInPandas(_make_classify(names, purposes), schema=VAL_SCHEMA)
 

@@ -1,12 +1,13 @@
 """Near-duplicate detection operators for a training-data pipeline:
 MinHash + LSH banding, SimHash, n-gram Jaccard.
 
-Scale design (100 TB): everything is shingle-explode → hash → groupBy —
-pure shuffle-parallel with no driver-side state. MinHash signatures are
-md5-based (k seeded hashes, lexicographic min per seed), LSH bands hash
-signatures into buckets so candidate generation is an equi-join on
-(band, band_key) instead of an O(n²) cross join; the O(n²) Jaccard query
-exists as the small-scale oracle-checkable baseline.
+Scale design (100 TB): MinHash signatures are computed entirely MAP-SIDE
+(one md5 per shingle, then k affine permutations ``(a_i*h + b_i) mod p``
+over the per-document hash array — no seed-explode, no shuffle), so the
+only shuffles are the LSH bucket groupBys. LSH bands hash signatures into
+buckets so candidate generation is an equi-join on (band, band_key)
+instead of an O(n²) cross join; the O(n²) Jaccard query exists as the
+small-scale oracle-checkable baseline.
 
 Parity: md5 hex is identical across Spark and DuckDB; all float-free.
 """
@@ -48,27 +49,34 @@ DUCK_SHINGLES = (
 DUCK_TOKS = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
 
 
+# affine-permutation MinHash constants: minh_i = min((A[i]*h + B[i]) mod P)
+# over shingle hashes h (classic LCG multipliers; P = 2^31-1). a*h stays
+# under 2^62 because h is reduced mod P first.
+MH_P = 2147483647
+MH_A = [1664525, 22695477, 69069, 1103515245, 134775813, 214013, 16843009, 48271]
+MH_B = [(j * 2654435761) % MH_P for j in range(N_SEEDS)]
+
+
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Long-form minhash: (doc_id, seed, minh) — min over shingles of
-    md5(seed || ':' || shingle), per seed."""
-    d = table(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id", F.explode(_shingles(F.col("text"))).alias("sh")
-    )
-    seeded = sh.select(
+    """Long-form minhash: (doc_id, seed, minh) — map-side only: one md5
+    per shingle, then N_SEEDS affine permutations over the hash array."""
+    d = table(spark, sf_dir, "documents", spread=True)
+    hs = F.transform(_shingles(F.col("text")), lambda s: hex32(s) % MH_P)
+    # explode THEN aggregate: the md5 pass runs exactly once per shingle
+    # (array-side formulations let CollapseProject inline the hash array
+    # into each per-seed projection and recompute it N_SEEDS times), and
+    # the 8 mins are partial-aggregated map-side before the doc_id shuffle
+    sh_h = d.select("doc_id", F.explode(hs).alias("h"))
+    aggs = [
+        F.min((F.col("h") * MH_A[i] + MH_B[i]) % MH_P).alias(f"mh{i}")
+        for i in range(N_SEEDS)
+    ]
+    wide = sh_h.groupBy("doc_id").agg(*aggs)
+    return wide.select(
         "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(N_SEEDS - 1))).alias("seed"),
-        "sh",
-    )
-    return seeded.groupBy("doc_id", "seed").agg(
-        F.min(
-            F.md5(
-                F.encode(
-                    F.concat_ws(":", F.col("seed").cast("string"), F.col("sh")),
-                    "UTF-8",
-                )
-            )
-        ).alias("minh")
+        F.posexplode(F.array(*[F.col(f"mh{i}") for i in range(N_SEEDS)])).alias(
+            "seed", "minh"
+        ),
     )
 
 
@@ -87,7 +95,7 @@ def _lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(
                 F.transform(
                     F.array_sort(F.collect_list(F.struct("seed", "minh"))),
-                    lambda x: x["minh"],
+                    lambda x: x["minh"].cast("string"),
                 ),
                 "|",
             ).alias("band_key")
@@ -126,7 +134,7 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash over token bag: bit j of the signature is the sign of the
     sum over tokens of ±1 by bit j of the token's 32-bit hash."""
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents", spread=True)
     toks = d.select(
         "doc_id",
         F.explode(F.filter(F.split("text", r"\s+"), lambda t: t != "")).alias("w"),
@@ -157,7 +165,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 most-similar pairs by exact 3-gram Jaccard — the O(n²)
     brute-force baseline the LSH path approximates (oracle-checkable)."""
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents", spread=True)
     sh = d.select(
         "doc_id", F.explode(_shingles(F.col("text"))).alias("sh")
     ).distinct()
@@ -204,14 +212,24 @@ _SHINGLE_CTE = f"""
         )
 """
 
-_SIG_SQL = f"""{_SHINGLE_CTE}
-        , seeded AS (
-            SELECT doc_id, unnest(generate_series(0, {N_SEEDS - 1})) AS seed, sh
-            FROM sh
+_MH_A_SQL = "[" + ", ".join(str(a) for a in MH_A) + "]"
+_MH_B_SQL = "[" + ", ".join(str(b) for b in MH_B) + "]"
+
+_SIG_SQL = f"""
+        WITH hs AS (
+            SELECT doc_id,
+                   list_transform({DUCK_SHINGLES.replace("toks", "t")},
+                                  s -> {DUCK_HEX32.format(x="s")} % {MH_P}) AS hs
+            FROM (SELECT doc_id, {DUCK_TOKS} AS t FROM documents)
+        ),
+        wide AS (
+            SELECT doc_id, unnest(generate_series(0, {N_SEEDS - 1})) AS seed, hs
+            FROM hs
         )
         SELECT doc_id, seed,
-               min(md5(seed::VARCHAR || ':' || sh)) AS minh
-        FROM seeded GROUP BY doc_id, seed
+               list_min(list_transform(hs,
+                   h -> (h * ({_MH_A_SQL})[seed + 1] + ({_MH_B_SQL})[seed + 1]) % {MH_P})) AS minh
+        FROM wide
 """
 
 _BUCKET_SQL = f"""

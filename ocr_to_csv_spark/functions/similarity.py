@@ -52,7 +52,7 @@ def _fold_norm(a) -> Column:
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = table(spark, sf_dir, "embeddings")
+    e = table(spark, sf_dir, "embeddings", spread=True)
     return e.select(
         "vec_id", "label", _dvec(F.col("embedding")).alias("v")
     ).withColumn("nrm", _fold_norm(F.col("v")))

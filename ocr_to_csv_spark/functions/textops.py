@@ -85,7 +85,7 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: sequential polynomial rolling hash over word
     hashes mod 2^31-1 (left fold — identical order in both engines), plus a
     duplicate-group count over the fingerprint."""
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents", spread=True)
     toks = F.filter(F.split("text", r"\s+"), lambda t: t != "")
     fp = F.aggregate(
         toks,

@@ -18,8 +18,18 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def table(spark, sf_dir: str, name: str):
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+def table(spark, sf_dir: str, name: str, spread: bool = False):
+    """Read an sf table. ``spread=True`` is for compute-heavy map stages
+    (hashing/folds over every row): when the scan produces fewer
+    partitions than the session's parallelism (single small file → one
+    task), repartition so the expensive projection uses every core. At
+    real scale inputs have many splits and this is a no-op."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if spread:
+        target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
+    return df
 
 
 def hex32(col: Column) -> Column:

@@ -40,6 +40,20 @@ def _resize_mean(mask: np.ndarray, th: int, tw: int) -> np.ndarray:
     return samp.reshape(th, ss, tw, ss).mean(axis=(1, 3))
 
 
+# templates grouped by cropped shape: one observation resample per
+# distinct shape + one vectorized agreement over the whole stack, instead
+# of a per-template Python loop (the classify hot path — §2.10 ocr_cell)
+_SHAPE_GROUPS: dict[tuple[int, int], tuple[list[str], np.ndarray]] = {}
+for _ch, _tmpl in CROPPED.items():
+    _chars, _stack = _SHAPE_GROUPS.setdefault(_tmpl.shape, ([], []))  # type: ignore[arg-type]
+    _chars.append(_ch)
+    _stack.append(_tmpl.astype(np.float64))
+_SHAPE_GROUPS = {
+    shape: (chars, np.stack(stack))
+    for shape, (chars, stack) in _SHAPE_GROUPS.items()
+}
+
+
 def classify_glyph(mask: np.ndarray) -> dict[str, float]:
     """Score a cropped glyph mask against every font template.
 
@@ -52,13 +66,14 @@ def classify_glyph(mask: np.ndarray) -> dict[str, float]:
         return {}
     obs_ar = w / h
     scores: dict[str, float] = {}
-    for ch, tmpl in CROPPED.items():
-        th, tw = tmpl.shape
+    for (th, tw), (chars, stack) in _SHAPE_GROUPS.items():
         resized = _resize_mean(mask, th, tw)
-        agree = 1.0 - np.abs(resized - tmpl.astype(np.float64)).mean()
+        agree = 1.0 - np.abs(resized[None, :, :] - stack).mean(axis=(1, 2))
         t_ar = tw / th
         ar_penalty = min(obs_ar, t_ar) / max(obs_ar, t_ar)
-        scores[ch] = agree * (0.5 + 0.5 * ar_penalty)
+        damped = agree * (0.5 + 0.5 * ar_penalty)
+        for ch, s in zip(chars, damped):
+            scores[ch] = float(s)
     best = max(scores.values())
     out = {
         ch: max(0.01, round(min(s, 1.0), 4))
