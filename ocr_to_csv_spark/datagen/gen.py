@@ -166,10 +166,15 @@ def _expected_image_rows(ground_rows: list, dates: list[str]) -> list[list[str]]
     return out
 
 
-def gen_corpus(n_docs: int, seed: int = 42) -> dict[str, pd.DataFrame]:
+def gen_corpus(
+    n_docs: int, seed: int = 42, start: int = 0
+) -> dict[str, pd.DataFrame]:
+    """Generate documents [start, start+n_docs). Per-document seeding means
+    any chunking produces identical documents — the basis for parallel
+    generation in ``write_corpus``."""
     docs, media, exp_spans, exp_rows = [], [], [], []
 
-    for d in range(n_docs):
+    for d in range(start, start + n_docs):
         doc_id = f"doc-{d:06d}"
         rng = random.Random(f"{seed}:{d}")
         mega_html = d % 97 == 96
@@ -259,11 +264,66 @@ def gen_corpus(n_docs: int, seed: int = 42) -> dict[str, pd.DataFrame]:
     }
 
 
-def write_corpus(out_dir: str, n_docs: int, seed: int = 42) -> None:
+def _write_chunk(args: tuple) -> tuple:
+    """Worker: generate docs [start, start+count) and write one shard of
+    documents/media; return the golden tables for parent-side concat."""
+    out_dir, start, count, seed, shard_idx = args
+    t = gen_corpus(count, seed, start=start)
+    t["documents"].to_parquet(
+        os.path.join(out_dir, "documents.parquet", f"part-{shard_idx:05d}.parquet"),
+        index=False,
+    )
+    t["media"].to_parquet(
+        os.path.join(out_dir, "media.parquet", f"part-{shard_idx:05d}.parquet"),
+        index=False,
+    )
+    return t["expected_spans"], t["expected_rows"]
+
+
+def write_corpus(
+    out_dir: str,
+    n_docs: int,
+    seed: int = 42,
+    shard_rows: int = 50,
+    workers: int | None = None,
+) -> None:
+    """Write the corpus. ``documents``/``media`` are written as SHARDED
+    parquet datasets (a ``<name>.parquet/`` directory of part files) once
+    they exceed a couple of shards — mirroring real many-split inputs so
+    Spark's scan parallelizes; a single small file would feed the whole
+    first stage to one task. Golden tables stay single-file (read by
+    pandas/DuckDB oracles). Sharded generation runs in a process pool
+    (per-document seeding ⇒ identical output at any parallelism)."""
     os.makedirs(out_dir, exist_ok=True)
-    tables = gen_corpus(n_docs, seed)
-    for name, df in tables.items():
-        df.to_parquet(os.path.join(out_dir, f"{name}.parquet"), index=False)
+    if n_docs <= 2 * shard_rows:
+        tables = gen_corpus(n_docs, seed)
+        for name, df in tables.items():
+            df.to_parquet(os.path.join(out_dir, f"{name}.parquet"), index=False)
+        return
+
+    os.makedirs(os.path.join(out_dir, "documents.parquet"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "media.parquet"), exist_ok=True)
+    chunks = [
+        (out_dir, s, min(shard_rows, n_docs - s), seed, i)
+        for i, s in enumerate(range(0, n_docs, shard_rows))
+    ]
+    import concurrent.futures as cf
+
+    n_workers = workers or min(16, os.cpu_count() or 4)
+    goldens: list[tuple] = []
+    with cf.ProcessPoolExecutor(max_workers=n_workers) as pool:
+        goldens = list(pool.map(_write_chunk, chunks))
+    pd.concat([g[0] for g in goldens], ignore_index=True).to_parquet(
+        os.path.join(out_dir, "expected_spans.parquet"), index=False
+    )
+    pd.concat([g[1] for g in goldens], ignore_index=True).to_parquet(
+        os.path.join(out_dir, "expected_rows.parquet"), index=False
+    )
+    aliases = pd.DataFrame(
+        [{"col": 1, "value": v} for v in alias_names()]
+        + [{"col": 5, "value": v} for v in alias_purposes()]
+    )
+    aliases.to_parquet(os.path.join(out_dir, "aliases.parquet"), index=False)
 
 
 if __name__ == "__main__":

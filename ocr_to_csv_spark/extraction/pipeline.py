@@ -25,13 +25,22 @@ media_ref so Catalyst/AQE pick broadcast vs shuffle by size.
 from __future__ import annotations
 
 import os
+import shutil
+import tempfile
 from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+# staging registry: each extract() materializes its segmentation output to
+# a scratch parquet dir; older dirs are removed so long sessions stay
+# bounded (the immediately-previous one is kept so DataFrames returned by
+# the previous call remain readable)
+_STAGE_DIRS: list[str] = []
+
 DATE_REGEX = r"^\d{1,2}/\d{1,2}/(\d{4}|\d{2})$"
+
 
 ITEM_SCHEMA = (
     "doc_id string, offset int, seq int, out_kind string, out_text string, "
@@ -39,13 +48,12 @@ ITEM_SCHEMA = (
 )
 SEG_SCHEMA = (
     "doc_id string, offset int, media_ref string, item string, idx int, "
-    "row int, col int, png binary"
+    "row int, col int, png binary, dstr string"
 )
 VAL_SCHEMA = (
     "doc_id string, offset int, media_ref string, row int, col int, "
     "text string, prob double, accepted boolean"
 )
-DATE_TXT_SCHEMA = "doc_id string, offset int, media_ref string, idx int, dstr string"
 
 
 # --------------------------------------------------------------------------
@@ -102,7 +110,6 @@ _ITEM_DTYPES = {"offset": "int64", "seq": "int64"}
 _SEG_DTYPES = {"offset": "int64", "idx": "int64", "row": "int64", "col": "int64"}
 _VAL_DTYPES = {"offset": "int64", "row": "int64", "col": "int64",
                "prob": "float64", "accepted": "bool"}
-_DATE_DTYPES = {"offset": "int64", "idx": "int64"}
 
 
 def _parse_html_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -143,11 +150,13 @@ def _parse_html_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def _segment_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     from ..imaging import png as pngc
     from ..imaging.segment import segment_page
+    from .cells import read_date_box
 
     for pdf in it:
-        out = {k: [] for k in ("doc_id", "offset", "media_ref", "item", "idx", "row", "col", "png")}
+        out = {k: [] for k in ("doc_id", "offset", "media_ref", "item", "idx",
+                               "row", "col", "png", "dstr")}
 
-        def emit(doc_id, offset, ref, item, idx, row, col, img):
+        def emit(doc_id, offset, ref, item, idx, row, col, png, dstr):
             out["doc_id"].append(doc_id)
             out["offset"].append(offset)
             out["media_ref"].append(ref)
@@ -155,18 +164,22 @@ def _segment_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             out["idx"].append(idx)
             out["row"].append(row)
             out["col"].append(col)
-            out["png"].append(pngc.encode_gray(img))
+            out["png"].append(png)
+            out["dstr"].append(dstr)
 
         for doc_id, offset, ref, content in zip(
             pdf["doc_id"], pdf["offset"], pdf["media_ref"], pdf["content"]
         ):
             page = pngc.decode(bytes(content))
             dates, cells = segment_page(page)
+            # date boxes are OCR'd here (cheap, few per page) so the date
+            # branch needs no second Python stage downstream
             for i, d in enumerate(dates):
-                emit(doc_id, offset, ref, "date", i, -1, -1, d)
+                emit(doc_id, offset, ref, "date", i, -1, -1, None, read_date_box(d))
             for r, row_cells in enumerate(cells):
                 for c, cell in enumerate(row_cells):
-                    emit(doc_id, offset, ref, "cell", -1, r, c, cell)
+                    emit(doc_id, offset, ref, "cell", -1, r, c,
+                         pngc.encode_gray(cell), None)
         yield _typed_frame(out, _SEG_DTYPES)
 
 
@@ -177,9 +190,15 @@ def _make_classify(names: list, purposes: list):
 
         for pdf in it:
             recs = []
-            for doc_id, offset, ref, row, col, png_bytes in zip(
-                pdf["doc_id"], pdf["offset"], pdf["media_ref"], pdf["row"], pdf["col"], pdf["png"]
+            for doc_id, offset, ref, item, row, col, png_bytes in zip(
+                pdf["doc_id"], pdf["offset"], pdf["media_ref"], pdf["item"],
+                pdf["row"], pdf["col"], pdf["png"]
             ):
+                # dispatch INSIDE the UDF (F5 header/kind pruning): a
+                # plan-level filter would be pushed below the shared
+                # post-segment exchange, de-duplicating it away
+                if item != "cell" or row <= 0 or col <= 0:
+                    continue
                 img = pngc.decode(bytes(png_bytes))
                 text, prob, accepted = correct_cell(img, int(col), names, purposes)
                 recs.append((doc_id, int(offset), ref, int(row), int(col),
@@ -191,24 +210,6 @@ def _make_classify(names: list, purposes: list):
             )
 
     return _classify_batches
-
-
-def _date_text_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    from ..imaging import png as pngc
-    from .cells import read_date_box
-
-    for pdf in it:
-        recs = []
-        for doc_id, offset, ref, idx, png_bytes in zip(
-            pdf["doc_id"], pdf["offset"], pdf["media_ref"], pdf["idx"], pdf["png"]
-        ):
-            recs.append(
-                (doc_id, int(offset), ref, int(idx), read_date_box(pngc.decode(bytes(png_bytes))))
-            )
-        cols = ["doc_id", "offset", "media_ref", "idx", "dstr"]
-        yield _typed_frame(
-            {c: [r[i] for r in recs] for i, c in enumerate(cols)}, _DATE_DTYPES
-        )
 
 
 # --------------------------------------------------------------------------
@@ -258,13 +259,25 @@ def extract(
     seg = pages.select("doc_id", "offset", "media_ref", "content").mapInPandas(
         _segment_batches, schema=SEG_SCHEMA
     )
-    # one materialized exchange directly after segmentation: the cell and
-    # date branches below both consume `seg`, and without this boundary
-    # each branch's shuffle-map stage would RE-RUN the whole segment UDF
-    # (physical planner dedups identical exchanges via ReusedExchange).
-    # The key (doc_id, offset, row) is also the cell-level salt: a single
-    # mega page fans out across tasks before the OCR-heavy stage (§4.3)
+    # The segmentation output is consumed by TWO branches (classify, page-
+    # date rollup), so it must be computed exactly once. Relying on
+    # ReusedExchange proved fragile (filter pushdown / CollapseRepartition
+    # rewrite the branch subtrees until they no longer dedup → the whole
+    # segment UDF silently re-runs per branch, +87 core-sec per branch at
+    # 2560 docs), and persist() races both branches on cache population.
+    # So: MATERIALIZE the stage to scratch parquet — the local analogue of
+    # the Iceberg staging table a 10^12-doc pipeline would write here
+    # anyway (it is also the natural segment/OCR resume boundary). The
+    # (doc_id, offset, row) repartition is the cell-level salt: a single
+    # mega page fans out across tasks before the OCR-heavy stage (§4.3),
+    # and the staged files inherit that layout.
     seg = seg.repartition(n_part, "doc_id", "offset", "row")
+    stage_dir = tempfile.mkdtemp(prefix="ocr2csv_seg_stage_")
+    seg.write.mode("overwrite").parquet(stage_dir)
+    seg = spark.read.parquet(stage_dir)
+    _STAGE_DIRS.append(stage_dir)
+    while len(_STAGE_DIRS) > 2:
+        shutil.rmtree(_STAGE_DIRS.pop(0), ignore_errors=True)
 
     # aliases: small dictionary dimension → driver-collected + broadcast to
     # every classify task (J1/J2 broadcast side, reference aliases.json)
@@ -272,40 +285,45 @@ def extract(
     names = sorted(r["value"] for r in alias_rows if r["col"] == 1)
     purposes = sorted(r["value"] for r in alias_rows if r["col"] == 5)
 
-    # F5: drop header row / '#' column before OCR — prunes the expensive
-    # stage's input exactly like the reference's loop bounds (main.py:184,194)
-    cells = seg.filter(
-        (F.col("item") == "cell") & (F.col("row") > 0) & (F.col("col") > 0)
-    )
-    vals = cells.mapInPandas(_make_classify(names, purposes), schema=VAL_SCHEMA)
-
-    dates_txt = (
-        seg.filter(F.col("item") == "date")
-        .select("doc_id", "offset", "media_ref", "idx", "png")
-        .mapInPandas(_date_text_batches, schema=DATE_TXT_SCHEMA)
-    )
+    # Both consumers of `seg` (classify, page-date rollup) read the SAME
+    # exchange subtree with NO intervening filters — any branch filter
+    # would be pushed below the exchange, making the sibling subtrees
+    # canonically different and silently re-running segmentation per
+    # branch (measured: +87 core-sec per extra branch at 2560 docs).
+    # Cell dispatch happens inside the classify UDF; date dispatch happens
+    # via the null-dropping when() inside collect_list below.
+    vals = seg.mapInPandas(_make_classify(names, purposes), schema=VAL_SCHEMA)
 
     # date ordering parity (reference main.py:176-180): regex matches are
-    # insert(0)-prepended (reversing among themselves), others appended
-    page_dates = (
-        dates_txt.withColumn("is_date", F.col("dstr").rlike(DATE_REGEX))
-        .withColumn(
-            "sort_key",
-            F.struct(
-                F.when(F.col("is_date"), F.lit(0)).otherwise(F.lit(1)).alias("grp"),
-                F.when(F.col("is_date"), -F.col("idx")).otherwise(F.col("idx")).alias("pos"),
-                F.col("dstr").alias("dstr"),
-            ),
-        )
-        .groupBy("doc_id", "offset")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list("sort_key")), lambda x: x["dstr"]
-            ).alias("dates")
-        )
+    # insert(0)-prepended (reversing among themselves), others appended.
+    # One filterless rollup per page: non-date rows contribute NULL keys,
+    # which collect_list drops.
+    is_date = F.col("dstr").rlike(DATE_REGEX)
+    date_key = F.when(
+        F.col("item") == "date",
+        F.struct(
+            F.when(is_date, F.lit(0)).otherwise(F.lit(1)).alias("grp"),
+            F.when(is_date, -F.col("idx")).otherwise(F.col("idx")).alias("pos"),
+            F.col("dstr").alias("dstr"),
+            F.col("media_ref").alias("media_ref"),
+        ),
+    )
+    page_dates_full = seg.groupBy("doc_id", "offset").agg(
+        F.array_sort(F.collect_list(date_key)).alias("dkeys")
+    )
+    page_dates = page_dates_full.select(
+        "doc_id",
+        "offset",
+        F.transform(F.col("dkeys"), lambda x: x["dstr"]).alias("dates"),
     )
 
     # ---- assemble one output row per table row ---------------------------
+    # ONE repartition on (doc_id, offset) for the whole assembly tail: the
+    # groupBy below clusters on a superset of these keys and every window
+    # partitions on exactly these keys, so Catalyst inserts no further
+    # exchanges until the final document-level span ordering
+    vals = vals.repartition(n_part, "doc_id", "offset")
+
     def val_of(c: int, field: str):
         return F.max(F.when(F.col("col") == c, F.col(field)))
 
@@ -325,14 +343,25 @@ def extract(
 
     # W1 sanity dedup: among accepted duplicates of a name on one page keep
     # the highest probability, first occurrence on ties (strict '>' in
-    # reference modules/sanity.py:25) — order (prob desc, row asc)
-    w = Window.partitionBy("doc_id", "offset", "name", "name_acc").orderBy(
-        F.desc("name_prob"), F.asc("row")
+    # reference modules/sanity.py:25) — order (prob desc, row asc).
+    # Expressed as run-detection over a PAGE-partitioned window (ordered so
+    # equal (name, name_acc) rows are contiguous, best first): a row is a
+    # demotable duplicate iff its predecessor has the same (name, name_acc).
+    # Same result as a per-name window, but partitions on (doc_id, offset)
+    # — the assembly-wide distribution — so no extra exchange
+    w = Window.partitionBy("doc_id", "offset").orderBy(
+        F.asc("name"), F.asc("name_acc"), F.desc("name_prob"), F.asc("row")
     )
-    deduped = row_vals.withColumn("dup_rank", F.row_number().over(w)).withColumn(
+    prev = F.lag(F.struct("name", "name_acc")).over(w)
+    is_dup = (
+        prev.isNotNull()
+        & (prev["name"] == F.col("name"))
+        & (prev["name_acc"] == F.col("name_acc"))
+    )
+    deduped = row_vals.withColumn(
         "name_acc",
         F.when(
-            F.col("name_acc") & (F.col("name") != "") & (F.col("dup_rank") > 1),
+            F.col("name_acc") & (F.col("name") != "") & is_dup,
             F.lit(False),
         ).otherwise(F.col("name_acc")),
     )
@@ -348,9 +377,10 @@ def extract(
         )
     )
 
-    # J3: page dates replicated onto every row of the page
+    # J3: page dates replicated onto every row of the page — broadcast the
+    # tiny per-page date side so `kept` keeps its (doc_id, offset) layout
     image_rows = (
-        kept.join(page_dates, ["doc_id", "offset"], "left")
+        kept.join(F.broadcast(page_dates), ["doc_id", "offset"], "left")
         .withColumn("date", F.get("dates", F.lit(0)))
         .withColumn("day", F.get("dates", F.lit(1)))
     )
@@ -398,16 +428,18 @@ def extract(
         (F.lit(1000000) + F.col("out_row")).alias("seq"),
     )
     date_spans = (
-        dates_txt.withColumn("is_date", F.col("dstr").rlike(DATE_REGEX))
-        .withColumn(
-            "seq",
-            F.when(F.col("is_date"), -F.col("idx")).otherwise(
-                F.lit(500000) + F.col("idx")
-            ),
+        page_dates_full.select(
+            "doc_id", "offset", F.explode("dkeys").alias("dk")
         )
         .select(
-            "doc_id", "offset", F.lit("date").alias("kind"),
-            F.col("dstr").alias("text"), "media_ref", "seq",
+            "doc_id",
+            "offset",
+            F.lit("date").alias("kind"),
+            F.col("dk.dstr").alias("text"),
+            F.col("dk.media_ref").alias("media_ref"),
+            F.when(F.col("dk.grp") == 0, F.col("dk.pos"))
+            .otherwise(F.lit(500000) + F.col("dk.pos"))
+            .alias("seq"),
         )
     )
     html_spans = ht_items.select(

