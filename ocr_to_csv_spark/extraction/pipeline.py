@@ -459,7 +459,18 @@ def extract(
         "order", F.row_number().over(w_order) - 1
     ).select("doc_id", "kind", "text", "media_ref", "order")
 
-    return {"spans": spans_out, "rows": rows, "quarantine": quarantine}
+    # review sink: cells the reference would have asked a human about
+    # (SURVEY.md §2.11) — lazily derived from the classify output
+    from .aliases import review_queue
+
+    review = review_queue(vals)
+
+    return {
+        "spans": spans_out,
+        "rows": rows,
+        "quarantine": quarantine,
+        "review": review,
+    }
 
 
 # --------------------------------------------------------------------------

@@ -25,19 +25,30 @@ _CAND_BAND = 0.22
 _MAX_CANDIDATES = 4
 
 
+_IDX_CACHE: dict[tuple[int, int, int, int], tuple[np.ndarray, np.ndarray]] = {}
+
+
 def _resize_mean(mask: np.ndarray, th: int, tw: int) -> np.ndarray:
     """Area-style resample of a boolean mask to (th, tw) floats in [0,1]
     via 4× supersampled nearest-neighbor then block mean — deterministic
-    and ratio-agnostic."""
+    and ratio-agnostic. Gather indices are cached per (input, target)
+    shape pair (glyph sizes repeat heavily)."""
     h, w = mask.shape
     ss = 4
-    ys = (np.arange(th * ss) + 0.5) * h / (th * ss)
-    xs = (np.arange(tw * ss) + 0.5) * w / (tw * ss)
-    samp = mask[
-        np.minimum(ys.astype(np.int64), h - 1)[:, None],
-        np.minimum(xs.astype(np.int64), w - 1)[None, :],
-    ].astype(np.float64)
-    return samp.reshape(th, ss, tw, ss).mean(axis=(1, 3))
+    key = (h, w, th, tw)
+    idx = _IDX_CACHE.get(key)
+    if idx is None:
+        ys = (np.arange(th * ss) + 0.5) * h / (th * ss)
+        xs = (np.arange(tw * ss) + 0.5) * w / (tw * ss)
+        idx = (
+            np.minimum(ys.astype(np.int64), h - 1)[:, None],
+            np.minimum(xs.astype(np.int64), w - 1)[None, :],
+        )
+        if len(_IDX_CACHE) < 65536:
+            _IDX_CACHE[key] = idx
+    samp = mask[idx[0], idx[1]].astype(np.float64)
+    # sum * (1/ss²) == block mean exactly (ss² is a power of two)
+    return samp.reshape(th, ss, tw, ss).sum(axis=(1, 3)) * (1.0 / (ss * ss))
 
 
 # templates grouped by cropped shape: one observation resample per
@@ -54,6 +65,14 @@ _SHAPE_GROUPS = {
 }
 
 
+# memoization of glyph classification keyed on the exact pixel pattern:
+# machine-rendered corpora repeat a tiny set of distinct glyph bitmaps, so
+# hit rates are ~99%; scanned inputs just see a bounded cache (exactness
+# unaffected — same pixels in, same candidates out)
+_GLYPH_CACHE: dict[bytes, dict[str, float]] = {}
+_GLYPH_CACHE_MAX = 16384
+
+
 def classify_glyph(mask: np.ndarray) -> dict[str, float]:
     """Score a cropped glyph mask against every font template.
 
@@ -64,6 +83,10 @@ def classify_glyph(mask: np.ndarray) -> dict[str, float]:
     h, w = mask.shape
     if h == 0 or w == 0:
         return {}
+    key = np.array([h, w], dtype=np.int32).tobytes() + np.packbits(mask).tobytes()
+    hit = _GLYPH_CACHE.get(key)
+    if hit is not None:
+        return dict(hit)
     obs_ar = w / h
     scores: dict[str, float] = {}
     for (th, tw), (chars, stack) in _SHAPE_GROUPS.items():
@@ -80,6 +103,8 @@ def classify_glyph(mask: np.ndarray) -> dict[str, float]:
         for ch, s in sorted(scores.items(), key=lambda kv: -kv[1])[:_MAX_CANDIDATES]
         if s >= best - _CAND_BAND
     }
+    if len(_GLYPH_CACHE) < _GLYPH_CACHE_MAX:
+        _GLYPH_CACHE[key] = dict(out)
     return out
 
 
