@@ -267,6 +267,50 @@ def q_date_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup/grouping-sets: per (source, lang) with subtotals — group
+    keys coalesced to 'ALL' so null-vs-subtotal is unambiguous."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.rollup("source", "lang")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("chars"))
+        .select(
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            "n",
+            "chars",
+        )
+    )
+
+
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (expand + two-phase hash agg)."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric stats rollup: min/max/avg (sample stddev left out of the
+    oracle check surface — engines agree but summation order would force
+    coarse rounding; min/max are exact, avg rounded)."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.min("value"), 4).alias("vmin"),
+            F.round(F.max("value"), 4).alias("vmax"),
+            F.round(F.avg("value"), 3).alias("vavg"),
+        )
+    )
+
 QUERIES = {
     "f1_kind_filter": q_f1_kind_filter,
     "f8_regex_filter": q_f8_regex_filter,
@@ -286,6 +330,9 @@ QUERIES = {
     "json_extract": q_json_extract,
     "metrics_rollup": q_metrics_rollup,
     "date_bucket": q_date_bucket,
+    "rollup_hierarchy": q_rollup_hierarchy,
+    "count_distinct": q_count_distinct,
+    "stats_agg": q_stats_agg,
 }
 
 ORACLES = {
@@ -397,5 +444,19 @@ ORACLES = {
     "date_bucket": """
         SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n
         FROM events GROUP BY day
+    """,
+    "rollup_hierarchy": """
+        SELECT coalesce(source, 'ALL') AS source, coalesce(lang, 'ALL') AS lang,
+               count(*) AS n, sum(n_chars)::BIGINT AS chars
+        FROM documents GROUP BY ROLLUP (source, lang)
+    """,
+    "count_distinct": """
+        SELECT event_type, count(DISTINCT user_id) AS users, count(*) AS n
+        FROM events GROUP BY event_type
+    """,
+    "stats_agg": """
+        SELECT event_type, round(min(value), 4) AS vmin,
+               round(max(value), 4) AS vmax, round(avg(value), 3) AS vavg
+        FROM events GROUP BY event_type
     """,
 }
