@@ -17,7 +17,7 @@ by the earlier 'G' rule — order-sensitive by design):
 
 from __future__ import annotations
 
-from itertools import product
+from itertools import islice, product
 
 Charslot = dict  # dict[str | None, float]
 Lattice = list   # list[list[Charslot]]
@@ -137,7 +137,9 @@ def enumerate_candidates(word: list, beam: int = 4096):
         ]
         for slot in word
     ]
-    yield from product(*pruned)
+    # hard bound: per-slot pruning alone still explodes on very wide words
+    # (2 candidates × 20 slots → 2^20); islice makes `beam` a true cap
+    yield from islice(product(*pruned), beam)
 
 
 def deep_copy(lattice: Lattice) -> Lattice:
