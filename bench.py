@@ -38,7 +38,7 @@ def main() -> None:
 
     sf = sf_dir()
     sf_label = sf.rstrip("/").rsplit("sf", 1)[-1]
-    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "160"))
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "640"))
     corpus = _corpus(n_docs)  # generated before timing starts
 
     spark = get_spark(
