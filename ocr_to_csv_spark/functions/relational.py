@@ -311,6 +311,54 @@ def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: per user, a new session starts after a
+    >30-minute silence; output per-session event counts. Lag + running
+    conditional sum — the batch formulation of streaming session windows."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    secs = F.unix_timestamp("ts")  # whole seconds (== DuckDB epoch())
+    gap = secs - F.lag(secs).over(w)
+    starts = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = e.withColumn("new_sess", starts).withColumn(
+        "session_id", F.sum("new_sess").over(w)
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("sess_start"),
+        )
+    )
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent signup
+    at-or-before it — expressed as a running max over the merged event
+    stream (no range-join explosion; one window pass, same plan shape at
+    any scale)."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_signup = F.max(
+        F.when(F.col("event_type") == "signup", F.col("ts"))
+    ).over(w)
+    return (
+        e.withColumn("asof_signup", last_signup)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            F.date_format("asof_signup", "yyyy-MM-dd HH:mm:ss").alias("signup_ts"),
+        )
+    )
+
 QUERIES = {
     "f1_kind_filter": q_f1_kind_filter,
     "f8_regex_filter": q_f8_regex_filter,
@@ -333,6 +381,8 @@ QUERIES = {
     "rollup_hierarchy": q_rollup_hierarchy,
     "count_distinct": q_count_distinct,
     "stats_agg": q_stats_agg,
+    "sessionize": q_sessionize,
+    "asof_join": q_asof_join,
 }
 
 ORACLES = {
@@ -458,5 +508,36 @@ ORACLES = {
         SELECT event_type, round(min(value), 4) AS vmin,
                round(max(value), 4) AS vmax, round(avg(value), 3) AS vavg
         FROM events GROUP BY event_type
+    """,
+    "sessionize": """
+        WITH g AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN lag(epoch(ts)) OVER w IS NULL
+                             OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        ),
+        s AS (
+            SELECT user_id, event_id, ts,
+                   sum(new_sess) OVER (PARTITION BY user_id
+                                       ORDER BY ts ASC, event_id ASC)::BIGINT AS session_id
+            FROM g
+        )
+        SELECT user_id, session_id, count(*) AS n_events,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start
+        FROM s GROUP BY user_id, session_id
+    """,
+    "asof_join": """
+        SELECT event_id, user_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+               strftime(asof_signup, '%Y-%m-%d %H:%M:%S') AS signup_ts
+        FROM (
+            SELECT event_id, user_id, ts, event_type,
+                   max(CASE WHEN event_type = 'signup' THEN ts END)
+                       OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_signup
+            FROM events
+        ) WHERE event_type = 'purchase'
     """,
 }
