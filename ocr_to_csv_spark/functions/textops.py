@@ -111,12 +111,29 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_salted_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe word count: two-phase salted aggregation (§4.3a) over the
+    exploded token stream — hot tokens ('the', 'a') spread across salts in
+    the partial phase. Result provably equals the plain GROUP BY (the
+    DuckDB oracle)."""
+    from ..plans.skew import salted_count_sum
+
+    d = table(spark, sf_dir, "documents", spread=True)
+    words = d.select(
+        F.explode(F.filter(F.split("text", r"\s+"), lambda t: t != "")).alias("word")
+    )
+    return salted_count_sum(words, ["word"], n_salts=16)
+
+
 QUERIES = {
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "token_stats": q_token_stats,
     "fingerprint": q_fingerprint,
     "dedup_exact": q_dedup_exact,
+    "salted_wordcount": q_salted_wordcount,
 }
 
 _TOKS = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
@@ -190,5 +207,10 @@ ORACLES = {
                    min(doc_id) OVER (PARTITION BY md5(lower(text))) AS canonical
             FROM documents
         )
+    """,
+    "salted_wordcount": f"""
+        SELECT word, count(*) AS n FROM (
+            SELECT unnest({_TOKS}) AS word FROM documents
+        ) GROUP BY word
     """,
 }
