@@ -170,8 +170,14 @@ def _segment_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for doc_id, offset, ref, content in zip(
             pdf["doc_id"], pdf["offset"], pdf["media_ref"], pdf["content"]
         ):
-            page = pngc.decode(bytes(content))
-            dates, cells = segment_page(page)
+            try:
+                page = pngc.decode(bytes(content))
+                dates, cells = segment_page(page)
+            except Exception as e:  # corrupt/truncated media: quarantine,
+                # never fail the task (a 10^12-doc corpus WILL contain junk)
+                emit(doc_id, offset, ref, "error", -1, -1, -1, None,
+                     f"{type(e).__name__}: {e}"[:200])
+                continue
             # date boxes are OCR'd here (cheap, few per page) so the date
             # branch needs no second Python stage downstream
             for i, d in enumerate(dates):
@@ -464,6 +470,16 @@ def extract(
     from .aliases import review_queue
 
     review = review_queue(vals)
+
+    # media that failed to decode/segment joins the bad-kind quarantine
+    media_errors = seg.filter(F.col("item") == "error").select(
+        "doc_id",
+        F.lit("media_error").alias("kind"),
+        F.col("dstr").alias("text"),
+        "media_ref",
+        "offset",
+    )
+    quarantine = quarantine.unionByName(media_errors)
 
     return {
         "spans": spans_out,

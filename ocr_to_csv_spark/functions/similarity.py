@@ -173,11 +173,53 @@ def q_embed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage IVF ANN search: each query probes its nearest centroid,
+    then ranks only that centroid's members — the search cost drops from
+    O(N) to O(N / n_centroids) per query, the IVF scale path. Candidate
+    lists come from q_ivf_assign; queries are vectors 5..14."""
+    e = _emb(spark, sf_dir)
+    assign = q_ivf_assign(spark, sf_dir).select("vec_id", "centroid")
+
+    queries = (
+        e.filter((F.col("vec_id") >= N_CENTROIDS) & (F.col("vec_id") < 15))
+        .join(assign, "vec_id")
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"), F.col("centroid").alias("qc"),
+        )
+    )
+    cands = (
+        e.filter(F.col("vec_id") >= 15)
+        .join(assign, "vec_id")
+        .select(
+            F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"),
+            F.col("nrm").alias("cn"), F.col("centroid").alias("cc"),
+        )
+    )
+    sims = queries.join(cands, queries.qc == cands.cc).select(
+        "query_id",
+        "cand_id",
+        F.round(
+            _fold_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("query_id", "cand_id", "rk", "sim")
+    )
+
+
 QUERIES = {
     "cosine_topk": q_cosine_topk,
     "embed_near_pairs": q_embed_near_pairs,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ivf_assign": q_ivf_assign,
+    "ivf_search": q_ivf_search,
     "embed_stats": q_embed_stats,
 }
 
@@ -252,5 +294,42 @@ ORACLES = {
     "embed_stats": f"""{_E_CTE}
         SELECT label, count(*) AS n, round(avg(round(nrm, 6)), 3) AS avg_norm
         FROM e GROUP BY label
+    """,
+    "ivf_search": f"""{_E_CTE}
+        , csims AS (
+            SELECT r.vec_id AS vec_id, c.vec_id AS centroid,
+                   round({_DOT.format(a="r.v", b="c.v")} / (r.nrm * c.nrm), 4) AS sim
+            FROM e r, e c
+            WHERE r.vec_id >= {N_CENTROIDS} AND c.vec_id < {N_CENTROIDS}
+        ),
+        assign AS (
+            SELECT vec_id, centroid FROM (
+                SELECT vec_id, centroid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY sim DESC, centroid ASC) AS rn_
+                FROM csims
+            ) WHERE rn_ = 1
+        ),
+        q AS (
+            SELECT e.vec_id AS query_id, e.v AS qv, e.nrm AS qn, a.centroid AS qc
+            FROM e JOIN assign a ON a.vec_id = e.vec_id
+            WHERE e.vec_id >= {N_CENTROIDS} AND e.vec_id < 15
+        ),
+        cand AS (
+            SELECT e.vec_id AS cand_id, e.v AS cv, e.nrm AS cn, a.centroid AS cc
+            FROM e JOIN assign a ON a.vec_id = e.vec_id
+            WHERE e.vec_id >= 15
+        ),
+        sims AS (
+            SELECT query_id, cand_id,
+                   round({_DOT.format(a="qv", b="cv")} / (qn * cn), 4) AS sim
+            FROM q JOIN cand ON qc = cc
+        )
+        SELECT query_id, cand_id, rk, sim FROM (
+            SELECT query_id, cand_id, sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, cand_id ASC) AS rk
+            FROM sims
+        ) WHERE rk <= 3
     """,
 }

@@ -118,3 +118,23 @@ def test_multimodal_metadata_and_quarantine(spark, corpus_dir):
     qmeta = multimodal.media_metadata(junk)
     quarantined = multimodal.quarantine_undecodable(qmeta).collect()
     assert len(quarantined) == 1 and quarantined[0]["fmt"] == "jpeg"
+
+
+def test_corrupt_media_quarantined_not_fatal(spark, corpus_dir):
+    docs = spark.createDataFrame(
+        [("d1", [{"kind": "image", "text": None, "media_ref": "bad", "offset": 0}]),
+         ("d2", [{"kind": "image", "text": None, "media_ref": "trunc", "offset": 0}])],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    good = spark.read.parquet(f"{corpus_dir}/media.parquet")
+    png_prefix = bytes(good.first()["content"])[:40]  # truncated PNG
+    media = spark.createDataFrame(
+        [("bad", bytearray(b"not a png at all")), ("trunc", bytearray(png_prefix))],
+        "media_ref string, content binary",
+    )
+    aliases = spark.read.parquet(f"{corpus_dir}/aliases.parquet")
+    res = pipeline.extract(spark, docs, media, aliases)
+    assert res["spans"].count() == 0  # nothing extractable
+    q = res["quarantine"].collect()
+    assert {r["kind"] for r in q} == {"media_error"}
+    assert {r["doc_id"] for r in q} == {"d1", "d2"}
