@@ -194,12 +194,39 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.orderBy(F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b")).limit(20)
 
 
+
+
+def q_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash accuracy audit: for the 20 most-similar exact pairs, the
+    estimated Jaccard (fraction of agreeing minhash seeds) next to the
+    exact value — the quality check a production dedup pipeline ships
+    with its sketch parameters."""
+    exact = q_ngram_jaccard(spark, sf_dir)
+    sig = minhash_signatures(spark, sf_dir)
+    a = sig.select(F.col("doc_id").alias("doc_a"), "seed", F.col("minh").alias("ha"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), "seed", F.col("minh").alias("hb"))
+    est = (
+        exact.join(a, "doc_a")
+        .join(b, ["doc_b", "seed"])
+        .groupBy("doc_a", "doc_b", "jaccard")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("ha") == F.col("hb"), 1).otherwise(0))
+                / F.lit(float(N_SEEDS)),
+                4,
+            ).alias("est_jaccard")
+        )
+    )
+    return est.select("doc_a", "doc_b", "jaccard", "est_jaccard")
+
+
 QUERIES = {
     "minhash_sig": q_minhash_sig,
     "lsh_bucket_stats": q_lsh_bucket_stats,
     "lsh_pairs": q_lsh_pairs,
     "simhash": q_simhash,
     "ngram_jaccard": q_ngram_jaccard,
+    "minhash_jaccard_est": q_minhash_jaccard_est,
 }
 
 _SHINGLE_CTE = f"""
@@ -274,6 +301,37 @@ ORACLES = {
         SELECT doc_id,
                sum(CASE WHEN s > 0 THEN CAST(pow(2.0, j) AS BIGINT) ELSE 0 END)::BIGINT AS simhash
         FROM bits GROUP BY doc_id
+    """,
+    "minhash_jaccard_est": f"""
+        WITH sig AS ({_SIG_SQL}),
+        sh0 AS (
+            SELECT doc_id, unnest(shingles) AS sh FROM (
+                SELECT doc_id, {DUCK_SHINGLES} AS shingles FROM (
+                    SELECT doc_id, {DUCK_TOKS} AS toks FROM documents
+                )
+            )
+        ),
+        dsh AS (SELECT DISTINCT doc_id, sh FROM sh0),
+        sizes AS (SELECT doc_id, count(*) AS nsh FROM dsh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+            FROM dsh a JOIN dsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY doc_a, doc_b
+        ),
+        exact AS (
+            SELECT doc_a, doc_b,
+                   round(inter / (na.nsh + nb.nsh - inter), 4) AS jaccard
+            FROM inter
+            JOIN sizes na ON na.doc_id = doc_a
+            JOIN sizes nb ON nb.doc_id = doc_b
+            ORDER BY jaccard DESC, doc_a ASC, doc_b ASC LIMIT 20
+        )
+        SELECT e.doc_a, e.doc_b, e.jaccard,
+               round(sum(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END) / {N_SEEDS}.0, 4) AS est_jaccard
+        FROM exact e
+        JOIN sig sa ON sa.doc_id = e.doc_a
+        JOIN sig sb ON sb.doc_id = e.doc_b AND sb.seed = sa.seed
+        GROUP BY e.doc_a, e.doc_b, e.jaccard
     """,
     "ngram_jaccard": f"""{_SHINGLE_CTE}
         , dsh AS (SELECT DISTINCT doc_id, sh FROM sh),

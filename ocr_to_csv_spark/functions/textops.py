@@ -127,6 +127,34 @@ def q_salted_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_count_sum(words, ["word"], n_salts=16)
 
 
+
+
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus-curation funnel: documents surviving each filter
+    stage (language → quality band → exact-dedup canonical) — the summary
+    table a training-data pipeline publishes per ingest batch."""
+    lang = q_lang_id(spark, sf_dir).select("doc_id", "lang_pred")
+    qual = q_quality_score(spark, sf_dir).select("doc_id", "band")
+    ded = q_dedup_exact(spark, sf_dir).select("doc_id", "keep")
+    j = lang.join(qual, "doc_id").join(ded, "doc_id")
+    return j.agg(
+        F.count("*").alias("total"),
+        F.sum(F.when(F.col("lang_pred") != "und", 1).otherwise(0)).alias("lang_ok"),
+        F.sum(
+            F.when((F.col("lang_pred") != "und") & (F.col("band") != "drop"), 1)
+            .otherwise(0)
+        ).alias("quality_ok"),
+        F.sum(
+            F.when(
+                (F.col("lang_pred") != "und")
+                & (F.col("band") != "drop")
+                & F.col("keep"),
+                1,
+            ).otherwise(0)
+        ).alias("kept"),
+    )
+
+
 QUERIES = {
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
@@ -134,6 +162,7 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "dedup_exact": q_dedup_exact,
     "salted_wordcount": q_salted_wordcount,
+    "curation_funnel": q_curation_funnel,
 }
 
 _TOKS = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
@@ -208,9 +237,26 @@ ORACLES = {
             FROM documents
         )
     """,
+    "curation_funnel": f"""
+        WITH lang AS ({{LANG_SQL}}),
+        qual AS ({{QUAL_SQL}}),
+        ded AS ({{DED_SQL}})
+        SELECT count(*)::BIGINT AS total,
+               sum(CASE WHEN l.lang_pred <> 'und' THEN 1 ELSE 0 END)::BIGINT AS lang_ok,
+               sum(CASE WHEN l.lang_pred <> 'und' AND q.band <> 'drop' THEN 1 ELSE 0 END)::BIGINT AS quality_ok,
+               sum(CASE WHEN l.lang_pred <> 'und' AND q.band <> 'drop' AND d.keep THEN 1 ELSE 0 END)::BIGINT AS kept
+        FROM lang l JOIN qual q ON l.doc_id = q.doc_id
+        JOIN ded d ON d.doc_id = l.doc_id
+    """,
     "salted_wordcount": f"""
         SELECT word, count(*) AS n FROM (
             SELECT unnest({_TOKS}) AS word FROM documents
         ) GROUP BY word
     """,
 }
+
+ORACLES["curation_funnel"] = ORACLES["curation_funnel"].format(
+    LANG_SQL=ORACLES["lang_id"],
+    QUAL_SQL=ORACLES["quality_score"],
+    DED_SQL=ORACLES["dedup_exact"],
+)
