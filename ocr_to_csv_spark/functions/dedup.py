@@ -220,11 +220,31 @@ def q_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.select("doc_a", "doc_b", "jaccard", "est_jaccard")
 
 
+
+
+def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash matching: pairs within Hamming distance ≤ 1 of each other's
+    signatures — the lookup side of the SimHash dedup path (at scale the
+    join is blocked on signature bands; the sandbox corpus is small enough
+    to verify the exact pair set)."""
+    sig = q_simhash(spark, sf_dir)
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+        .filter(F.col("hamming") <= 1)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 QUERIES = {
     "minhash_sig": q_minhash_sig,
     "lsh_bucket_stats": q_lsh_bucket_stats,
     "lsh_pairs": q_lsh_pairs,
     "simhash": q_simhash,
+    "simhash_near_pairs": q_simhash_near_pairs,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_jaccard_est": q_minhash_jaccard_est,
 }
@@ -332,6 +352,30 @@ ORACLES = {
         JOIN sig sa ON sa.doc_id = e.doc_a
         JOIN sig sb ON sb.doc_id = e.doc_b AND sb.seed = sa.seed
         GROUP BY e.doc_a, e.doc_b, e.jaccard
+    """,
+    "simhash_near_pairs": f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({DUCK_TOKS}) AS w FROM documents
+        ),
+        bits AS (
+            SELECT doc_id, j,
+                   sum(((CAST(floor(h / pow(2.0, j)) AS BIGINT) % 2) * 2 - 1)) AS s
+            FROM (
+                SELECT doc_id, {DUCK_HEX32.format(x="w")} AS h,
+                       unnest(generate_series(0, {SIM_BITS - 1})) AS j
+                FROM tok
+            ) GROUP BY doc_id, j
+        ),
+        sig AS (
+            SELECT doc_id,
+                   sum(CASE WHEN s > 0 THEN CAST(pow(2.0, j) AS BIGINT) ELSE 0 END)::BIGINT AS simhash
+            FROM bits GROUP BY doc_id
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM sig a, sig b
+        WHERE a.doc_id < b.doc_id
+          AND bit_count(xor(a.simhash, b.simhash)) <= 1
     """,
     "ngram_jaccard": f"""{_SHINGLE_CTE}
         , dsh AS (SELECT DISTINCT doc_id, sh FROM sh),
