@@ -1,0 +1,79 @@
+"""Format-abstracted table catalog.
+
+The north_rule targets Iceberg tables; this sandbox has no Iceberg
+runtime, so the catalog speaks parquet with the SAME call shapes the
+Iceberg implementation uses — swapping the format is a ctor argument,
+not a code change:
+
+| Catalog op | parquet (sandbox) | Iceberg (production) |
+|---|---|---|
+| read        | `spark.read.parquet(dir)`            | `spark.read.table(name)` |
+| overwrite   | `df.write.mode('overwrite').parquet` | `df.writeTo(name).createOrReplace()` |
+| append      | `df.write.mode('append').parquet`    | `df.writeTo(name).append()` |
+| dyn. partition overwrite | `partitionOverwriteMode=dynamic` | `df.writeTo(name).overwritePartitions()` |
+| merge       | read + unionByName + distinct + overwrite | `MERGE INTO` SQL |
+
+Partition columns map to Iceberg partition transforms (identity here;
+`bucket(N, doc_id)` in production for the lineage buckets).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class Catalog:
+    def __init__(self, spark: SparkSession, base_dir: str, fmt: str = "parquet"):
+        if fmt != "parquet":
+            raise NotImplementedError(
+                "only parquet is available in this environment; the Iceberg "
+                "mapping is documented in the module docstring"
+            )
+        self.spark = spark
+        self.base_dir = base_dir
+        os.makedirs(base_dir, exist_ok=True)
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.base_dir, name)
+
+    def exists(self, name: str) -> bool:
+        p = self.path(name)
+        return os.path.exists(p) and any(
+            f.endswith(".parquet") for _, _, fs in os.walk(p) for f in fs
+        )
+
+    def read(self, name: str, schema: str | None = None) -> DataFrame:
+        r = self.spark.read
+        if schema:
+            r = r.schema(schema)
+        return r.parquet(self.path(name))
+
+    def overwrite(self, df: DataFrame, name: str, partition_by: list[str] | None = None) -> None:
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self.path(name))
+
+    def overwrite_partitions(self, df: DataFrame, name: str, partition_by: list[str]) -> None:
+        """Replace only the partitions present in df (idempotent per-bucket
+        commit — Iceberg ``overwritePartitions``)."""
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(self.path(name))
+
+    def append(self, df: DataFrame, name: str) -> None:
+        df.write.mode("append").parquet(self.path(name))
+
+    def merge_distinct(self, df: DataFrame, name: str, order_by: list[str] | None = None) -> None:
+        """MERGE-style upsert by full-row distinct (alias-dictionary shape);
+        Iceberg: ``MERGE INTO``."""
+        merged = (
+            self.read(name).unionByName(df).distinct() if self.exists(name) else df.distinct()
+        )
+        if order_by:
+            merged = merged.orderBy(*order_by)
+        # materialize before overwriting the table being read
+        rows = merged.collect()
+        out = self.spark.createDataFrame(rows, merged.schema)
+        self.overwrite(out.coalesce(1), name)

@@ -1,0 +1,36 @@
+"""Catalog (sources/) semantics: overwrite / append / dynamic partition
+overwrite / merge-distinct — the parquet stand-ins for the Iceberg ops."""
+
+from ocr_to_csv_spark.sources import Catalog
+
+
+def test_catalog_roundtrip_and_append(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path))
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    cat.overwrite(df, "t")
+    assert cat.exists("t") and cat.read("t").count() == 2
+    cat.append(df, "t")
+    assert cat.read("t").count() == 4
+
+
+def test_dynamic_partition_overwrite_keeps_other_partitions(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path))
+    df = spark.createDataFrame(
+        [(0, "x0"), (1, "x1")], "bucket int, v string"
+    )
+    cat.overwrite(df, "t", partition_by=["bucket"])
+    # overwrite ONLY bucket 1 with new data; bucket 0 must survive
+    df1 = spark.createDataFrame([(1, "NEW")], "bucket int, v string")
+    cat.overwrite_partitions(df1, "t", ["bucket"])
+    got = {(r["bucket"], r["v"]) for r in cat.read("t").collect()}
+    assert got == {(0, "x0"), (1, "NEW")}
+
+
+def test_merge_distinct_upserts(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path))
+    base = spark.createDataFrame([(1, "a")], "col int, value string")
+    cat.merge_distinct(base, "aliases", order_by=["col", "value"])
+    new = spark.createDataFrame([(1, "a"), (5, "b")], "col int, value string")
+    cat.merge_distinct(new, "aliases", order_by=["col", "value"])
+    got = [(r["col"], r["value"]) for r in cat.read("aliases").collect()]
+    assert got == [(1, "a"), (5, "b")]
