@@ -30,6 +30,8 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sources import Catalog
+
 STATE_SCHEMA = (
     "run_id string, bucket int, docs_done long, span_count long, "
     "row_count long, status string, updated_at double"
@@ -42,10 +44,10 @@ def bucket_of(doc_id_col, n_buckets: int):
 
 
 def read_state(spark: SparkSession, state_dir: str) -> DataFrame:
-    if os.path.exists(state_dir) and any(
-        f.endswith(".parquet") for _, _, fs in os.walk(state_dir) for f in fs
-    ):
-        return spark.read.schema(STATE_SCHEMA).parquet(state_dir)
+    cat = Catalog(spark, os.path.dirname(state_dir) or ".")
+    name = os.path.basename(state_dir)
+    if cat.exists(name):
+        return cat.read(name, schema=STATE_SCHEMA)
     return spark.createDataFrame([], STATE_SCHEMA)
 
 
@@ -119,14 +121,11 @@ def run_extract_checkpointed(
             "bucket", bucket_of(F.col("doc_id"), n_buckets)
         )
         # idempotent per-bucket commit: dynamic partition overwrite replaces
-        # exactly the buckets in this group, never earlier ones
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        spans.write.mode("overwrite").partitionBy("bucket").parquet(
-            os.path.join(out_dir, "extracted")
-        )
-        rows.write.mode("overwrite").partitionBy("bucket").parquet(
-            os.path.join(out_dir, "rows")
-        )
+        # exactly the buckets in this group, never earlier ones (Iceberg:
+        # overwritePartitions — see sources/catalog.py mapping)
+        cat = Catalog(spark, out_dir)
+        cat.overwrite_partitions(spans, "extracted", ["bucket"])
+        cat.overwrite_partitions(rows, "rows", ["bucket"])
 
         # lineage metrics per bucket, appended only after outputs committed
         per_bucket = (
@@ -155,9 +154,11 @@ def run_extract_checkpointed(
             )
             for b in group
         ]
-        spark.createDataFrame(state_rows, STATE_SCHEMA).coalesce(1).write.mode(
-            "append"
-        ).parquet(state_dir)
+        cat_state = Catalog(spark, os.path.dirname(state_dir) or ".")
+        cat_state.append(
+            spark.createDataFrame(state_rows, STATE_SCHEMA).coalesce(1),
+            os.path.basename(state_dir),
+        )
         processed += len(group)
 
     return {
