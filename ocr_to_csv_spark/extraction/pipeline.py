@@ -48,7 +48,7 @@ ITEM_SCHEMA = (
 )
 SEG_SCHEMA = (
     "doc_id string, offset int, media_ref string, item string, idx int, "
-    "row int, col int, png binary, dstr string"
+    "row int, col int, raw binary, ch int, cw int, dstr string"
 )
 VAL_SCHEMA = (
     "doc_id string, offset int, media_ref string, row int, col int, "
@@ -107,7 +107,8 @@ def _typed_frame(data: dict, dtypes: dict) -> pd.DataFrame:
 
 
 _ITEM_DTYPES = {"offset": "int64", "seq": "int64"}
-_SEG_DTYPES = {"offset": "int64", "idx": "int64", "row": "int64", "col": "int64"}
+_SEG_DTYPES = {"offset": "int64", "idx": "int64", "row": "int64", "col": "int64",
+               "ch": "int64", "cw": "int64"}
 _VAL_DTYPES = {"offset": "int64", "row": "int64", "col": "int64",
                "prob": "float64", "accepted": "bool"}
 
@@ -154,9 +155,9 @@ def _segment_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
     for pdf in it:
         out = {k: [] for k in ("doc_id", "offset", "media_ref", "item", "idx",
-                               "row", "col", "png", "dstr")}
+                               "row", "col", "raw", "ch", "cw", "dstr")}
 
-        def emit(doc_id, offset, ref, item, idx, row, col, png, dstr):
+        def emit(doc_id, offset, ref, item, idx, row, col, raw, ch, cw, dstr):
             out["doc_id"].append(doc_id)
             out["offset"].append(offset)
             out["media_ref"].append(ref)
@@ -164,7 +165,9 @@ def _segment_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             out["idx"].append(idx)
             out["row"].append(row)
             out["col"].append(col)
-            out["png"].append(png)
+            out["raw"].append(raw)
+            out["ch"].append(ch)
+            out["cw"].append(cw)
             out["dstr"].append(dstr)
 
         for doc_id, offset, ref, content in zip(
@@ -175,37 +178,43 @@ def _segment_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 dates, cells = segment_page(page)
             except Exception as e:  # corrupt/truncated media: quarantine,
                 # never fail the task (a 10^12-doc corpus WILL contain junk)
-                emit(doc_id, offset, ref, "error", -1, -1, -1, None,
+                emit(doc_id, offset, ref, "error", -1, -1, -1, None, 0, 0,
                      f"{type(e).__name__}: {e}"[:200])
                 continue
             # date boxes are OCR'd here (cheap, few per page) so the date
-            # branch needs no second Python stage downstream
+            # branch needs no second Python stage downstream.
+            # Cells ship as RAW uint8 bytes + dims: the staged parquet's own
+            # compression replaces per-cell zlib PNG (whose deflate+inflate
+            # was pure CPU/bandwidth overhead between two stages we control)
             for i, d in enumerate(dates):
-                emit(doc_id, offset, ref, "date", i, -1, -1, None, read_date_box(d))
+                emit(doc_id, offset, ref, "date", i, -1, -1, None, 0, 0,
+                     read_date_box(d))
             for r, row_cells in enumerate(cells):
                 for c, cell in enumerate(row_cells):
+                    arr = cell if cell.flags["C_CONTIGUOUS"] else cell.copy()
                     emit(doc_id, offset, ref, "cell", -1, r, c,
-                         pngc.encode_gray(cell), None)
+                         arr.tobytes(), arr.shape[0], arr.shape[1], None)
         yield _typed_frame(out, _SEG_DTYPES)
 
 
 def _make_classify(names: list, purposes: list):
     def _classify_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..imaging import png as pngc
+        import numpy as np
+
         from .cells import correct_cell
 
         for pdf in it:
             recs = []
-            for doc_id, offset, ref, item, row, col, png_bytes in zip(
+            for doc_id, offset, ref, item, row, col, raw, ch, cw in zip(
                 pdf["doc_id"], pdf["offset"], pdf["media_ref"], pdf["item"],
-                pdf["row"], pdf["col"], pdf["png"]
+                pdf["row"], pdf["col"], pdf["raw"], pdf["ch"], pdf["cw"]
             ):
                 # dispatch INSIDE the UDF (F5 header/kind pruning): a
                 # plan-level filter would be pushed below the shared
                 # post-segment exchange, de-duplicating it away
                 if item != "cell" or row <= 0 or col <= 0:
                     continue
-                img = pngc.decode(bytes(png_bytes))
+                img = np.frombuffer(raw, dtype=np.uint8).reshape(int(ch), int(cw))
                 text, prob, accepted = correct_cell(img, int(col), names, purposes)
                 recs.append((doc_id, int(offset), ref, int(row), int(col),
                              text, float(prob), bool(accepted)))
