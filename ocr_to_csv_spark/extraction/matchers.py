@@ -20,13 +20,7 @@ from __future__ import annotations
 
 import re
 
-from .lattice import (
-    Lattice,
-    enrich,
-    enumerate_candidates,
-    fold_case,
-    stitch_words,
-)
+from .lattice import enrich, enumerate_candidates, fold_case, stitch_words
 
 TIME_FILTER = re.compile(r"^(1[0-2]|[1-9]):?([0-5][0-9])$")
 CellValue = tuple  # (text: str, prob: float, accepted: bool)

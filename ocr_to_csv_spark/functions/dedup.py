@@ -14,7 +14,7 @@ Parity: md5 hex is identical across Spark and DuckDB; all float-free.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .util import DUCK_HEX32, hex32, table
