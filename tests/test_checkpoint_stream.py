@@ -138,3 +138,20 @@ def test_corrupt_media_quarantined_not_fatal(spark, corpus_dir):
     q = res["quarantine"].collect()
     assert {r["kind"] for r in q} == {"media_error"}
     assert {r["doc_id"] for r in q} == {"d1", "d2"}
+
+
+def test_media_features_shape(spark, corpus_dir):
+    from ocr_to_csv_spark.extraction import multimodal
+
+    media = spark.read.parquet(f"{corpus_dir}/media.parquet")
+    feats = multimodal.media_features(media).toPandas()
+    assert len(feats) == media.count()
+    assert all(len(f) == 16 * 16 + 8 for f in feats["feat"])
+    # feature vectors are normalized-ish: histogram tail sums to 1
+    import numpy as np
+    tail = np.array([f[-8:] for f in feats["feat"]], dtype=np.float64)
+    assert np.allclose(tail.sum(axis=1), 1.0, atol=1e-3)
+    # thumbnails decode back to 16x16
+    from ocr_to_csv_spark.imaging import png as pngc
+    t = pngc.decode(bytes(feats.iloc[0]["thumb"]))
+    assert t.shape == (16, 16)
