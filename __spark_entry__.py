@@ -72,6 +72,39 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_metadata(media)
 
 
+def q_multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup via extracted features: 264-dim thumbnail+histogram
+    vectors, cosine top-10 pairs (the media analogue of embed_near_pairs;
+    rows-only — feature extraction is not SQL-expressible)."""
+    from pyspark.sql import Window
+    from ocr_to_csv_spark.extraction.multimodal import media_features
+
+    media = spark.read.parquet(os.path.join(_corpus_dir(), "media.parquet"))
+    feats = media_features(media).select(
+        "media_ref", F.transform("feat", lambda x: x.cast("double")).alias("v")
+    )
+    dim = 16 * 16 + 8
+    dot = lambda a, b: F.aggregate(
+        F.sequence(F.lit(1), F.lit(dim)), F.lit(0.0),
+        lambda acc, i: acc + F.element_at(a, i) * F.element_at(b, i),
+    )
+    nrm = lambda a: F.sqrt(dot(a, a))
+    a = feats.select(F.col("media_ref").alias("ra"), F.col("v").alias("va"))
+    b = feats.select(F.col("media_ref").alias("rb"), F.col("v").alias("vb"))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("ra") < F.col("rb"))
+        .select(
+            "ra", "rb",
+            F.round(
+                dot(F.col("va"), F.col("vb"))
+                / (nrm(F.col("va")) * nrm(F.col("vb"))), 4
+            ).alias("sim"),
+        )
+    )
+    return pairs.orderBy(F.desc("sim"), F.asc("ra"), F.asc("rb")).limit(10)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship composite over /root/testdata/sf0.001: exact-dedup +
     quality + language-ID + fingerprint of the documents table — the
@@ -95,6 +128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "extract_spans": q_extract_spans,
             "extract_rows": q_extract_rows,
             "multimodal_meta": q_multimodal_meta,
+            "multimodal_near_dup": q_multimodal_near_dup,
         }
     )
     return out
@@ -124,6 +158,6 @@ def oracle_sql() -> dict[str, str]:
                coalesce(day, '') AS day
         FROM '{d}/expected_rows.parquet'
     """
-    # multimodal_meta intentionally has no oracle (binary decode is not
-    # SQL-expressible) → driver records the weaker rows-only check.
+    # multimodal_meta / multimodal_near_dup intentionally have no oracle
+    # (binary decode is not SQL-expressible) → rows-only checks.
     return out
