@@ -119,7 +119,10 @@ def _glyph_boxes(mask: np.ndarray) -> list[tuple[int, int, int, int]]:
     comps = [
         b
         for b in ops.connected_components(mask)
-        if not (b[2] >= 0.9 * w and b[3] >= 0.9 * h)
+        # frame guard + despeckle: ≤2-pixel components are scan noise,
+        # never glyph parts (the smallest real part, a colon dot, is
+        # 2×2 at the minimum render scale)
+        if not (b[2] >= 0.9 * w and b[3] >= 0.9 * h) and b[2] * b[3] > 2
     ]
     if not comps:
         return []
