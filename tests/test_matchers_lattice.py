@@ -186,3 +186,42 @@ def test_deep_copy_isolates_mutation():
     L.enrich(cp, "d")
     cp[0][0]["z"] = 1.0
     assert lat == [[{"a": 0.5}]]
+
+
+# ---- multi-word matcher paths (J1/J2 two-word and flattened) -------------
+
+
+def _lat(words, p=0.9):
+    return [[{c: p} for c in w] for w in words]
+
+
+def _outs(words):
+    return [_lat(words) for _ in range(3)]
+
+
+def test_match_name_two_word_path():
+    text, prob, acc = match_name(
+        _outs(["mary", "jones"]), ["mary jones", "zoe adams"], threshold=0.0
+    )
+    assert (text, acc) == ("mary jones", True)
+    assert prob == pytest.approx(9 * 0.9)  # all 9 chars at exact positions
+
+
+def test_match_name_flattened_three_word_path():
+    # over-segmented 'ma ry jones' still matches via the flattened scorer
+    text, prob, acc = match_name(_outs(["ma", "ry", "jones"]), ["mary jones"], 0.0)
+    assert (text, acc) == ("mary jones", True)
+    assert prob == pytest.approx(9 * 0.9)
+
+
+def test_match_purpose_flattened_and_single_word():
+    from ocr_to_csv_spark.extraction.matchers import match_purpose
+
+    text, prob, acc = match_purpose(
+        _outs(["chess", "club"]), ["chess club", "coding"], threshold=0.0
+    )
+    assert (text, acc) == ("chess club", True)
+    # single-word lattice: multi-word aliases are skipped (reference
+    # corrections.py:533 'continue' on space)
+    text, _, _ = match_purpose(_outs(["coding"]), ["chess club", "coding"], 0.0)
+    assert text == "coding"
