@@ -131,8 +131,9 @@ def _html_doc(rng: random.Random, n_table_rows: int) -> tuple[str, list]:
 
 def _image_span(
     rng: random.Random, n_rows: int
-) -> tuple[bytes, list, list[str]]:
-    """Render a sheet page; return (png_bytes, ground_rows, golden_dates)."""
+) -> tuple[bytes, list, list[str], np.ndarray]:
+    """Render a sheet page; return (png_bytes, ground_rows, golden_dates,
+    page_array) — the raw array also feeds the golden media fixtures."""
     rows = _sheet_rows(rng, n_rows)
     table = [HEADER] + [
         [str(i + 1)] + r for i, r in enumerate(rows)
@@ -151,7 +152,31 @@ def _image_span(
         decoy_frame=rng.random() < 0.3,
         decoy_blob=rng.random() < 0.3,
     )
-    return png.encode_gray(page), rows, _golden_dates(boxes)
+    return png.encode_gray(page), rows, _golden_dates(boxes), page
+
+
+def _golden_media(ref: str, content: bytes, page: np.ndarray) -> tuple[dict, dict]:
+    """Golden metadata + feature rows for one media blob, computed from the
+    PRE-ENCODE array (the codec is lossless, so the pipeline's decode path
+    must reproduce these exactly — extraction/multimodal.py semantics)."""
+    from ..imaging.ocr import _resize_mean
+
+    meta = {
+        "media_ref": ref,
+        "fmt": "png",
+        "width": int(page.shape[1]),
+        "height": int(page.shape[0]),
+        "n_bytes": len(content),
+        "mean_intensity": round(float(page.mean()), 4),
+        "fill_ratio": round(float((page < 128).mean()), 4),
+    }
+    small = _resize_mean(page < 128, 16, 16)
+    hist = np.bincount(
+        np.minimum((page.astype(np.int32) * 8) // 256, 7).ravel(), minlength=8
+    ).astype(np.float64)
+    hist = hist / max(1.0, hist.sum())
+    feat = np.concatenate([small.ravel(), hist]).astype(np.float32)
+    return meta, {"media_ref": ref, "feat": feat.tolist()}
 
 
 def _expected_image_rows(ground_rows: list, dates: list[str]) -> list[list[str]]:
@@ -173,6 +198,7 @@ def gen_corpus(
     any chunking produces identical documents — the basis for parallel
     generation in ``write_corpus``."""
     docs, media, exp_spans, exp_rows = [], [], [], []
+    exp_media_meta, exp_media_feat = [], []
 
     for d in range(start, start + n_docs):
         doc_id = f"doc-{d:06d}"
@@ -224,7 +250,7 @@ def gen_corpus(
                 order += 1
             else:  # image | pdf_page
                 n_rows = 150 if mega_image else rng.randint(1, 8)
-                content, ground, dates = _image_span(rng, n_rows)
+                content, ground, dates, page = _image_span(rng, n_rows)
                 ref = f"m-{d:06d}-{offset}"
                 spans.append(
                     {"kind": kind, "text": None, "media_ref": ref, "offset": offset}
@@ -232,6 +258,9 @@ def gen_corpus(
                 media.append(
                     {"media_ref": ref, "content": content, "width": 0, "height": 0}
                 )
+                g_meta, g_feat = _golden_media(ref, content, page)
+                exp_media_meta.append(g_meta)
+                exp_media_feat.append(g_feat)
                 for dstr in dates:
                     exp_spans.append((doc_id, "date", dstr, ref, order))
                     order += 1
@@ -261,6 +290,14 @@ def gen_corpus(
             columns=["doc_id", "page", "row", "name", "time_in", "time_out",
                      "hours", "purpose", "date", "day"],
         ),
+        "expected_media_meta": pd.DataFrame(
+            exp_media_meta,
+            columns=["media_ref", "fmt", "width", "height", "n_bytes",
+                     "mean_intensity", "fill_ratio"],
+        ),
+        "expected_media_feat": pd.DataFrame(
+            exp_media_feat, columns=["media_ref", "feat"]
+        ),
     }
 
 
@@ -277,7 +314,8 @@ def _write_chunk(args: tuple) -> tuple:
         os.path.join(out_dir, "media.parquet", f"part-{shard_idx:05d}.parquet"),
         index=False,
     )
-    return t["expected_spans"], t["expected_rows"]
+    return (t["expected_spans"], t["expected_rows"],
+            t["expected_media_meta"], t["expected_media_feat"])
 
 
 def write_corpus(
@@ -313,12 +351,12 @@ def write_corpus(
     goldens: list[tuple] = []
     with cf.ProcessPoolExecutor(max_workers=n_workers) as pool:
         goldens = list(pool.map(_write_chunk, chunks))
-    pd.concat([g[0] for g in goldens], ignore_index=True).to_parquet(
-        os.path.join(out_dir, "expected_spans.parquet"), index=False
-    )
-    pd.concat([g[1] for g in goldens], ignore_index=True).to_parquet(
-        os.path.join(out_dir, "expected_rows.parquet"), index=False
-    )
+    golden_names = ("expected_spans", "expected_rows",
+                    "expected_media_meta", "expected_media_feat")
+    for i, name in enumerate(golden_names):
+        pd.concat([g[i] for g in goldens], ignore_index=True).to_parquet(
+            os.path.join(out_dir, f"{name}.parquet"), index=False
+        )
     aliases = pd.DataFrame(
         [{"col": 1, "value": v} for v in alias_names()]
         + [{"col": 5, "value": v} for v in alias_purposes()]

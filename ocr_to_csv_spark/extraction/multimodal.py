@@ -59,11 +59,18 @@ def _meta_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             w = h = -1
             mean_i = fill = float("nan")
             if fmt == "png":
-                # header-only dims (cheap path: no full decode needed)
-                w, h = struct.unpack(">II", data[16:24])
-                img = pngc.decode(data)
-                mean_i = round(float(img.mean()), 4)
-                fill = round(float((img < 128).mean()), 4)
+                # a valid signature does not imply a valid body: truncated/
+                # corrupt blobs must quarantine (fmt='corrupt_png'), never
+                # fail the task — same contract as the segment stage
+                try:
+                    # header-only dims (cheap path: no full decode needed)
+                    w, h = struct.unpack(">II", data[16:24])
+                    img = pngc.decode(data)
+                    mean_i = round(float(img.mean()), 4)
+                    fill = round(float((img < 128).mean()), 4)
+                except Exception:
+                    fmt, w, h = "corrupt_png", -1, -1
+                    mean_i = fill = float("nan")
             recs.append((ref, fmt, w, h, len(data), mean_i, fill))
         cols = ["media_ref", "fmt", "width", "height", "n_bytes",
                 "mean_intensity", "fill_ratio"]
@@ -110,7 +117,10 @@ def _feat_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             data = bytes(content)
             if sniff_format(data) != "png":
                 continue  # undecodable modalities flow to the metadata quarantine
-            img = pngc.decode(data)
+            try:
+                img = pngc.decode(data)
+            except Exception:
+                continue  # corrupt body: quarantined by media_metadata
             small = _resize_mean(img < 128, THUMB, THUMB)  # ink density map
             thumb = (small * 255).astype(np.uint8)
             hist = np.bincount(
@@ -139,3 +149,97 @@ def media_features(media: DataFrame) -> DataFrame:
     return media.select("media_ref", "content").mapInPandas(
         _feat_batches, schema=FEAT_SCHEMA
     )
+
+
+MM_DIM = THUMB * THUMB + 8
+MM_PLANES = 8
+MM_BAND_SIZE = 16  # two 4-bit bands over the 8-bit signature
+
+
+def _mm_dot(a, b):
+    """Sequential fold dot product (bit-parity with DuckDB list_reduce)."""
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(MM_DIM)),
+        F.lit(0.0),
+        lambda acc, i: acc + F.element_at(a, i) * F.element_at(b, i),
+    )
+
+
+def media_near_dup(feats: DataFrame, top: int = 10) -> DataFrame:
+    """Image near-dup via banded hyperplane LSH — the 100 TB path, no
+    cross join anywhere in the plan.
+
+    8 deterministic md5-derived hyperplanes give each feature vector an
+    8-bit sign signature; the signature splits into two 4-bit bands and
+    candidate pairs are the union of equi-joins on (band, band_val)
+    (same banding idiom as the SimHash/MinHash dedup paths). Cosine is
+    then computed only on candidates and the global top-``top`` pairs
+    returned. Recall tunes with band width; at sandbox scale the bands
+    are wide enough that the true near-dups all collide."""
+    from ..functions.util import hex32
+
+    v = feats.select(
+        "media_ref", F.transform("feat", lambda x: x.cast("double")).alias("v")
+    )
+
+    def plane(j, k):
+        # same deterministic pseudo-random component scheme as
+        # functions/similarity.py: (md5-int('j,k') mod 2001 - 1000)/1000
+        h = hex32(F.concat_ws(",", j.cast("string"), k.cast("string")))
+        return (h % 2001 - 1000) / F.lit(1000.0)
+
+    planes = v.select(
+        "media_ref", "v",
+        F.explode(F.sequence(F.lit(0), F.lit(MM_PLANES - 1))).alias("j"),
+    )
+    dots = planes.select(
+        "media_ref",
+        "j",
+        F.aggregate(
+            F.sequence(F.lit(1), F.lit(MM_DIM)),
+            F.lit(0.0),
+            lambda acc, k: acc + F.element_at(F.col("v"), k) * plane(F.col("j"), k),
+        ).alias("dot"),
+    )
+    sig = dots.groupBy("media_ref").agg(
+        F.sum(
+            F.when(F.col("dot") > 0, F.pow(F.lit(2.0), F.col("j")).cast("long"))
+            .otherwise(F.lit(0))
+        ).alias("sig")
+    )
+    bands = sig.select(
+        "media_ref",
+        F.posexplode(
+            F.array(
+                F.col("sig") % MM_BAND_SIZE,
+                F.floor(F.col("sig") / MM_BAND_SIZE).cast("long"),
+            )
+        ).alias("band", "bval"),
+    )
+    a = bands.alias("a")
+    c = bands.alias("c")
+    cands = (
+        a.join(c, ["band", "bval"])
+        .filter(F.col("a.media_ref") < F.col("c.media_ref"))
+        .select(
+            F.col("a.media_ref").alias("ra"), F.col("c.media_ref").alias("rb")
+        )
+        .distinct()
+    )
+    va = v.select(F.col("media_ref").alias("ra"), F.col("v").alias("va"))
+    vb = v.select(F.col("media_ref").alias("rb"), F.col("v").alias("vb"))
+    nrm = lambda x: F.sqrt(_mm_dot(x, x))
+    pairs = (
+        cands.join(va, "ra")
+        .join(vb, "rb")
+        .select(
+            "ra",
+            "rb",
+            F.round(
+                _mm_dot(F.col("va"), F.col("vb"))
+                / (nrm(F.col("va")) * nrm(F.col("vb"))),
+                4,
+            ).alias("sim"),
+        )
+    )
+    return pairs.orderBy(F.desc("sim"), F.asc("ra"), F.asc("rb")).limit(top)

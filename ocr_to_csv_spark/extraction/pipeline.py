@@ -24,6 +24,7 @@ media_ref so Catalyst/AQE pick broadcast vs shuffle by size.
 
 from __future__ import annotations
 
+import atexit
 import os
 import shutil
 import tempfile
@@ -36,8 +37,15 @@ from pyspark.sql import functions as F
 # staging registry: each extract() materializes its segmentation output to
 # a scratch parquet dir; older dirs are removed so long sessions stay
 # bounded (the immediately-previous one is kept so DataFrames returned by
-# the previous call remain readable)
+# the previous call remain readable — see extract() docstring for the
+# lifetime contract), and whatever survives is removed at process exit
 _STAGE_DIRS: list[str] = []
+
+
+@atexit.register
+def _cleanup_stage_dirs() -> None:
+    while _STAGE_DIRS:
+        shutil.rmtree(_STAGE_DIRS.pop(), ignore_errors=True)
 
 DATE_REGEX = r"^\d{1,2}/\d{1,2}/(\d{4}|\d{2})$"
 
@@ -197,12 +205,17 @@ def _segment_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield _typed_frame(out, _SEG_DTYPES)
 
 
-def _make_classify(names: list, purposes: list):
+def _make_classify(alias_bc):
+    """``alias_bc`` is a SparkContext broadcast of ``(names, purposes)``:
+    one torrent-distributed copy per executor instead of re-serializing
+    the dictionary into every task closure (SURVEY.md §2.1 S4)."""
+
     def _classify_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         from .cells import correct_cell
 
+        names, purposes = alias_bc.value
         for pdf in it:
             recs = []
             for doc_id, offset, ref, item, row, col, raw, ch, cw in zip(
@@ -245,6 +258,13 @@ def extract(
     span sequence (the north_rule invariant surface).
     rows:  (doc_id, page, row, name, time_in, time_out, hours, purpose,
             date, day) — the flattened CSV-row table (reference main.py:182).
+
+    Lifetime contract: each call stages segmentation output to a scratch
+    parquet dir; only the TWO most recent staging dirs are kept, so the
+    DataFrames returned by a call remain readable until two further
+    ``extract()`` calls have run — consume (or write out) results before
+    that, or they fail with FileNotFoundException. All surviving staging
+    dirs are removed at interpreter exit.
     """
     n_part = shuffle_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions")
@@ -299,6 +319,7 @@ def extract(
     alias_rows = aliases.collect()
     names = sorted(r["value"] for r in alias_rows if r["col"] == 1)
     purposes = sorted(r["value"] for r in alias_rows if r["col"] == 5)
+    alias_bc = spark.sparkContext.broadcast((names, purposes))
 
     # Both consumers of `seg` (classify, page-date rollup) read the SAME
     # exchange subtree with NO intervening filters — any branch filter
@@ -307,7 +328,7 @@ def extract(
     # branch (measured: +87 core-sec per extra branch at 2560 docs).
     # Cell dispatch happens inside the classify UDF; date dispatch happens
     # via the null-dropping when() inside collect_list below.
-    vals = seg.mapInPandas(_make_classify(names, purposes), schema=VAL_SCHEMA)
+    vals = seg.mapInPandas(_make_classify(alias_bc), schema=VAL_SCHEMA)
 
     # date ordering parity (reference main.py:176-180): regex matches are
     # insert(0)-prepended (reversing among themselves), others appended.

@@ -14,7 +14,7 @@ Parity: md5 hex is identical across Spark and DuckDB; all float-free.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .util import DUCK_HEX32, hex32, table
@@ -223,17 +223,38 @@ def q_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash matching: pairs within Hamming distance ≤ 1 of each other's
-    signatures — the lookup side of the SimHash dedup path (at scale the
-    join is blocked on signature bands; the sandbox corpus is small enough
-    to verify the exact pair set)."""
+    """SimHash matching: pairs within Hamming distance ≤ 1 — via BANDED
+    equi-join, the 100 TB path. The 16-bit signature splits into two 8-bit
+    halves; Hamming ≤ 1 guarantees the pair agrees exactly on at least one
+    half (a single differing bit lives in only one half), so candidates =
+    equi-join on (band, band_val), union over bands, distinct — never an
+    O(n²) cross join. The Hamming filter then keeps the true near-pairs."""
     sig = q_simhash(spark, sf_dir)
-    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"))
-    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"))
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                F.col("simhash") % 256,
+                F.floor(F.col("simhash") / 256).cast("long"),
+            )
+        ).alias("band", "bval"),
+    )
+    a = bands.alias("a")
+    c = bands.alias("c")
+    cands = (
+        a.join(c, ["band", "bval"])
+        .filter(F.col("a.doc_id") < F.col("c.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("c.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sa"),
+            F.col("c.simhash").alias("sb"),
+        )
+        .distinct()
+    )
     return (
-        a.crossJoin(b)
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+        cands.withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
         .filter(F.col("hamming") <= 1)
         .select("doc_a", "doc_b", "hamming")
     )
@@ -270,8 +291,11 @@ _SIG_SQL = f"""
             FROM (SELECT doc_id, {DUCK_TOKS} AS t FROM documents)
         ),
         wide AS (
+            -- len(hs) > 0 keeps parity with Spark for <3-token documents:
+            -- the Spark explode-then-groupBy emits no rows for an empty
+            -- shingle set, while list_min over an empty list is NULL
             SELECT doc_id, unnest(generate_series(0, {N_SEEDS - 1})) AS seed, hs
-            FROM hs
+            FROM hs WHERE len(hs) > 0
         )
         SELECT doc_id, seed,
                list_min(list_transform(hs,

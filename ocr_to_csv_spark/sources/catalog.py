@@ -20,6 +20,8 @@ Partition columns map to Iceberg partition transforms (identity here;
 from __future__ import annotations
 
 import os
+import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -58,22 +60,55 @@ class Catalog:
 
     def overwrite_partitions(self, df: DataFrame, name: str, partition_by: list[str]) -> None:
         """Replace only the partitions present in df (idempotent per-bucket
-        commit — Iceberg ``overwritePartitions``)."""
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        df.write.mode("overwrite").partitionBy(*partition_by).parquet(self.path(name))
+        commit — Iceberg ``overwritePartitions``). The session-wide
+        ``partitionOverwriteMode`` conf is restored afterwards so later
+        plain ``mode('overwrite')`` writes keep truncate semantics."""
+        key = "spark.sql.sources.partitionOverwriteMode"
+        prev = self.spark.conf.get(key, None)
+        self.spark.conf.set(key, "dynamic")
+        try:
+            df.write.mode("overwrite").partitionBy(*partition_by).parquet(self.path(name))
+        finally:
+            if prev is None:
+                self.spark.conf.unset(key)
+            else:
+                self.spark.conf.set(key, prev)
 
     def append(self, df: DataFrame, name: str) -> None:
         df.write.mode("append").parquet(self.path(name))
 
-    def merge_distinct(self, df: DataFrame, name: str, order_by: list[str] | None = None) -> None:
-        """MERGE-style upsert by full-row distinct (alias-dictionary shape);
-        Iceberg: ``MERGE INTO``."""
+    def merge_distinct(
+        self,
+        df: DataFrame,
+        name: str,
+        order_by: list[str] | None = None,
+        single_file: bool = False,
+    ) -> None:
+        """MERGE-style upsert by full-row distinct; Iceberg: ``MERGE INTO``.
+
+        Fully distributed: the merged result is written to a scratch
+        directory, then atomically swapped over the target — the
+        read-before-overwrite hazard is solved without ever materializing
+        the table on the driver, so this scales to tables far beyond
+        driver memory. ``single_file=True`` coalesces to one file for
+        tiny dictionary-shaped tables (the alias DB)."""
         merged = (
             self.read(name).unionByName(df).distinct() if self.exists(name) else df.distinct()
         )
         if order_by:
             merged = merged.orderBy(*order_by)
-        # materialize before overwriting the table being read
-        rows = merged.collect()
-        out = self.spark.createDataFrame(rows, merged.schema)
-        self.overwrite(out.coalesce(1), name)
+        if single_file:
+            merged = merged.coalesce(1)
+        target = self.path(name)
+        scratch = f"{target}.__merge_{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(scratch)
+        backup = f"{target}.__old_{uuid.uuid4().hex[:8]}"
+        if os.path.exists(target):
+            os.rename(target, backup)
+        try:
+            os.rename(scratch, target)
+        except OSError:
+            if os.path.exists(backup):  # roll back on swap failure
+                os.rename(backup, target)
+            raise
+        shutil.rmtree(backup, ignore_errors=True)
