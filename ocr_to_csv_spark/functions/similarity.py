@@ -111,10 +111,8 @@ def _plane_component(j: Column, k: Column) -> Column:
     return (h % 2001 - 1000) / F.lit(1000.0)
 
 
-def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH: 8 sign bits → bucket id; bucket histogram.
-    At scale, search = equi-join on bucket (and neighboring buckets)."""
-    e = _emb(spark, sf_dir)
+def _ann_buckets(e: DataFrame) -> DataFrame:
+    """(vec_id, bucket): 8 hyperplane sign bits → bucket id 0..255."""
     planes = e.select(
         "vec_id", "v", F.explode(F.sequence(F.lit(0), F.lit(N_PLANES - 1))).alias("j")
     )
@@ -128,14 +126,54 @@ def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.element_at(F.col("v"), k) * _plane_component(F.col("j"), k),
         ).alias("dot"),
     )
-    buckets = dots.groupBy("vec_id").agg(
+    return dots.groupBy("vec_id").agg(
         F.sum(
             F.when(
                 F.col("dot") > 0, F.pow(F.lit(2.0), F.col("j")).cast("long")
             ).otherwise(F.lit(0))
         ).alias("bucket")
     )
-    return buckets.groupBy("bucket").agg(F.count("*").alias("n"))
+
+
+def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH: 8 sign bits → bucket id; bucket histogram.
+    At scale, search = equi-join on bucket (q_ann_lsh_search)."""
+    return _ann_buckets(_emb(spark, sf_dir)).groupBy("bucket").agg(
+        F.count("*").alias("n")
+    )
+
+
+def q_ann_lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN search via the LSH buckets — the lookup half of the LSH path
+    (mirrors q_ivf_search): each query (vec_id < N_QUERIES) probes ONLY
+    the candidates hashed to its own bucket (equi-join on bucket — cost
+    O(N/256) per query instead of O(N)), then ranks them by cosine.
+    Queries whose bucket holds no candidates return no rows — the recall
+    trade LSH makes; tune with multi-probe / more tables at scale."""
+    e = _emb(spark, sf_dir)
+    b = _ann_buckets(e)
+    eb = e.join(b, "vec_id")
+    q = eb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"), F.col("bucket").alias("qb"),
+    )
+    c = eb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"), F.col("bucket").alias("cb"),
+    )
+    sims = q.join(c, q.qb == c.cb).select(
+        "query_id",
+        "cand_id",
+        F.round(
+            _fold_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("query_id", "cand_id", "rk", "sim")
+    )
 
 
 def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -214,10 +252,77 @@ def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cosine_topk_fast(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
+    """PRODUCTION cosine top-k kernel: one numpy matmul per Arrow batch.
+
+    The fold-based ``q_cosine_topk`` exists for bit-exact DuckDB oracle
+    parity (a 64-term Catalyst expression tree per pair); this is the
+    path a 100 TB job runs: the query matrix is broadcast, each
+    candidate batch does a single float64 ``Q @ C.T``, and only the
+    per-batch top-k survive into the final window — the shuffle carries
+    O(n_queries · k · n_batches) rows instead of O(n_queries · n_cands).
+    Results match q_cosine_topk (same data, same rounding); summation
+    order differs (pairwise vs sequential), so this variant is benched
+    and regression-tested rather than hash-compared."""
+    import numpy as np
+    import pandas as pd
+
+    e = table(spark, sf_dir, "embeddings", spread=True)
+    q_rows = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )  # query side is tiny by construction — broadcast it
+    qids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    Q = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    Qn = np.linalg.norm(Q, axis=1)
+    bc = spark.sparkContext.broadcast((qids, Q, Qn))
+
+    def batches(it):
+        qids, Q, Qn = bc.value
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype="int64"),
+                "neighbor_id": pd.Series([], dtype="int64"),
+                "sim": pd.Series([], dtype="float64"),
+            }
+        )
+        for pdf in it:
+            pdf = pdf[pdf["vec_id"] >= N_QUERIES]
+            if len(pdf) == 0:
+                yield empty
+                continue
+            C = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            cids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            Cn = np.linalg.norm(C, axis=1)
+            S = (Q @ C.T) / (Qn[:, None] * Cn[None, :])
+            kk = min(k, S.shape[1])
+            # per-batch partial top-k (map-side combine for the ranking)
+            idx = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+            rows_q = np.repeat(qids, kk)
+            rows_c = cids[idx].ravel()
+            rows_s = np.take_along_axis(S, idx, axis=1).ravel()
+            yield pd.DataFrame(
+                {"query_id": rows_q, "neighbor_id": rows_c,
+                 "sim": np.round(rows_s, 4)}
+            )
+
+    part = e.select("vec_id", "embedding").mapInPandas(
+        batches, schema="query_id long, neighbor_id long, sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        part.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
 QUERIES = {
     "cosine_topk": q_cosine_topk,
     "embed_near_pairs": q_embed_near_pairs,
     "ann_lsh_buckets": q_ann_lsh_buckets,
+    "ann_lsh_search": q_ann_lsh_search,
     "ivf_assign": q_ivf_assign,
     "ivf_search": q_ivf_search,
     "embed_stats": q_embed_stats,
@@ -276,6 +381,42 @@ ORACLES = {
             FROM dots GROUP BY vec_id
         )
         SELECT bucket, count(*) AS n FROM buckets GROUP BY bucket
+    """,
+    "ann_lsh_search": f"""{_E_CTE}
+        , dots AS (
+            SELECT vec_id, j,
+                   list_reduce(list_prepend(0.0::DOUBLE,
+                       list_transform(generate_series(1, 64),
+                           k -> v[k] * (({DUCK_HEX32.format(x="j::VARCHAR || ',' || k::VARCHAR")} % 2001 - 1000) / 1000.0))),
+                       (x, y) -> x + y) AS dot
+            FROM (SELECT vec_id, v, unnest(generate_series(0, {N_PLANES - 1})) AS j FROM e)
+        ),
+        buckets AS (
+            SELECT vec_id,
+                   sum(CASE WHEN dot > 0 THEN CAST(pow(2.0, j) AS BIGINT) ELSE 0 END)::BIGINT AS bucket
+            FROM dots GROUP BY vec_id
+        ),
+        q AS (
+            SELECT e.vec_id AS query_id, e.v AS qv, e.nrm AS qn, b.bucket AS qb
+            FROM e JOIN buckets b ON b.vec_id = e.vec_id
+            WHERE e.vec_id < {N_QUERIES}
+        ),
+        cand AS (
+            SELECT e.vec_id AS cand_id, e.v AS cv, e.nrm AS cn, b.bucket AS cb
+            FROM e JOIN buckets b ON b.vec_id = e.vec_id
+            WHERE e.vec_id >= {N_QUERIES}
+        ),
+        sims AS (
+            SELECT query_id, cand_id,
+                   round({_DOT.format(a="qv", b="cv")} / (qn * cn), 4) AS sim
+            FROM q JOIN cand ON qb = cb
+        )
+        SELECT query_id, cand_id, rk, sim FROM (
+            SELECT query_id, cand_id, sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, cand_id ASC) AS rk
+            FROM sims
+        ) WHERE rk <= 3
     """,
     "ivf_assign": f"""{_E_CTE}
         , sims AS (

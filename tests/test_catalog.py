@@ -34,3 +34,37 @@ def test_merge_distinct_upserts(spark, tmp_path):
     cat.merge_distinct(new, "aliases", order_by=["col", "value"])
     got = [(r["col"], r["value"]) for r in cat.read("aliases").collect()]
     assert got == [(1, "a"), (5, "b")]
+
+
+def test_merge_distinct_is_distributed_and_large(spark, tmp_path):
+    """The MERGE primitive must scale past driver memory: no .collect()
+    in the implementation (VERDICT r1 wrong-#2) and a 100k-row merge
+    round-trips correctly through the scratch-write + atomic-swap path."""
+    import inspect
+
+    from ocr_to_csv_spark.sources import catalog as catmod
+
+    src = inspect.getsource(catmod.Catalog.merge_distinct)
+    assert ".collect()" not in src and "createDataFrame" not in src
+
+    cat = Catalog(spark, str(tmp_path))
+    base = spark.range(0, 100_000).selectExpr("id", "id % 7 AS grp")
+    cat.merge_distinct(base, "big")
+    assert cat.read("big").count() == 100_000
+    # overlapping second merge: 50k dup rows + 10k new
+    more = spark.range(50_000, 160_000).selectExpr("id", "id % 7 AS grp")
+    cat.merge_distinct(more, "big")
+    assert cat.read("big").count() == 160_000
+    assert cat.read("big").agg({"id": "max"}).collect()[0][0] == 159_999
+
+
+def test_merge_distinct_single_file_for_dictionaries(spark, tmp_path):
+    import os
+
+    cat = Catalog(spark, str(tmp_path))
+    df = spark.createDataFrame([(1, "b"), (1, "a")], "col int, value string")
+    cat.merge_distinct(df, "aliases", order_by=["col", "value"], single_file=True)
+    parts = [f for f in os.listdir(cat.path("aliases")) if f.endswith(".parquet")]
+    assert len(parts) == 1
+    got = [(r["col"], r["value"]) for r in cat.read("aliases").collect()]
+    assert got == [(1, "a"), (1, "b")]

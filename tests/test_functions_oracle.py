@@ -22,7 +22,22 @@ SPOT = [
     "ngram_jaccard",
     "cosine_topk",
     "ivf_assign",
+    "ann_lsh_search",
+    "simhash_near_pairs",
 ]
+
+
+def test_cosine_topk_fast_matches_fold(spark):
+    """The production matmul kernel must return the same ranking as the
+    oracle-parity fold variant (same data, same 4-decimal rounding)."""
+    from ocr_to_csv_spark.functions import similarity
+
+    fold = similarity.q_cosine_topk(spark, SF).collect()
+    fast = similarity.cosine_topk_fast(spark, SF).collect()
+    key = lambda rows: sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"], r["sim"]) for r in rows
+    )
+    assert key(fold) == key(fast)
 
 
 def _norm_cell(v):
