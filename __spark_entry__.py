@@ -24,11 +24,12 @@ CORPUS_SEED = 42
 def _corpus_dir() -> str:
     """Deterministic self-generated interleaved corpus (cached)."""
     d = f"/tmp/ocr2csv_corpus_{CORPUS_DOCS}_{CORPUS_SEED}"
-    # marker = newest golden table, so pre-round-2 cache dirs regenerate
-    marker = os.path.join(d, "expected_media_feat.parquet")
-    if not os.path.exists(marker):
-        from ocr_to_csv_spark.datagen.gen import write_corpus
+    from ocr_to_csv_spark.datagen.gen import corpus_is_current, write_corpus
 
+    if not corpus_is_current(d):
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)  # drop stale goldens/stagings
         write_corpus(d, CORPUS_DOCS, seed=CORPUS_SEED)
     return d
 

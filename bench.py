@@ -30,9 +30,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def _corpus(n_docs: int, seed: int = 42) -> str:
     d = f"/tmp/ocr2csv_bench_corpus_{n_docs}_{seed}"
-    if not os.path.exists(os.path.join(d, "expected_rows.parquet")):
-        from ocr_to_csv_spark.datagen.gen import write_corpus
+    from ocr_to_csv_spark.datagen.gen import corpus_is_current, write_corpus
 
+    if not corpus_is_current(d):
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)
         write_corpus(d, n_docs, seed=seed)
     return d
 

@@ -26,7 +26,11 @@ import re
 import numpy as np
 import pandas as pd
 
-from ..imaging import png, render
+from ..imaging import jpeg, png, render
+
+# bump when generated content changes shape: consumers cache corpora in
+# /tmp keyed by (docs, seed) and regenerate when the version file differs
+GEN_VERSION = 3
 
 DATE_RE = re.compile(r"\d{1,2}\/\d{1,2}\/(\d{4}|\d{2})")
 
@@ -129,11 +133,10 @@ def _html_doc(rng: random.Random, n_table_rows: int) -> tuple[str, list]:
     return html, golden
 
 
-def _image_span(
+def _render_span_page(
     rng: random.Random, n_rows: int
-) -> tuple[bytes, list, list[str], np.ndarray]:
-    """Render a sheet page; return (png_bytes, ground_rows, golden_dates,
-    page_array) — the raw array also feeds the golden media fixtures."""
+) -> tuple[np.ndarray, list, list[str]]:
+    """Render a sheet page; return (page_array, ground_rows, golden_dates)."""
     rows = _sheet_rows(rng, n_rows)
     table = [HEADER] + [
         [str(i + 1)] + r for i, r in enumerate(rows)
@@ -152,18 +155,45 @@ def _image_span(
         decoy_frame=rng.random() < 0.3,
         decoy_blob=rng.random() < 0.3,
     )
-    return png.encode_gray(page), rows, _golden_dates(boxes), page
+    return page, rows, _golden_dates(boxes)
 
 
-def _golden_media(ref: str, content: bytes, page: np.ndarray) -> tuple[dict, dict]:
-    """Golden metadata + feature rows for one media blob, computed from the
-    PRE-ENCODE array (the codec is lossless, so the pipeline's decode path
-    must reproduce these exactly — extraction/multimodal.py semantics)."""
+def _encode_media(rng: random.Random, page: np.ndarray) -> bytes:
+    """A deterministic slice of the corpus ships as baseline JPEG (the
+    reference accepts jpg/jpeg scans, image_scraper.py:103-114); q95
+    keeps binarization bit-identical so OCR goldens hold for both."""
+    fmt_draw = rng.random()
+    if fmt_draw < 0.125:
+        ri = 8 if fmt_draw < 0.0625 else 0  # half of them use restart markers
+        return jpeg.encode_gray(page, quality=95, restart_interval=ri)
+    return png.encode_gray(page)
+
+
+def _golden_media(
+    ref: str, content: bytes, page: np.ndarray | None
+) -> tuple[dict, dict | None]:
+    """Golden metadata + feature rows for one media blob. PNG goldens come
+    from the PRE-ENCODE array (the codec is lossless, so the pipeline's
+    decode path must reproduce them exactly); JPEG goldens come from the
+    deterministic decode of the encoded bytes (lossy codec — the decoded
+    plane IS the pipeline's input); PDF container blobs get a
+    metadata-only row (fmt='pdf', no image stats, no features)."""
+    from ..imaging.codecs import sniff_format
     from ..imaging.ocr import _resize_mean
 
+    fmt = sniff_format(content)
+    if fmt == "pdf":
+        return (
+            {"media_ref": ref, "fmt": "pdf", "width": -1, "height": -1,
+             "n_bytes": len(content), "mean_intensity": None,
+             "fill_ratio": None},
+            None,
+        )
+    if fmt == "jpeg":
+        page = jpeg.decode(content)
     meta = {
         "media_ref": ref,
-        "fmt": "png",
+        "fmt": fmt,
         "width": int(page.shape[1]),
         "height": int(page.shape[0]),
         "n_bytes": len(content),
@@ -214,13 +244,17 @@ def gen_corpus(
             n_spans = rng.randint(1, 6)
             kinds = [
                 rng.choices(
-                    ["html", "text", "image", "pdf_page"],
-                    weights=[0.45, 0.25, 0.22, 0.08],
+                    ["html", "text", "image", "pdf_page", "pdf"],
+                    weights=[0.43, 0.25, 0.20, 0.07, 0.05],
                 )[0]
                 for _ in range(n_spans)
             ]
 
-        spans, order, page_no = [], 0, 0
+        # ``offset`` is the raw span index in the input document; ``eff``
+        # is the POST-pdf-expansion ordinal the pipeline renumbers to
+        # (each embedded PDF page becomes its own offset) — golden rows
+        # key on eff
+        spans, order, eff = [], 0, 0
         for offset, kind in enumerate(kinds):
             if kind == "html":
                 n_rows = 1500 if mega_html else (rng.randint(1, 22) if rng.random() < 0.8 else 0)
@@ -238,9 +272,10 @@ def gen_corpus(
                         )
                         row_num += 1
                         exp_rows.append(
-                            (doc_id, offset, row_num, *payload, None, None)
+                            (doc_id, eff, row_num, *payload, None, None)
                         )
                     order += 1
+                eff += 1
             elif kind == "text":
                 blob = " ".join(rng.choice(WORDS) for _ in range(rng.randint(4, 14)))
                 spans.append(
@@ -248,9 +283,43 @@ def gen_corpus(
                 )
                 exp_spans.append((doc_id, "text", blob, None, order))
                 order += 1
-            else:  # image | pdf_page
+                eff += 1
+            elif kind == "pdf":  # multi-page PDF container (S2 fan-out)
+                n_pages = rng.randint(1, 3)
+                ref = f"m-{d:06d}-{offset}"
+                page_data = []
+                for p in range(n_pages):
+                    page, ground, dates = _render_span_page(rng, rng.randint(1, 6))
+                    page_data.append((page, ground, dates))
+                from ..sources.pdf import build_pdf
+
+                blob = build_pdf([pd_[0] for pd_ in page_data])
+                spans.append(
+                    {"kind": "pdf", "text": None, "media_ref": ref, "offset": offset}
+                )
+                media.append(
+                    {"media_ref": ref, "content": blob, "width": 0, "height": 0}
+                )
+                g_meta, _ = _golden_media(ref, blob, None)
+                exp_media_meta.append(g_meta)
+                for p, (page, ground, dates) in enumerate(page_data):
+                    pref = f"{ref}#p{p}"
+                    for dstr in dates:
+                        exp_spans.append((doc_id, "date", dstr, pref, order))
+                        order += 1
+                    rows_out = _expected_image_rows(ground, dates)
+                    for i, r in enumerate(rows_out):
+                        exp_spans.append(
+                            (doc_id, "table_row", ",".join(r), pref, order)
+                        )
+                        padded = (r + [None, None])[:7]
+                        exp_rows.append((doc_id, eff, i + 1, *padded))
+                        order += 1
+                    eff += 1
+            else:  # image | pdf_page (pre-rendered page media)
                 n_rows = 150 if mega_image else rng.randint(1, 8)
-                content, ground, dates, page = _image_span(rng, n_rows)
+                page, ground, dates = _render_span_page(rng, n_rows)
+                content = _encode_media(rng, page)
                 ref = f"m-{d:06d}-{offset}"
                 spans.append(
                     {"kind": kind, "text": None, "media_ref": ref, "offset": offset}
@@ -260,7 +329,8 @@ def gen_corpus(
                 )
                 g_meta, g_feat = _golden_media(ref, content, page)
                 exp_media_meta.append(g_meta)
-                exp_media_feat.append(g_feat)
+                if g_feat is not None:
+                    exp_media_feat.append(g_feat)
                 for dstr in dates:
                     exp_spans.append((doc_id, "date", dstr, ref, order))
                     order += 1
@@ -268,9 +338,9 @@ def gen_corpus(
                 for i, r in enumerate(rows_out):
                     exp_spans.append((doc_id, "table_row", ",".join(r), ref, order))
                     padded = (r + [None, None])[:7]
-                    exp_rows.append((doc_id, offset, i + 1, *padded))
+                    exp_rows.append((doc_id, eff, i + 1, *padded))
                     order += 1
-                page_no += 1
+                eff += 1
         docs.append({"doc_id": doc_id, "spans": spans})
 
     aliases = [{"col": 1, "value": v} for v in alias_names()] + [
@@ -337,6 +407,7 @@ def write_corpus(
         tables = gen_corpus(n_docs, seed)
         for name, df in tables.items():
             df.to_parquet(os.path.join(out_dir, f"{name}.parquet"), index=False)
+        _stamp_version(out_dir)
         return
 
     os.makedirs(os.path.join(out_dir, "documents.parquet"), exist_ok=True)
@@ -362,6 +433,23 @@ def write_corpus(
         + [{"col": 5, "value": v} for v in alias_purposes()]
     )
     aliases.to_parquet(os.path.join(out_dir, "aliases.parquet"), index=False)
+    _stamp_version(out_dir)
+
+
+def _stamp_version(out_dir: str) -> None:
+    with open(os.path.join(out_dir, "_gen_version.txt"), "w") as f:
+        f.write(str(GEN_VERSION))
+
+
+def corpus_is_current(out_dir: str) -> bool:
+    """True when ``out_dir`` holds a complete corpus written by THIS
+    generator version — consumers caching corpora in /tmp call this
+    instead of probing a single marker file."""
+    try:
+        with open(os.path.join(out_dir, "_gen_version.txt")) as f:
+            return f.read().strip() == str(GEN_VERSION)
+    except OSError:
+        return False
 
 
 if __name__ == "__main__":

@@ -2,16 +2,16 @@
 typed metadata, processed by Arrow-batched pandas stages (mapInPandas).
 
 The Spark-side contract — schema, partitioning, UDF signature, batch
-shape — is real and tested. PNG decode/feature-extract is real (the
-pure-numpy codec in ``imaging.png``); non-PNG modalities (jpeg/audio/
-video frame-sampling) are stubbed behind ``NotImplementedError`` since
-their codec libraries aren't available in this environment — the rows
-are routed to a quarantine kind instead of failing the job.
+shape — is real and tested, and so are the PNG and baseline-JPEG decode
+paths (pure-numpy codecs in ``imaging.png`` / ``imaging.jpeg`` — the
+reference's accepted scan formats, image_scraper.py:103-114). Audio/
+video frame-sampling stays stubbed behind ``NotImplementedError`` (no
+AV codec library in this environment); those rows — and corrupt or
+unknown blobs — route to the quarantine kind instead of failing the job.
 """
 
 from __future__ import annotations
 
-import struct
 from typing import Iterator
 
 import numpy as np
@@ -19,28 +19,14 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..imaging.codecs import decode_image, image_dims, sniff_format
+
 META_SCHEMA = (
     "media_ref string, fmt string, width int, height int, n_bytes long, "
     "mean_intensity double, fill_ratio double"
 )
 
-_PNG_SIG = b"\x89PNG\r\n\x1a\n"
-
-
-def sniff_format(data: bytes) -> str:
-    if data[:8] == _PNG_SIG:
-        return "png"
-    if data[:2] == b"\xff\xd8":
-        return "jpeg"
-    if data[:4] == b"RIFF":
-        return "riff_av"
-    return "unknown"
-
-
-def decode_jpeg(data: bytes) -> np.ndarray:  # pragma: no cover - stub
-    """STUB: no JPEG codec in this environment. The Spark plumbing treats
-    jpeg rows as quarantined metadata-only rows."""
-    raise NotImplementedError("jpeg decode requires an image codec library")
+DECODABLE = ("png", "jpeg")
 
 
 def sample_frames(data: bytes, every_n: int = 30):  # pragma: no cover - stub
@@ -49,8 +35,6 @@ def sample_frames(data: bytes, every_n: int = 30):  # pragma: no cover - stub
 
 
 def _meta_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    from ..imaging import png as pngc
-
     for pdf in it:
         recs = []
         for ref, content in zip(pdf["media_ref"], pdf["content"]):
@@ -58,18 +42,17 @@ def _meta_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             fmt = sniff_format(data)
             w = h = -1
             mean_i = fill = float("nan")
-            if fmt == "png":
+            if fmt in DECODABLE:
                 # a valid signature does not imply a valid body: truncated/
-                # corrupt blobs must quarantine (fmt='corrupt_png'), never
+                # corrupt blobs must quarantine (fmt='corrupt_*'), never
                 # fail the task — same contract as the segment stage
                 try:
-                    # header-only dims (cheap path: no full decode needed)
-                    w, h = struct.unpack(">II", data[16:24])
-                    img = pngc.decode(data)
+                    w, h = image_dims(data)
+                    img = decode_image(data)
                     mean_i = round(float(img.mean()), 4)
                     fill = round(float((img < 128).mean()), 4)
                 except Exception:
-                    fmt, w, h = "corrupt_png", -1, -1
+                    fmt, w, h = f"corrupt_{fmt}", -1, -1
                     mean_i = fill = float("nan")
             recs.append((ref, fmt, w, h, len(data), mean_i, fill))
         cols = ["media_ref", "fmt", "width", "height", "n_bytes",
@@ -96,8 +79,9 @@ def media_metadata(media: DataFrame) -> DataFrame:
 
 
 def quarantine_undecodable(meta: DataFrame) -> DataFrame:
-    """Rows whose modality has no codec here → review sink, not a crash."""
-    return meta.filter(F.col("fmt") != "png")
+    """Rows whose modality has no codec here (or whose body failed to
+    decode) → review sink, not a crash."""
+    return meta.filter(~F.col("fmt").isin(*DECODABLE))
 
 
 THUMB = 16  # thumbnail side
@@ -115,10 +99,10 @@ def _feat_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         refs, thumbs, feats = [], [], []
         for ref, content in zip(pdf["media_ref"], pdf["content"]):
             data = bytes(content)
-            if sniff_format(data) != "png":
+            if sniff_format(data) not in DECODABLE:
                 continue  # undecodable modalities flow to the metadata quarantine
             try:
-                img = pngc.decode(data)
+                img = decode_image(data)
             except Exception:
                 continue  # corrupt body: quarantined by media_metadata
             small = _resize_mean(img < 128, THUMB, THUMB)  # ink density map

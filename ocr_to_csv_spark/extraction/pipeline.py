@@ -62,6 +62,10 @@ VAL_SCHEMA = (
     "doc_id string, offset int, media_ref string, row int, col int, "
     "text string, prob double, accepted boolean"
 )
+PDF_PAGE_SCHEMA = (
+    "media_ref string, page_idx int, page_ref string, content binary, "
+    "err string"
+)
 
 
 # --------------------------------------------------------------------------
@@ -91,11 +95,14 @@ def explode_spans(documents: DataFrame) -> DataFrame:
     return spans
 
 
+GOOD_KINDS = ("html", "text", "image", "pdf_page", "pdf")
+
+
 def quarantine_bad_kinds(spans: DataFrame) -> tuple[DataFrame, DataFrame]:
     """File-extension dispatch analogue (reference modules/image_scraper.py:103):
     unsupported kinds go to a quarantine sink instead of erroring the job."""
-    good = spans.filter(F.col("kind").isin("html", "text", "image", "pdf_page"))
-    bad = spans.filter(~F.col("kind").isin("html", "text", "image", "pdf_page"))
+    good = spans.filter(F.col("kind").isin(*GOOD_KINDS))
+    bad = spans.filter(~F.col("kind").isin(*GOOD_KINDS))
     return good, bad
 
 
@@ -157,7 +164,7 @@ def _parse_html_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def _segment_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    from ..imaging import png as pngc
+    from ..imaging.codecs import decode_image
     from ..imaging.segment import segment_page
     from .cells import read_date_box
 
@@ -182,7 +189,7 @@ def _segment_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             pdf["doc_id"], pdf["offset"], pdf["media_ref"], pdf["content"]
         ):
             try:
-                page = pngc.decode(bytes(content))
+                page = decode_image(bytes(content))  # png or baseline jpeg
                 dates, cells = segment_page(page)
             except Exception as e:  # corrupt/truncated media: quarantine,
                 # never fail the task (a 10^12-doc corpus WILL contain junk)
@@ -240,6 +247,113 @@ def _make_classify(alias_bc):
     return _classify_batches
 
 
+def _pdf_pages_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ..imaging import png as pngc
+    from ..sources.pdf import extract_page_images
+
+    dtypes = {"page_idx": "int64"}
+    for pdf_df in it:
+        out = {k: [] for k in ("media_ref", "page_idx", "page_ref", "content", "err")}
+        for ref, content in zip(pdf_df["media_ref"], pdf_df["content"]):
+            try:
+                pages = extract_page_images(bytes(content))
+            except Exception as e:  # vector-only / corrupt PDFs: quarantine
+                out["media_ref"].append(ref)
+                out["page_idx"].append(-1)
+                out["page_ref"].append(None)
+                out["content"].append(None)
+                out["err"].append(f"{type(e).__name__}: {e}"[:200])
+                continue
+            for i, pg in enumerate(pages):
+                out["media_ref"].append(ref)
+                out["page_idx"].append(i)
+                out["page_ref"].append(f"{ref}#p{i}")
+                out["content"].append(pngc.encode_gray(pg))
+                out["err"].append(None)
+        yield _typed_frame(out, dtypes)
+
+
+def _expand_pdf_spans(
+    spark: SparkSession, spans: DataFrame, media: DataFrame, n_part: int
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """S2: PDF → page-image scan (reference image_scraper.py:107-111 via
+    Poppler; here the pure-stdlib ``sources.pdf`` extractor).
+
+    Each ``kind='pdf'`` span fans out to one ``pdf_page`` span per
+    embedded page (media_ref ``<ref>#p<i>``, content re-encoded PNG into
+    the media dimension), then ALL spans are renumbered so offsets stay
+    the per-document ordinal the rest of the pipeline keys on. Returns
+    (spans', media', quarantine_rows). Cheap presence probe first: a
+    corpus with no PDFs pays only a pruned scan, no expansion stages."""
+    if spans.filter(F.col("kind") == "pdf").limit(1).count() == 0:
+        empty = spark.createDataFrame(
+            [], "doc_id string, kind string, text string, media_ref string, offset int"
+        )
+        return spans, media, empty
+
+    pdf_blobs = (
+        spans.filter(F.col("kind") == "pdf")
+        .select("media_ref")
+        .distinct()
+        .join(media, "media_ref")
+        .repartition(n_part, "media_ref")
+        .select("media_ref", "content")
+    )
+    pages = pdf_blobs.mapInPandas(_pdf_pages_batches, schema=PDF_PAGE_SCHEMA)
+    # one decode per PDF: stage the fan-out (3 consumers below)
+    stage_dir = tempfile.mkdtemp(prefix="ocr2csv_pdf_stage_")
+    pages.write.mode("overwrite").parquet(stage_dir)
+    pages = spark.read.parquet(stage_dir)
+    _STAGE_DIRS.append(stage_dir)
+
+    pdf_spans = spans.filter(F.col("kind") == "pdf").select(
+        "doc_id", "offset", "media_ref"
+    )
+    page_spans = pdf_spans.join(
+        pages.filter(F.col("page_idx") >= 0), "media_ref"
+    ).select(
+        "doc_id",
+        F.lit("pdf_page").alias("kind"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("page_ref").alias("media_ref"),
+        "offset",
+        "page_idx",
+    )
+    # only documents CONTAINING a pdf span are renumbered (their later
+    # spans shift to make room for the fanned-out pages); every other
+    # document keeps its original offsets untouched — and stays out of
+    # the renumber shuffle entirely
+    pdf_docs = pdf_spans.select("doc_id").distinct()
+    untouched = spans.join(pdf_docs, "doc_id", "left_anti")
+    affected = (
+        spans.filter(F.col("kind") != "pdf")
+        .join(pdf_docs, "doc_id", "left_semi")
+        .withColumn("page_idx", F.lit(0))
+        .unionByName(page_spans)
+    )
+    w = Window.partitionBy("doc_id").orderBy("offset", "page_idx")
+    spans2 = untouched.unionByName(
+        affected.withColumn("offset", F.row_number().over(w) - 1).drop("page_idx")
+    )
+
+    media2 = media.unionByName(
+        pages.filter(F.col("page_idx") >= 0).select(
+            F.col("page_ref").alias("media_ref"),
+            "content",
+            F.lit(0).alias("width"),
+            F.lit(0).alias("height"),
+        )
+    )
+    quar = pdf_spans.join(pages.filter(F.col("page_idx") < 0), "media_ref").select(
+        "doc_id",
+        F.lit("media_error").alias("kind"),
+        F.col("err").alias("text"),
+        "media_ref",
+        "offset",
+    )
+    return spans2, media2, quar
+
+
 # --------------------------------------------------------------------------
 # pipeline
 # --------------------------------------------------------------------------
@@ -271,6 +385,10 @@ def extract(
     )
 
     spans, quarantine = quarantine_bad_kinds(explode_spans(documents))
+
+    # ---- PDF fan-out (S2) ------------------------------------------------
+    spans, media, pdf_quar = _expand_pdf_spans(spark, spans, media, n_part)
+    quarantine = quarantine.unionByName(pdf_quar)
 
     # ---- HTML / text branch ----------------------------------------------
     # explicit repartition: a single-file scan would otherwise feed the

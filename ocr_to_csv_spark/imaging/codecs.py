@@ -1,0 +1,67 @@
+"""Format sniff + decode dispatch for the binary media column.
+
+The reference accepts ``{jpg, jpeg, png}`` files via ``cv2.imread``
+(``/root/reference/modules/image_scraper.py:103-114``); the engine's
+equivalents are the pure-numpy codecs in this package. Unsupported or
+corrupt blobs raise ``ValueError`` — every caller routes that to the
+quarantine sink rather than failing the task.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from . import jpeg as jpegc
+from . import png as pngc
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def sniff_format(data: bytes) -> str:
+    if data[:8] == _PNG_SIG:
+        return "png"
+    if data[:2] == b"\xff\xd8":
+        return "jpeg"
+    if data[:5] == b"%PDF-":
+        return "pdf"
+    if data[:4] == b"RIFF":
+        return "riff_av"
+    return "unknown"
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    """Decode PNG or baseline JPEG bytes to a 2-D uint8 grayscale array."""
+    fmt = sniff_format(data)
+    if fmt == "png":
+        return pngc.decode(data)
+    if fmt == "jpeg":
+        return jpegc.decode(data)
+    raise ValueError(f"no decoder for format {fmt!r}")
+
+
+def image_dims(data: bytes) -> tuple[int, int]:
+    """(width, height) from the header only — no full decode."""
+    fmt = sniff_format(data)
+    if fmt == "png":
+        w, h = struct.unpack(">II", data[16:24])
+        return int(w), int(h)
+    if fmt == "jpeg":
+        # scan markers for SOF0/1
+        pos = 2
+        while pos + 4 <= len(data):
+            if data[pos] != 0xFF:
+                pos += 1
+                continue
+            marker = data[pos + 1]
+            if marker in (0xC0, 0xC1):
+                _, h, w = struct.unpack(">BHH", data[pos + 4 : pos + 9])
+                return int(w), int(h)
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            (length,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+            pos += 2 + length
+        raise ValueError("no SOF in JPEG stream")
+    raise ValueError(f"no header parser for format {fmt!r}")

@@ -1,0 +1,501 @@
+"""Minimal pure-numpy baseline JPEG codec (ITU T.81, SOF0 only).
+
+The reference accepts ``{jpg, jpeg, png}`` scans via ``cv2.imread``
+(``/root/reference/modules/image_scraper.py:103-114``); this sandbox has
+no image codec library, so the engine ships its own baseline JPEG path:
+
+- ``decode``: baseline sequential (SOF0), 8-bit, grayscale or YCbCr with
+  arbitrary sampling factors, restart markers (DRI). Returns the LUMA
+  plane as 2-D uint8 — mathematically the 0.299/0.587/0.114 grayscale
+  the rest of the pipeline uses (Y of YCbCr is that exact combination),
+  so chroma never needs upsampling. Progressive (SOF2) / arithmetic /
+  12-bit variants raise ``ValueError`` → the multimodal quarantine path.
+- ``encode_gray``: single-component baseline JFIF with the Annex K
+  example tables, quality-scaled quantization — used by the datagen and
+  tests to synthesize deterministic JPEG media.
+
+Pure numpy: DCT/IDCT are 8×8 orthonormal matrix products batched over
+all blocks; the entropy coder is table-driven Python (fine at cell/page
+sizes; the Spark plumbing around it is Arrow-batched either way).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# zigzag scan order: index i of the scan -> (row, col) flattened position
+ZIGZAG = np.array([
+    0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# Annex K.1 luminance quantization table (quality 50 base)
+STD_LUM_QT = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.float64)
+
+# Annex K.3: typical DC/AC luminance Huffman tables (bits[16], values)
+DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUM_VALS = list(range(12))
+AC_LUM_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUM_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+# orthonormal 8x8 DCT-II matrix: dct = C @ block @ C.T
+_C = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _C[_k, _n] = np.cos(np.pi * (2 * _n + 1) * _k / 16.0) * (
+            np.sqrt(0.125) if _k == 0 else 0.5
+        )
+
+
+def _build_canonical(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) canonical Huffman assignment."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _decode_table(bits: list[int], vals: list[int]) -> list[int]:
+    """16-bit prefix LUT for one-lookup decoding: every 16-bit window
+    starting with a code of length L maps to ``(L << 8) | symbol``; the
+    reader consumes L bits. A plain Python list — scalar list indexing
+    beats numpy scalar indexing ~5× in the per-symbol hot loop."""
+    enc = _build_canonical(bits, vals)
+    lut = np.zeros(1 << 16, dtype=np.int32)
+    for sym, (code, length) in enc.items():
+        lo = code << (16 - length)
+        hi = (code + 1) << (16 - length)
+        lut[lo:hi] = (length << 8) | sym
+    return lut.tolist()
+
+
+def _quality_qt(quality: int) -> np.ndarray:
+    quality = min(100, max(1, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    qt = np.floor((STD_LUM_QT * scale + 50) / 100)
+    return np.clip(qt, 1, 255)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-fill per spec
+        return bytes(self.out)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size, bits) for a DC diff / AC coefficient value."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def encode_gray(
+    img: np.ndarray, quality: int = 90, restart_interval: int = 0
+) -> bytes:
+    """Encode a 2-D uint8 array as a single-component baseline JFIF.
+    ``restart_interval`` > 0 emits DRI + RSTn markers every N MCUs (the
+    error-resilience feature real camera/scanner JPEGs use)."""
+    if img.ndim != 2:
+        raise ValueError("encode_gray expects a 2-D array")
+    h, w = img.shape
+    qt = _quality_qt(quality)
+
+    # pad to multiples of 8 by edge replication, block, DCT, quantize
+    ph, pw = -h % 8, -w % 8
+    arr = np.pad(img.astype(np.float64), ((0, ph), (0, pw)), mode="edge") - 128.0
+    bh, bw = arr.shape[0] // 8, arr.shape[1] // 8
+    blocks = arr.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    coef = np.einsum("ij,njk,lk->nil", _C, blocks, _C)
+    quant = np.round(coef / qt.reshape(8, 8)).astype(np.int64)
+    zz = quant.reshape(-1, 64)[:, ZIGZAG]
+
+    dc_codes = _build_canonical(DC_LUM_BITS, DC_LUM_VALS)
+    ac_codes = _build_canonical(AC_LUM_BITS, AC_LUM_VALS)
+    bw_ = _BitWriter()
+    prev_dc = 0
+    scan_parts: list[bytes] = []
+    for mcu_i, row in enumerate(zz):
+        if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+            scan_parts.append(bw_.flush())
+            scan_parts.append(
+                bytes([0xFF, 0xD0 + ((mcu_i // restart_interval - 1) % 8)])
+            )
+            bw_ = _BitWriter()
+            prev_dc = 0
+        size, bits = _magnitude(int(row[0]) - prev_dc)
+        prev_dc = int(row[0])
+        c, l = dc_codes[size]
+        bw_.write(c, l)
+        if size:
+            bw_.write(bits, size)
+        run = 0
+        last_nz = np.nonzero(row[1:])[0]
+        end = last_nz[-1] + 1 if len(last_nz) else 0
+        for k in range(1, end + 1):
+            v = int(row[k])
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                c, l = ac_codes[0xF0]  # ZRL
+                bw_.write(c, l)
+                run -= 16
+            size, bits = _magnitude(v)
+            c, l = ac_codes[(run << 4) | size]
+            bw_.write(c, l)
+            bw_.write(bits, size)
+            run = 0
+        if end < 63:
+            c, l = ac_codes[0x00]  # EOB
+            bw_.write(c, l)
+    scan_parts.append(bw_.flush())
+    scan = b"".join(scan_parts)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    qt_zz = qt.reshape(64)[ZIGZAG].astype(np.uint8)
+    out = b"\xff\xd8"  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + qt_zz.tobytes())
+    out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+    out += seg(0xFFC4, b"\x00" + bytes(DC_LUM_BITS) + bytes(DC_LUM_VALS))
+    out += seg(0xFFC4, b"\x10" + bytes(AC_LUM_BITS) + bytes(AC_LUM_VALS))
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
+    out += seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
+    out += scan + b"\xff\xd9"  # EOI
+    return out
+
+
+def _split_scan(data: bytes, pos: int) -> list[bytes]:
+    """Split the entropy-coded scan into restart-interval segments with
+    0xFF00 stuffing removed — one vectorized pre-pass, so the bit reader
+    never checks for markers."""
+    arr = np.frombuffer(data, dtype=np.uint8)
+    ffs = np.flatnonzero(arr[pos:-1] == 0xFF) + pos
+    segments: list[bytes] = []
+    parts: list[bytes] = []
+    start = pos
+    for i in ffs:
+        nxt = data[i + 1]
+        if nxt == 0x00:  # stuffed FF: keep the FF, drop the 00
+            parts.append(data[start : i + 1])
+            start = i + 2
+        elif 0xD0 <= nxt <= 0xD7:  # restart marker: segment boundary
+            parts.append(data[start:i])
+            segments.append(b"".join(parts))
+            parts = []
+            start = i + 2
+        else:  # EOI or next header segment: end of scan
+            parts.append(data[start:i])
+            segments.append(b"".join(parts))
+            return segments
+    parts.append(data[start:])
+    segments.append(b"".join(parts))
+    return segments
+
+
+def _decode_segment(
+    seg: bytes,
+    n_mcus: int,
+    scan_comps: list[dict],
+    huff_dc: dict[int, list[int]],
+    huff_ac: dict[int, list[int]],
+    pred: dict[int, int],
+) -> list[tuple[int, int, list[int]]]:
+    """Decode ``n_mcus`` MCUs from one pre-unstuffed entropy segment.
+
+    Returns sparse LUMA coefficients as (mcu_index, block_index_in_mcu,
+    [k0, v0, k1, v1, ...]) zigzag pairs; chroma blocks are entropy-decoded
+    to advance the stream and discarded. The bit reader is INLINED as
+    local variables (acc masked to 64 bits): attribute access + function
+    calls per symbol are the decode hot path in pure Python."""
+    acc = 0
+    nbits = 0
+    pos = 0
+    slen = len(seg)
+    M64 = 0xFFFFFFFFFFFFFFFF
+    out: list[tuple[int, int, list[int]]] = []
+    for m in range(n_mcus):
+        for ci, c in enumerate(scan_comps):
+            dct = huff_dc[c["dc"]]
+            act = huff_ac[c["ac"]]
+            cid = c["id"]
+            for b in range(c["hs"] * c["vs"]):
+                coefs: list[int] = []
+                # DC symbol
+                while nbits < 16:
+                    take = slen - pos
+                    if take > 0:
+                        take = 4 if take > 4 else take
+                        acc = ((acc << (8 * take))
+                               | int.from_bytes(seg[pos:pos + take], "big")) & M64
+                        nbits += 8 * take
+                        pos += take
+                    else:
+                        acc = ((acc << 16) | 0xFFFF) & M64
+                        nbits += 16
+                entry = dct[(acc >> (nbits - 16)) & 0xFFFF]
+                if entry == 0:
+                    raise ValueError("bad Huffman code")
+                nbits -= entry >> 8
+                size = entry & 0xFF
+                if size:
+                    while nbits < size:
+                        take = slen - pos
+                        if take > 0:
+                            take = 4 if take > 4 else take
+                            acc = ((acc << (8 * take))
+                                   | int.from_bytes(seg[pos:pos + take], "big")) & M64
+                            nbits += 8 * take
+                            pos += take
+                        else:
+                            acc = ((acc << 16) | 0xFFFF) & M64
+                            nbits += 16
+                    nbits -= size
+                    v = (acc >> nbits) & ((1 << size) - 1)
+                    diff = v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+                else:
+                    diff = 0
+                pred[cid] += diff
+                coefs.append(0)
+                coefs.append(pred[cid])
+                k = 1
+                while k < 64:
+                    while nbits < 16:
+                        take = slen - pos
+                        if take > 0:
+                            take = 4 if take > 4 else take
+                            acc = ((acc << (8 * take))
+                                   | int.from_bytes(seg[pos:pos + take], "big")) & M64
+                            nbits += 8 * take
+                            pos += take
+                        else:
+                            acc = ((acc << 16) | 0xFFFF) & M64
+                            nbits += 16
+                    entry = act[(acc >> (nbits - 16)) & 0xFFFF]
+                    if entry == 0:
+                        raise ValueError("bad Huffman code")
+                    nbits -= entry >> 8
+                    sym = entry & 0xFF
+                    if sym == 0x00:  # EOB
+                        break
+                    run = sym >> 4
+                    size = sym & 0x0F
+                    if size == 0:
+                        if run == 15:  # ZRL
+                            k += 16
+                            continue
+                        break
+                    k += run
+                    if k > 63:
+                        raise ValueError("AC index overflow")
+                    while nbits < size:
+                        take = slen - pos
+                        if take > 0:
+                            take = 4 if take > 4 else take
+                            acc = ((acc << (8 * take))
+                                   | int.from_bytes(seg[pos:pos + take], "big")) & M64
+                            nbits += 8 * take
+                            pos += take
+                        else:
+                            acc = ((acc << 16) | 0xFFFF) & M64
+                            nbits += 16
+                    nbits -= size
+                    v = (acc >> nbits) & ((1 << size) - 1)
+                    coefs.append(k)
+                    coefs.append(v if v >= (1 << (size - 1)) else v - (1 << size) + 1)
+                    k += 1
+                if ci == 0:  # luma only; chroma decoded just to advance
+                    out.append((m, b, coefs))
+    return out
+
+
+def decode(data: bytes) -> np.ndarray:
+    """Decode baseline JPEG bytes to the 2-D uint8 luma plane."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream")
+    qts: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    comps: list[dict] = []
+    h = w = 0
+    restart_interval = 0
+    pos = 2
+    scan_pos = None
+    scan_comps: list[dict] = []
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:
+            break
+        (length,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        body = data[pos + 4 : pos + 2 + length]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            b = 0
+            while b < len(body):
+                prec, tid = body[b] >> 4, body[b] & 0x0F
+                if prec != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                tab = np.zeros(64)
+                tab[ZIGZAG] = np.frombuffer(body[b + 1 : b + 65], dtype=np.uint8)
+                qts[tid] = tab
+                b += 65
+        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
+            _, h, w, nc = struct.unpack(">BHHB", body[:6])
+            comps = []
+            for i in range(nc):
+                cid, samp, qid = body[6 + 3 * i : 9 + 3 * i]
+                comps.append(
+                    {"id": cid, "hs": samp >> 4, "vs": samp & 0x0F, "q": qid}
+                )
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline (SOF0/1) JPEG is supported")
+        elif marker == 0xC4:  # DHT
+            b = 0
+            while b < len(body):
+                tc, tid = body[b] >> 4, body[b] & 0x0F
+                bits = list(body[b + 1 : b + 17])
+                nv = sum(bits)
+                vals = list(body[b + 17 : b + 17 + nv])
+                (huff_dc if tc == 0 else huff_ac)[tid] = _decode_table(bits, vals)
+                b += 17 + nv
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan_comps = []
+            for i in range(ns):
+                cid, tabs = body[1 + 2 * i], body[2 + 2 * i]
+                comp = next(c for c in comps if c["id"] == cid)
+                scan_comps.append(
+                    {**comp, "dc": tabs >> 4, "ac": tabs & 0x0F}
+                )
+            scan_pos = pos + 2 + length
+            break
+        pos += 2 + length
+    if scan_pos is None or not comps:
+        raise ValueError("no scan in JPEG stream")
+
+    hmax = max(c["hs"] for c in scan_comps)
+    vmax = max(c["vs"] for c in scan_comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    n_total = mcux * mcuy
+
+    luma = scan_comps[0]
+    lw, lv = luma["hs"], luma["vs"]
+
+    segments = _split_scan(data, scan_pos)
+    sparse: list[tuple[int, int, list[int]]] = []
+    if restart_interval:
+        done = 0
+        seg_i = 0
+        while done < n_total:
+            if seg_i >= len(segments):
+                raise ValueError("missing restart segment")
+            n = min(restart_interval, n_total - done)
+            pred = {c["id"]: 0 for c in scan_comps}
+            part = _decode_segment(
+                segments[seg_i], n, scan_comps, huff_dc, huff_ac, pred
+            )
+            sparse.extend((m + done, b, cf) for m, b, cf in part)
+            done += n
+            seg_i += 1
+    else:
+        pred = {c["id"]: 0 for c in scan_comps}
+        sparse = _decode_segment(
+            segments[0], n_total, scan_comps, huff_dc, huff_ac, pred
+        )
+
+    # scatter sparse zigzag coefficients, then ONE vectorized
+    # dequant + inverse-zigzag + IDCT over all luma blocks
+    nrows, ncols = mcuy * lv, mcux * lw
+    Z = np.zeros((nrows * ncols, 64))
+    for m, b, cf in sparse:
+        row = (m // mcux) * lv + b // lw
+        col = (m % mcux) * lw + b % lw
+        Z[row * ncols + col, cf[0::2]] = cf[1::2]
+    qt_z = qts[luma["q"]][ZIGZAG]
+    blocks = np.zeros((nrows * ncols, 64))
+    blocks[:, ZIGZAG] = Z * qt_z
+    pix = np.einsum("ji,njk,kl->nil", _C, blocks.reshape(-1, 8, 8), _C)
+    img = (
+        pix.reshape(nrows, ncols, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(nrows * 8, ncols * 8)
+    )
+    img = np.clip(np.round(img + 128.0), 0, 255).astype(np.uint8)
+    # luma plane is sampled at (lw/hmax, lv/vmax); replicate up if subsampled
+    if lw != hmax or lv != vmax:
+        img = np.repeat(np.repeat(img, vmax // lv, axis=0), hmax // lw, axis=1)
+    return img[:h, :w]

@@ -107,17 +107,26 @@ def test_multimodal_metadata_and_quarantine(spark, corpus_dir):
 
     media = spark.read.parquet(f"{corpus_dir}/media.parquet")
     meta = multimodal.media_metadata(media).toPandas()
-    assert (meta["fmt"] == "png").all()
-    assert (meta["width"] > 0).all() and (meta["height"] > 0).all()
-    assert meta["fill_ratio"].between(0, 1).all()
+    # corpus v3 mixes formats: png + baseline jpeg images, pdf containers
+    assert set(meta["fmt"]) <= {"png", "jpeg", "pdf"}
+    assert (meta["fmt"] == "png").any() and (meta["fmt"] == "jpeg").any()
+    imgs = meta[meta["fmt"].isin(["png", "jpeg"])]
+    assert (imgs["width"] > 0).all() and (imgs["height"] > 0).all()
+    assert imgs["fill_ratio"].between(0, 1).all()
+    pdfs = meta[meta["fmt"] == "pdf"]
+    assert (pdfs["width"] == -1).all()
 
-    # non-PNG blob → quarantined metadata row, not a crash
+    # blob with a JPEG signature but junk body → corrupt_* quarantine row,
+    # not a crash; audio/video-ish blobs quarantine as their sniffed kind
     junk = spark.createDataFrame(
-        [("j1", bytearray(b"\xff\xd8junkjpeg"))], "media_ref string, content binary"
+        [("j1", bytearray(b"\xff\xd8junkjpeg")),
+         ("j2", bytearray(b"RIFF....WAVE"))],
+        "media_ref string, content binary",
     )
     qmeta = multimodal.media_metadata(junk)
-    quarantined = multimodal.quarantine_undecodable(qmeta).collect()
-    assert len(quarantined) == 1 and quarantined[0]["fmt"] == "jpeg"
+    quarantined = {r["media_ref"]: r["fmt"]
+                   for r in multimodal.quarantine_undecodable(qmeta).collect()}
+    assert quarantined == {"j1": "corrupt_jpeg", "j2": "riff_av"}
 
 
 def test_corrupt_media_quarantined_not_fatal(spark, corpus_dir):
@@ -145,7 +154,13 @@ def test_media_features_shape(spark, corpus_dir):
 
     media = spark.read.parquet(f"{corpus_dir}/media.parquet")
     feats = multimodal.media_features(media).toPandas()
-    assert len(feats) == media.count()
+    # every decodable image gets a feature row; pdf containers are skipped
+    from ocr_to_csv_spark.extraction.multimodal import DECODABLE, sniff_format
+
+    n_imgs = sum(
+        1 for r in media.collect() if sniff_format(bytes(r["content"])) in DECODABLE
+    )
+    assert len(feats) == n_imgs > 0
     assert all(len(f) == 16 * 16 + 8 for f in feats["feat"])
     # feature vectors are normalized-ish: histogram tail sums to 1
     import numpy as np
