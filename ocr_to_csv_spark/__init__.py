@@ -20,3 +20,16 @@ per-row Python UDFs; no RDDs in the hot path.
 """
 
 __version__ = "0.1.0"
+
+# Parallelism in this engine comes from Spark tasks and process pools —
+# one BLAS thread per process. Without this, every Spark python worker /
+# datagen pool worker spawns a full OpenBLAS thread pool for the tiny
+# batched 8x8 codec matmuls, and N_workers x N_blas_threads threads
+# thrash the host (measured: 2560-doc datagen 522s -> ~60s). setdefault
+# so an embedding application can still override; must run before numpy
+# first loads in this process (this package imports numpy lazily below).
+import os as _os
+
+for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
+           "NUMEXPR_NUM_THREADS"):
+    _os.environ.setdefault(_v, "1")

@@ -28,9 +28,10 @@ import pandas as pd
 
 from ..imaging import jpeg, png, render
 
-# bump when generated content changes shape: consumers cache corpora in
-# /tmp keyed by (docs, seed) and regenerate when the version file differs
-GEN_VERSION = 3
+# bump when generated content changes shape OR codec numerics change:
+# consumers cache corpora in /tmp keyed by (docs, seed) and regenerate
+# when the version file differs (goldens must match the current codecs)
+GEN_VERSION = 4
 
 DATE_RE = re.compile(r"\d{1,2}\/\d{1,2}\/(\d{4}|\d{2})")
 
@@ -371,6 +372,12 @@ def gen_corpus(
     }
 
 
+def _limit_blas_threads() -> None:
+    for v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
+              "NUMEXPR_NUM_THREADS"):
+        os.environ[v] = "1"
+
+
 def _write_chunk(args: tuple) -> tuple:
     """Worker: generate docs [start, start+count) and write one shard of
     documents/media; return the golden tables for parent-side concat."""
@@ -420,7 +427,13 @@ def write_corpus(
 
     n_workers = workers or min(16, os.cpu_count() or 4)
     goldens: list[tuple] = []
-    with cf.ProcessPoolExecutor(max_workers=n_workers) as pool:
+    # forked workers inherit the parent's BLAS state; the package
+    # __init__ pins BLAS to 1 thread/process BEFORE numpy first loads,
+    # so each worker's batched codec matmuls stay single-threaded and
+    # the pool parallelism is real (not N_workers x N_threads thrash)
+    with cf.ProcessPoolExecutor(
+        max_workers=n_workers, initializer=_limit_blas_threads
+    ) as pool:
         goldens = list(pool.map(_write_chunk, chunks))
     golden_names = ("expected_spans", "expected_rows",
                     "expected_media_meta", "expected_media_feat")

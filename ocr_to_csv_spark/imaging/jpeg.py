@@ -98,18 +98,29 @@ def _build_canonical(bits: list[int], vals: list[int]) -> dict[int, tuple[int, i
     return out
 
 
+_TABLE_CACHE: dict[tuple, list[int]] = {}
+
+
 def _decode_table(bits: list[int], vals: list[int]) -> list[int]:
     """16-bit prefix LUT for one-lookup decoding: every 16-bit window
     starting with a code of length L maps to ``(L << 8) | symbol``; the
     reader consumes L bits. A plain Python list — scalar list indexing
-    beats numpy scalar indexing ~5× in the per-symbol hot loop."""
-    enc = _build_canonical(bits, vals)
-    lut = np.zeros(1 << 16, dtype=np.int32)
-    for sym, (code, length) in enc.items():
-        lo = code << (16 - length)
-        hi = (code + 1) << (16 - length)
-        lut[lo:hi] = (length << 8) | sym
-    return lut.tolist()
+    beats numpy scalar indexing ~5× in the per-symbol hot loop. Memoized:
+    virtually every JPEG ships the Annex K example tables, and building
+    the 64k-entry list costs a few ms per image otherwise."""
+    key = (tuple(bits), tuple(vals))
+    lut = _TABLE_CACHE.get(key)
+    if lut is None:
+        enc = _build_canonical(bits, vals)
+        arr = np.zeros(1 << 16, dtype=np.int32)
+        for sym, (code, length) in enc.items():
+            lo = code << (16 - length)
+            hi = (code + 1) << (16 - length)
+            arr[lo:hi] = (length << 8) | sym
+        lut = arr.tolist()
+        if len(_TABLE_CACHE) < 64:
+            _TABLE_CACHE[key] = lut
+    return lut
 
 
 def _quality_qt(quality: int) -> np.ndarray:
@@ -134,6 +145,9 @@ class _BitWriter:
             self.out.append(byte)
             if byte == 0xFF:  # byte stuffing
                 self.out.append(0x00)
+        # drop drained high bits — an unmasked acc grows into a multi-
+        # megabit int over a long scan and every shift goes quadratic
+        self.acc &= (1 << self.nbits) - 1
 
     def flush(self) -> bytes:
         if self.nbits:
@@ -167,7 +181,7 @@ def encode_gray(
     arr = np.pad(img.astype(np.float64), ((0, ph), (0, pw)), mode="edge") - 128.0
     bh, bw = arr.shape[0] // 8, arr.shape[1] // 8
     blocks = arr.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
-    coef = np.einsum("ij,njk,lk->nil", _C, blocks, _C)
+    coef = _C @ blocks @ _C.T  # batched matmul ≫ naive 3-operand einsum
     quant = np.round(coef / qt.reshape(8, 8)).astype(np.int64)
     zz = quant.reshape(-1, 64)[:, ZIGZAG]
 
@@ -265,77 +279,70 @@ def _decode_segment(
     huff_dc: dict[int, list[int]],
     huff_ac: dict[int, list[int]],
     pred: dict[int, int],
-) -> list[tuple[int, int, list[int]]]:
+) -> tuple[list[int], list[int], list[int], list[int]]:
     """Decode ``n_mcus`` MCUs from one pre-unstuffed entropy segment.
 
-    Returns sparse LUMA coefficients as (mcu_index, block_index_in_mcu,
-    [k0, v0, k1, v1, ...]) zigzag pairs; chroma blocks are entropy-decoded
-    to advance the stream and discarded. The bit reader is INLINED as
-    local variables (acc masked to 64 bits): attribute access + function
-    calls per symbol are the decode hot path in pure Python."""
+    Returns sparse LUMA coefficients as four flat parallel lists
+    ``(mcu_idx, block_idx, zigzag_k, value)`` — one entry per nonzero
+    coefficient (plus every DC) — so the caller scatters them with ONE
+    vectorized assignment. Chroma blocks are entropy-decoded to advance
+    the stream and discarded. The bit reader is INLINED as local
+    variables (acc masked to 64 bits): attribute access + function calls
+    per symbol are the decode hot path in pure Python."""
     acc = 0
     nbits = 0
-    pos = 0
-    slen = len(seg)
+    wi = 0
+    # 32-bit word feed: one list index per fill instead of slicing +
+    # int.from_bytes; trailing 0xFF guard words give the spec 1-bit pad
+    # (reads can overrun the data by <64 bits at scan end)
+    pad = (-len(seg)) % 4
+    words = np.frombuffer(
+        seg + b"\xff" * (pad + 16), dtype=">u4"
+    ).tolist()
     M64 = 0xFFFFFFFFFFFFFFFF
-    out: list[tuple[int, int, list[int]]] = []
+    out_m: list[int] = []
+    out_b: list[int] = []
+    out_k: list[int] = []
+    out_v: list[int] = []
     for m in range(n_mcus):
         for ci, c in enumerate(scan_comps):
             dct = huff_dc[c["dc"]]
             act = huff_ac[c["ac"]]
             cid = c["id"]
+            keep = ci == 0  # luma only; chroma decoded just to advance
             for b in range(c["hs"] * c["vs"]):
-                coefs: list[int] = []
                 # DC symbol
-                while nbits < 16:
-                    take = slen - pos
-                    if take > 0:
-                        take = 4 if take > 4 else take
-                        acc = ((acc << (8 * take))
-                               | int.from_bytes(seg[pos:pos + take], "big")) & M64
-                        nbits += 8 * take
-                        pos += take
-                    else:
-                        acc = ((acc << 16) | 0xFFFF) & M64
-                        nbits += 16
+                if nbits < 16:
+                    acc = ((acc << 32) | words[wi]) & M64
+                    wi += 1
+                    nbits += 32
                 entry = dct[(acc >> (nbits - 16)) & 0xFFFF]
                 if entry == 0:
                     raise ValueError("bad Huffman code")
                 nbits -= entry >> 8
                 size = entry & 0xFF
                 if size:
-                    while nbits < size:
-                        take = slen - pos
-                        if take > 0:
-                            take = 4 if take > 4 else take
-                            acc = ((acc << (8 * take))
-                                   | int.from_bytes(seg[pos:pos + take], "big")) & M64
-                            nbits += 8 * take
-                            pos += take
-                        else:
-                            acc = ((acc << 16) | 0xFFFF) & M64
-                            nbits += 16
+                    if nbits < size:
+                        acc = ((acc << 32) | words[wi]) & M64
+                        wi += 1
+                        nbits += 32
                     nbits -= size
                     v = (acc >> nbits) & ((1 << size) - 1)
                     diff = v if v >= (1 << (size - 1)) else v - (1 << size) + 1
                 else:
                     diff = 0
                 pred[cid] += diff
-                coefs.append(0)
-                coefs.append(pred[cid])
+                if keep:
+                    out_m.append(m)
+                    out_b.append(b)
+                    out_k.append(0)
+                    out_v.append(pred[cid])
                 k = 1
                 while k < 64:
-                    while nbits < 16:
-                        take = slen - pos
-                        if take > 0:
-                            take = 4 if take > 4 else take
-                            acc = ((acc << (8 * take))
-                                   | int.from_bytes(seg[pos:pos + take], "big")) & M64
-                            nbits += 8 * take
-                            pos += take
-                        else:
-                            acc = ((acc << 16) | 0xFFFF) & M64
-                            nbits += 16
+                    if nbits < 16:
+                        acc = ((acc << 32) | words[wi]) & M64
+                        wi += 1
+                        nbits += 32
                     entry = act[(acc >> (nbits - 16)) & 0xFFFF]
                     if entry == 0:
                         raise ValueError("bad Huffman code")
@@ -353,25 +360,19 @@ def _decode_segment(
                     k += run
                     if k > 63:
                         raise ValueError("AC index overflow")
-                    while nbits < size:
-                        take = slen - pos
-                        if take > 0:
-                            take = 4 if take > 4 else take
-                            acc = ((acc << (8 * take))
-                                   | int.from_bytes(seg[pos:pos + take], "big")) & M64
-                            nbits += 8 * take
-                            pos += take
-                        else:
-                            acc = ((acc << 16) | 0xFFFF) & M64
-                            nbits += 16
+                    if nbits < size:
+                        acc = ((acc << 32) | words[wi]) & M64
+                        wi += 1
+                        nbits += 32
                     nbits -= size
                     v = (acc >> nbits) & ((1 << size) - 1)
-                    coefs.append(k)
-                    coefs.append(v if v >= (1 << (size - 1)) else v - (1 << size) + 1)
+                    if keep:
+                        out_m.append(m)
+                        out_b.append(b)
+                        out_k.append(k)
+                        out_v.append(v if v >= (1 << (size - 1)) else v - (1 << size) + 1)
                     k += 1
-                if ci == 0:  # luma only; chroma decoded just to advance
-                    out.append((m, b, coefs))
-    return out
+    return out_m, out_b, out_k, out_v
 
 
 def decode(data: bytes) -> np.ndarray:
@@ -456,7 +457,10 @@ def decode(data: bytes) -> np.ndarray:
     lw, lv = luma["hs"], luma["vs"]
 
     segments = _split_scan(data, scan_pos)
-    sparse: list[tuple[int, int, list[int]]] = []
+    ms_l: list[int] = []
+    bs_l: list[int] = []
+    ks_l: list[int] = []
+    vs_l: list[int] = []
     if restart_interval:
         done = 0
         seg_i = 0
@@ -465,30 +469,34 @@ def decode(data: bytes) -> np.ndarray:
                 raise ValueError("missing restart segment")
             n = min(restart_interval, n_total - done)
             pred = {c["id"]: 0 for c in scan_comps}
-            part = _decode_segment(
+            pm, pb, pk, pv = _decode_segment(
                 segments[seg_i], n, scan_comps, huff_dc, huff_ac, pred
             )
-            sparse.extend((m + done, b, cf) for m, b, cf in part)
+            ms_l.extend(m + done for m in pm)
+            bs_l.extend(pb)
+            ks_l.extend(pk)
+            vs_l.extend(pv)
             done += n
             seg_i += 1
     else:
         pred = {c["id"]: 0 for c in scan_comps}
-        sparse = _decode_segment(
+        ms_l, bs_l, ks_l, vs_l = _decode_segment(
             segments[0], n_total, scan_comps, huff_dc, huff_ac, pred
         )
 
-    # scatter sparse zigzag coefficients, then ONE vectorized
-    # dequant + inverse-zigzag + IDCT over all luma blocks
+    # ONE vectorized scatter of all sparse zigzag coefficients, then ONE
+    # batched dequant + inverse-zigzag + IDCT over all luma blocks
     nrows, ncols = mcuy * lv, mcux * lw
+    ms = np.asarray(ms_l, dtype=np.int64)
+    bs = np.asarray(bs_l, dtype=np.int64)
+    rows = (ms // mcux) * lv + bs // lw
+    cols = (ms % mcux) * lw + bs % lw
     Z = np.zeros((nrows * ncols, 64))
-    for m, b, cf in sparse:
-        row = (m // mcux) * lv + b // lw
-        col = (m % mcux) * lw + b % lw
-        Z[row * ncols + col, cf[0::2]] = cf[1::2]
+    Z[rows * ncols + cols, np.asarray(ks_l, dtype=np.int64)] = vs_l
     qt_z = qts[luma["q"]][ZIGZAG]
     blocks = np.zeros((nrows * ncols, 64))
     blocks[:, ZIGZAG] = Z * qt_z
-    pix = np.einsum("ji,njk,kl->nil", _C, blocks.reshape(-1, 8, 8), _C)
+    pix = _C.T @ blocks.reshape(-1, 8, 8) @ _C  # batched matmul IDCT
     img = (
         pix.reshape(nrows, ncols, 8, 8)
         .transpose(0, 2, 1, 3)
