@@ -49,6 +49,12 @@ def _cleanup_stage_dirs() -> None:
 
 DATE_REGEX = r"^\d{1,2}/\d{1,2}/(\d{4}|\d{2})$"
 
+# partition multiplier for the two Python-heavy stages (segment input,
+# cell-level salt): finer tasks shorten the straggler tail a mega
+# document leaves at the end of those stages without inflating the
+# partition count of the cheap assembly-tail exchanges
+PY_STAGE_FACTOR = int(os.environ.get("SPARK_GRAFT_PY_STAGE_FACTOR", "1"))
+
 
 ITEM_SCHEMA = (
     "doc_id string, offset int, seq int, out_kind string, out_text string, "
@@ -407,7 +413,7 @@ def extract(
     pages = (
         spans.filter(F.col("kind").isin("image", "pdf_page"))
         .join(media, "media_ref")
-        .repartition(n_part, "doc_id", "offset")
+        .repartition(PY_STAGE_FACTOR * n_part, "doc_id", "offset")
     )
     seg = pages.select("doc_id", "offset", "media_ref", "content").mapInPandas(
         _segment_batches, schema=SEG_SCHEMA
@@ -424,7 +430,7 @@ def extract(
     # (doc_id, offset, row) repartition is the cell-level salt: a single
     # mega page fans out across tasks before the OCR-heavy stage (§4.3),
     # and the staged files inherit that layout.
-    seg = seg.repartition(n_part, "doc_id", "offset", "row")
+    seg = seg.repartition(PY_STAGE_FACTOR * n_part, "doc_id", "offset", "row")
     stage_dir = tempfile.mkdtemp(prefix="ocr2csv_seg_stage_")
     seg.write.mode("overwrite").parquet(stage_dir)
     seg = spark.read.parquet(stage_dir)

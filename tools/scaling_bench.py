@@ -136,10 +136,13 @@ def main():
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     corpus = f"/tmp/ocr2csv_bench_corpus_{a.docs}_42"
-    if not os.path.exists(os.path.join(corpus, "expected_rows.parquet")):
-        sys.path.insert(0, repo)
-        from ocr_to_csv_spark.datagen.gen import write_corpus
+    sys.path.insert(0, repo)
+    from ocr_to_csv_spark.datagen.gen import corpus_is_current, write_corpus
 
+    if not corpus_is_current(corpus):
+        import shutil
+
+        shutil.rmtree(corpus, ignore_errors=True)
         print(f"generating {a.docs}-doc corpus...", file=sys.stderr)
         write_corpus(corpus, a.docs, seed=42)
 
