@@ -359,6 +359,71 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+def q_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-spec window: per-customer 3-row moving sum of order totals
+    in date order (rowsBetween frame — the SURVEY §2.5 gap class the
+    reference never needed but an analytics engine must cover)."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("mov_sum_3"),
+    )
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT discrete percentiles per group, computed from an explicit
+    shared index formula (element ceil(q·n) of the sorted values) so the
+    oracle is bit-comparable — built-in interpolated quantiles differ
+    between engines in the last ulp and flip the rounding. This is the
+    exact-quantile correctness baseline; at 100 TB the production path
+    is ``approx_percentile`` (t-digest sketch, mergeable map-side)."""
+    li = table(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.sort_array(F.collect_list("l_extendedprice")).alias("vals"),
+        F.count("*").alias("n"),
+    )
+
+    def disc(q: float):
+        idx = F.greatest(F.lit(1), F.ceil(F.lit(q) * F.col("n"))).cast("int")
+        return F.element_at(F.col("vals"), idx)
+
+    return g.select(
+        "l_returnflag",
+        F.round(disc(0.5), 2).alias("p50"),
+        F.round(disc(0.95), 2).alias("p95"),
+        "n",
+    )
+
+
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling — the first pass any 100 TB ingestion runs:
+    per-column null count / distinct count / min / max, emitted as one
+    narrow (column, metric...) table via a stacked aggregate."""
+    o = table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    profs = [
+        o.agg(
+            F.lit(c).alias("column"),
+            F.count("*").alias("n_rows"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias("n_null"),
+            F.count_distinct(F.col(c)).alias("n_distinct"),
+            F.min(F.col(c).cast("string")).alias("min_str"),
+            F.max(F.col(c).cast("string")).alias("max_str"),
+        )
+        for c in cols
+    ]
+    out = profs[0]
+    for p in profs[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 QUERIES = {
     "f1_kind_filter": q_f1_kind_filter,
     "f8_regex_filter": q_f8_regex_filter,
@@ -383,6 +448,9 @@ QUERIES = {
     "stats_agg": q_stats_agg,
     "sessionize": q_sessionize,
     "asof_join": q_asof_join,
+    "moving_sum": q_moving_sum,
+    "percentiles": q_percentiles,
+    "profile": q_profile,
 }
 
 ORACLES = {
@@ -539,5 +607,50 @@ ORACLES = {
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_signup
             FROM events
         ) WHERE event_type = 'purchase'
+    """,
+    "moving_sum": """
+        SELECT o_orderkey, o_custkey,
+               round(sum(o_totalprice)
+                     OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate ASC, o_orderkey ASC
+                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2)
+                   AS mov_sum_3
+        FROM orders
+    """,
+    "percentiles": """
+        SELECT l_returnflag,
+               round(vals[greatest(1, CAST(ceil(0.5 * n) AS INT))], 2) AS p50,
+               round(vals[greatest(1, CAST(ceil(0.95 * n) AS INT))], 2) AS p95,
+               n
+        FROM (
+            SELECT l_returnflag, list_sort(list(l_extendedprice)) AS vals,
+                   count(*) AS n
+            FROM lineitem GROUP BY l_returnflag
+        )
+    """,
+    "profile": """
+        SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
+               sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+               count(DISTINCT o_orderkey) AS n_distinct,
+               min(o_orderkey::VARCHAR) AS min_str, max(o_orderkey::VARCHAR) AS max_str
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey', count(*),
+               sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+               count(DISTINCT o_custkey),
+               min(o_custkey::VARCHAR), max(o_custkey::VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', count(*),
+               sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)::BIGINT,
+               count(DISTINCT o_orderstatus),
+               min(o_orderstatus), max(o_orderstatus)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', count(*),
+               sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)::BIGINT,
+               count(DISTINCT o_orderpriority),
+               min(o_orderpriority), max(o_orderpriority)
+        FROM orders
     """,
 }

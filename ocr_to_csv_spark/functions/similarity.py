@@ -318,6 +318,96 @@ def cosine_topk_fast(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFr
     )
 
 
+KM_K = 5
+KM_ITERS = 3
+KM_SCALE = 1000
+
+
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative Lloyd k-means over INTEGER-quantized embeddings — the
+    iterative-algorithm class (MLlib-style driver loop: tiny centroid
+    state collected + broadcast each round, assignments stay distributed).
+
+    Oracle-checkable BY CONSTRUCTION, unlike float k-means: vectors are
+    quantized to int64 (round(x*1000)), so squared distances are exact
+    integer sums (order-independent), and centroid updates use
+    floor(int_sum / count) via one IEEE double division (bit-identical
+    in any engine). The DuckDB oracle unrolls the same 3 iterations.
+    Output: per-centroid member count + exact integer inertia +
+    centroid checksum."""
+    e = table(spark, sf_dir, "embeddings", spread=True)
+    v = e.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x * KM_SCALE).cast("long")
+        ).alias("v"),
+    )
+    # deterministic init: centroids = vectors 0..K-1
+    cents = {
+        r["vec_id"]: list(r["v"])
+        for r in v.filter(F.col("vec_id") < KM_K).collect()
+    }
+
+    def assign(cent_map):
+        # broadcast the tiny centroid table; exact integer squared-L2
+        # fold; argmin with centroid-id tie-break (ivf_assign idiom)
+        cdf = spark.createDataFrame(
+            [(int(cid), [int(x) for x in c]) for cid, c in sorted(cent_map.items())],
+            "cid int, c array<bigint>",
+        )
+        diff = lambda i: F.element_at(F.col("v"), i) - F.element_at(F.col("c"), i)
+        dist = F.aggregate(
+            F.sequence(F.lit(1), F.lit(DIM)),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc + diff(i) * diff(i),
+        )
+        d = v.crossJoin(F.broadcast(cdf)).select(
+            "vec_id", "v", "cid", dist.alias("dist")
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cid"))
+        return (
+            d.withColumn("rn_", F.row_number().over(w))
+            .filter(F.col("rn_") == 1)
+            .drop("rn_")
+        )
+
+    import math
+
+    for _ in range(KM_ITERS):
+        upd = (
+            assign(cents)
+            .select("cid", F.posexplode("v").alias("d", "x"))
+            .groupBy("cid", "d")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new_cents = {}
+        for r in upd:
+            new_cents.setdefault(r["cid"], [0] * DIM)[r["d"]] = int(
+                math.floor(r["s"] / r["n"])
+            )
+        # a centroid that lost every member keeps its previous position
+        for cid in cents:
+            if cid not in new_cents:
+                new_cents[cid] = cents[cid]
+        cents = new_cents
+
+    final = assign(cents).select("vec_id", "cid", "dist")
+    checksums = {
+        cid: sum(abs(x) for x in c) % 1_000_000_007
+        for cid, c in cents.items()
+    }
+    chk = F.create_map(
+        *[F.lit(v_) for kv in checksums.items() for v_ in kv]
+    )
+    return final.groupBy("cid").agg(
+        F.count("*").alias("n_members"),
+        F.sum("dist").alias("inertia"),
+    ).withColumn("centroid_checksum", chk[F.col("cid")]).select(
+        "cid", "n_members", "inertia", "centroid_checksum"
+    )
+
+
 QUERIES = {
     "cosine_topk": q_cosine_topk,
     "embed_near_pairs": q_embed_near_pairs,
@@ -326,7 +416,77 @@ QUERIES = {
     "ivf_assign": q_ivf_assign,
     "ivf_search": q_ivf_search,
     "embed_stats": q_embed_stats,
+    "kmeans": q_kmeans,
 }
+
+
+def _kmeans_oracle_sql() -> str:
+    """DuckDB oracle for q_kmeans: the same KM_ITERS Lloyd iterations
+    unrolled as CTEs — exact integer distances, floor(IEEE-division)
+    centroid updates, empty clusters keep their previous position."""
+    int_dist = (
+        "list_reduce(list_prepend(0::BIGINT, "
+        "list_transform(generate_series(1, 64), "
+        "i -> (v.v[i] - c.c[i]) * (v.v[i] - c.c[i]))), (x, y) -> x + y)"
+    )
+    ctes = [
+        f"""v AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(round(x * {KM_SCALE}) AS BIGINT)) AS v
+            FROM embeddings
+        )""",
+        f"c0 AS (SELECT vec_id AS cid, v AS c FROM v WHERE vec_id < {KM_K})",
+    ]
+    for t in range(KM_ITERS):
+        ctes.append(f"""a{t} AS (
+            SELECT vec_id, v, cid, dist FROM (
+                SELECT vec_id, v, cid, dist,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist ASC, cid ASC) AS rn
+                FROM (
+                    SELECT v.vec_id, v.v, c.cid, {int_dist} AS dist
+                    FROM v CROSS JOIN c{t} c
+                )
+            ) WHERE rn = 1
+        )""")
+        ctes.append(f"""u{t} AS (
+            SELECT cid, d, sum(v[d])::BIGINT AS s, count(*) AS n
+            FROM a{t} CROSS JOIN unnest(generate_series(1, 64)) AS t(d)
+            GROUP BY cid, d
+        )""")
+        ctes.append(f"""c{t + 1} AS (
+            SELECT p.cid, coalesce(nc.c, p.c) AS c
+            FROM c{t} p LEFT JOIN (
+                SELECT cid, list(CAST(floor(s / n) AS BIGINT) ORDER BY d) AS c
+                FROM u{t} GROUP BY cid
+            ) nc ON nc.cid = p.cid
+        )""")
+    T = KM_ITERS
+    return f"""
+        WITH {', '.join(ctes)},
+        afinal AS (
+            SELECT vec_id, cid, dist FROM (
+                SELECT vec_id, cid, dist,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist ASC, cid ASC) AS rn
+                FROM (
+                    SELECT v.vec_id, c.cid, {int_dist} AS dist
+                    FROM v CROSS JOIN c{T} c
+                )
+            ) WHERE rn = 1
+        ),
+        chk AS (
+            SELECT cid,
+                   list_reduce(list_prepend(0::BIGINT,
+                       list_transform(c, x -> abs(x))), (a, b) -> a + b)
+                       % 1000000007 AS centroid_checksum
+            FROM c{T}
+        )
+        SELECT a.cid, count(*) AS n_members, sum(a.dist)::BIGINT AS inertia,
+               any_value(chk.centroid_checksum)::BIGINT AS centroid_checksum
+        FROM afinal a JOIN chk ON chk.cid = a.cid
+        GROUP BY a.cid
+    """
 
 _E_CTE = """
         WITH e AS (
@@ -474,3 +634,5 @@ ORACLES = {
         ) WHERE rk <= 3
     """,
 }
+
+ORACLES["kmeans"] = _kmeans_oracle_sql()

@@ -24,6 +24,9 @@ SPOT = [
     "ivf_assign",
     "ann_lsh_search",
     "simhash_near_pairs",
+    "moving_sum",
+    "percentiles",
+    "profile",
 ]
 
 

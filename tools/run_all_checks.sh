@@ -4,7 +4,7 @@ set -e
 cd "$(dirname "$0")/.."
 echo "== pytest =="
 python -m pytest tests/ -x -q
-echo "== Spark-vs-DuckDB oracle gate (48 queries) =="
+echo "== Spark-vs-DuckDB oracle gate (52 queries) =="
 python tools/check_queries.py /root/testdata/sf0.01
 echo "== headline bench =="
 python bench.py
