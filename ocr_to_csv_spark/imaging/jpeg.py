@@ -25,6 +25,12 @@ import struct
 
 import numpy as np
 
+# decode allocation guard: a corrupt/hostile header can declare up to
+# 65535x65535 and OOM the worker before any data-length check fires; a
+# 10^12-doc corpus WILL contain such blobs, and they must raise (->
+# quarantine), never kill the executor. 64 MP >> any scanned page.
+MAX_PIXELS = 64_000_000
+
 # zigzag scan order: index i of the scan -> (row, col) flattened position
 ZIGZAG = np.array([
     0,  1,  8, 16,  9,  2,  3, 10,
@@ -446,6 +452,8 @@ def decode(data: bytes) -> np.ndarray:
         pos += 2 + length
     if scan_pos is None or not comps:
         raise ValueError("no scan in JPEG stream")
+    if h * w == 0 or h * w > MAX_PIXELS:
+        raise ValueError(f"implausible JPEG dimensions {w}x{h}")
 
     hmax = max(c["hs"] for c in scan_comps)
     vmax = max(c["vs"] for c in scan_comps)

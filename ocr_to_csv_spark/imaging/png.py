@@ -16,6 +16,11 @@ import numpy as np
 
 _SIG = b"\x89PNG\r\n\x1a\n"
 
+# decode allocation guard: a corrupt header can declare 2^32-pixel
+# dimensions and OOM the worker before the IDAT length check fires;
+# such blobs must raise (-> quarantine), never kill the executor
+MAX_PIXELS = 64_000_000
+
 
 def _chunk(tag: bytes, data: bytes) -> bytes:
     return (
@@ -69,6 +74,10 @@ def decode(data: bytes) -> np.ndarray:
             idat.extend(body)
         elif tag == b"IEND":
             break
+    if width is None or width * height == 0 or width * height > MAX_PIXELS:
+        raise ValueError(f"implausible PNG dimensions {width}x{height}")
+    if color_type not in (0, 2, 4, 6):
+        raise ValueError(f"unsupported PNG color type {color_type}")
     channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
     stride = width * channels
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)

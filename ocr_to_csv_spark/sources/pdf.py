@@ -144,6 +144,8 @@ def _decode_xobject(body: bytes) -> np.ndarray:
     bpc = _dict_int(body, b"/BitsPerComponent") or 8
     if w is None or h is None or bpc != 8:
         raise ValueError("unsupported image XObject header")
+    if w * h == 0 or w * h > 64_000_000:  # corrupt-header OOM guard
+        raise ValueError(f"implausible XObject dimensions {w}x{h}")
     m = _STREAM_RE.search(body)
     if m is None:
         raise ValueError("image XObject without stream")
