@@ -435,7 +435,10 @@ def extract(
     seg.write.mode("overwrite").parquet(stage_dir)
     seg = spark.read.parquet(stage_dir)
     _STAGE_DIRS.append(stage_dir)
-    while len(_STAGE_DIRS) > 2:
+    # one extract() appends up to TWO dirs (pdf fan-out + segment), so
+    # keep four: the current call's pair plus the previous call's pair
+    # (the documented previous-results-stay-readable window)
+    while len(_STAGE_DIRS) > 4:
         shutil.rmtree(_STAGE_DIRS.pop(0), ignore_errors=True)
 
     # aliases: small dictionary dimension → driver-collected + broadcast to
