@@ -38,15 +38,25 @@ def _dedup_group(
     yield pd.DataFrame(out, columns=["doc_id", "h", "bucket"])
 
 
-def stream_dedup(spark, docs_stream_dir: str, doc_schema: str):
+def stream_dedup(
+    spark,
+    docs_stream_dir: str,
+    doc_schema: str,
+    max_files_per_trigger: int | None = None,
+):
     """Streaming DataFrame of first-seen documents: (doc_id, h, bucket).
 
     Content hash = md5 of the concatenated span texts + media refs; the
     bucket column shards dedup state across the cluster.
+    ``max_files_per_trigger`` is a SOURCE option (admission control —
+    setting it on the sink is silently ignored by Spark).
     """
     from pyspark.sql import functions as F
 
-    docs = spark.readStream.schema(doc_schema).parquet(docs_stream_dir)
+    reader = spark.readStream.schema(doc_schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    docs = reader.parquet(docs_stream_dir)
     hashed = docs.select(
         "doc_id",
         F.md5(

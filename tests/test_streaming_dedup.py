@@ -33,13 +33,12 @@ def test_cross_batch_dedup(spark, corpus_dir, tmp_path):
         1
     ).write.mode("append").parquet(src)
 
-    deduped = stream_dedup(spark, src, DOC_SCHEMA)
+    deduped = stream_dedup(spark, src, DOC_SCHEMA, max_files_per_trigger=1)
     q = (
         deduped.writeStream.format("memory")
         .queryName("dedup_out")
         .outputMode("append")
         .option("checkpointLocation", str(tmp_path / "ckpt"))
-        .option("maxFilesPerTrigger", 1)
         .trigger(availableNow=True)
         .start()
     )
