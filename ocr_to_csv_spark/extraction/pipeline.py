@@ -392,6 +392,14 @@ def extract(
 
     spans, quarantine = quarantine_bad_kinds(explode_spans(documents))
 
+    # aliases are collected CONCURRENTLY with the PDF probe/staging jobs
+    # below — independent driver-blocking actions; overlapping them takes
+    # one small job off the serial floor
+    import concurrent.futures as _cf
+
+    _alias_pool = _cf.ThreadPoolExecutor(max_workers=1)
+    _alias_fut = _alias_pool.submit(aliases.collect)
+
     # ---- PDF fan-out (S2) ------------------------------------------------
     spans, media, pdf_quar = _expand_pdf_spans(spark, spans, media, n_part)
     quarantine = quarantine.unionByName(pdf_quar)
@@ -441,9 +449,11 @@ def extract(
     while len(_STAGE_DIRS) > 4:
         shutil.rmtree(_STAGE_DIRS.pop(0), ignore_errors=True)
 
-    # aliases: small dictionary dimension → driver-collected + broadcast to
-    # every classify task (J1/J2 broadcast side, reference aliases.json)
-    alias_rows = aliases.collect()
+    # aliases: small dictionary dimension → driver-collected (overlapped
+    # with the PDF stage above) + broadcast to every classify task
+    # (J1/J2 broadcast side, reference aliases.json)
+    alias_rows = _alias_fut.result()
+    _alias_pool.shutdown()
     names = sorted(r["value"] for r in alias_rows if r["col"] == 1)
     purposes = sorted(r["value"] for r in alias_rows if r["col"] == 5)
     alias_bc = spark.sparkContext.broadcast((names, purposes))
