@@ -401,6 +401,20 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION percentile path: ``approx_percentile`` (KLL/t-digest
+    style sketch, mergeable map-side — no per-group sorted array in
+    memory, unlike the exact baseline ``q_percentiles``). Not oracle-
+    hashed (sketches are engine-specific); regression-tested against the
+    exact variant within rank tolerance and benched."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("p50"),
+        F.expr("approx_percentile(l_extendedprice, 0.95, 10000)").alias("p95"),
+        F.count("*").alias("n"),
+    )
+
+
 def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column profiling — the first pass any 100 TB ingestion runs:
     per-column null count / distinct count / min / max, emitted as one

@@ -78,3 +78,18 @@ def test_query_matches_oracle(spark, duck, name):
     ec, er = _norm(exp)
     assert gc == ec
     assert gr == er
+
+
+def test_percentiles_approx_close_to_exact(spark):
+    """The sketch-based production path must agree with the exact
+    baseline within relative tolerance (sandbox accuracy=10k makes the
+    sketch near-exact at these group sizes)."""
+    from ocr_to_csv_spark.functions import relational
+
+    exact = {r["l_returnflag"]: r for r in relational.q_percentiles(spark, SF).collect()}
+    approx = {r["l_returnflag"]: r for r in relational.percentiles_approx(spark, SF).collect()}
+    assert set(exact) == set(approx)
+    for k in exact:
+        for col in ("p50", "p95"):
+            e, a = float(exact[k][col]), float(approx[k][col])
+            assert abs(e - a) / e < 0.02, (k, col, e, a)
