@@ -260,6 +260,84 @@ def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the LSH
+    candidate-pair graph, label = min doc_id reachable (singleton docs
+    keep their own id). This is the step that turns pairwise candidates
+    into the actual drop-set of a dedup pipeline.
+
+    Scale design: iterative min-label propagation (the MapReduce CC
+    recipe of Kiveris et al., simplified to one-hop min propagation —
+    near-dup components have tiny diameters, so it converges in a
+    handful of rounds). Each round is one shuffle on node id;
+    ``localCheckpoint`` truncates lineage so round N's plan doesn't
+    re-run rounds 1..N-1, and the edge list is materialized once instead
+    of re-running the MinHash job per round. Convergence is an exact
+    fixpoint check (changed-label count == 0), so results are
+    deterministic and oracle-checkable (DuckDB recursive CTE)."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    pairs = q_lsh_pairs(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .localCheckpoint()
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint()
+    for _ in range(50):  # diameter bound; near-dup graphs converge in ~2-3
+        nbr = (
+            edges.join(labels, edges["src"] == labels["doc_id"])
+            .groupBy(edges["dst"].alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError("dedup_clusters: no fixpoint in 50 rounds")
+
+
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection per near-dup cluster (clusters with
+    ≥2 members): keep the longest document, ties to the smallest doc_id;
+    report cluster size and how many rows a dedup pass would drop.
+    One window pass over the cluster assignment — same SQL both engines."""
+    from pyspark.sql import Window
+
+    c = q_dedup_clusters(spark, sf_dir)
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    j = c.join(d, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    wc = Window.partitionBy("cluster_id")
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_docs", F.count("*").over(wc))
+        .filter((F.col("rn") == 1) & (F.col("n_docs") >= 2))
+        .select(
+            "cluster_id",
+            "n_docs",
+            F.col("doc_id").alias("keep_doc"),
+            (F.col("n_docs") - 1).alias("n_dropped"),
+        )
+    )
+
+
 QUERIES = {
     "minhash_sig": q_minhash_sig,
     "lsh_bucket_stats": q_lsh_bucket_stats,
@@ -268,6 +346,8 @@ QUERIES = {
     "simhash_near_pairs": q_simhash_near_pairs,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_jaccard_est": q_minhash_jaccard_est,
+    "dedup_clusters": q_dedup_clusters,
+    "dedup_survivors": q_dedup_survivors,
 }
 
 _SHINGLE_CTE = f"""
@@ -309,6 +389,35 @@ _BUCKET_SQL = f"""
             SELECT doc_id, seed // {N_SEEDS // N_BANDS} AS band,
                    string_agg(minh, '|' ORDER BY seed) AS band_key
             FROM sig GROUP BY doc_id, band
+        )
+"""
+
+# transitive closure of the LSH pair graph: min reachable doc_id per doc
+# (recursive CTE == the Spark side's converged min-label propagation)
+_CC_SQL = f"""
+        WITH RECURSIVE sig AS ({_SIG_SQL}),
+        buckets AS (
+            SELECT doc_id, seed // {N_SEEDS // N_BANDS} AS band,
+                   string_agg(minh, '|' ORDER BY seed) AS band_key
+            FROM sig GROUP BY doc_id, band
+        ),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+            FROM buckets a JOIN buckets c
+              ON a.band = c.band AND a.band_key = c.band_key
+            WHERE a.doc_id < c.doc_id
+        ),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs
+        ),
+        reach(doc_id, lbl) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id
+        ),
+        clusters AS (
+            SELECT doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc_id
         )
 """
 
@@ -415,5 +524,20 @@ ORACLES = {
         JOIN sizes na ON na.doc_id = doc_a
         JOIN sizes nb ON nb.doc_id = doc_b
         ORDER BY jaccard DESC, doc_a ASC, doc_b ASC LIMIT 20
+    """,
+    "dedup_clusters": f"""{_CC_SQL}
+        SELECT doc_id, cluster_id FROM clusters
+    """,
+    "dedup_survivors": f"""{_CC_SQL}
+        , ranked AS (
+            SELECT c.cluster_id, c.doc_id, d.n_chars,
+                   row_number() OVER (PARTITION BY c.cluster_id
+                                      ORDER BY d.n_chars DESC, c.doc_id ASC) AS rn,
+                   count(*) OVER (PARTITION BY c.cluster_id) AS n_docs
+            FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+        )
+        SELECT cluster_id, n_docs::BIGINT AS n_docs, doc_id AS keep_doc,
+               (n_docs - 1)::BIGINT AS n_dropped
+        FROM ranked WHERE rn = 1 AND n_docs >= 2
     """,
 }

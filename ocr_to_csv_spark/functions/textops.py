@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .util import DUCK_HEX32, hex32, table
+from .util import DUCK_HEX32, duck_ngrams, hex32, ngrams, table
 
 # tiny per-language stopword lexicons (n-gram heuristic; deterministic)
 _LEX = {
@@ -155,6 +155,62 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# per-language keep rates (percent) for corpus rebalancing: downsample the
+# dominant language, keep more of the tail — the standard pre-training mix
+# adjustment. Deterministic hash sampling so every engine/run agrees.
+SAMPLE_RATES = {"en": 30, "de": 60, "es": 60, "fr": 60, "zh": 60}
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: keep a doc iff
+    ``hash(doc_id) % 100 < rate(lang)``. The rate table is a broadcast
+    dim join (at 100 TB the strata table is always dictionary-sized);
+    hash sampling needs no shuffle, no RNG state, and is reproducible
+    across engines and retries — unlike ``df.sample``."""
+    d = table(spark, sf_dir, "documents")
+    rates = spark.createDataFrame(
+        sorted(SAMPLE_RATES.items()), "lang string, rate int"
+    )
+    keep = (
+        hex32(F.concat(F.lit("smp|"), F.col("doc_id").cast("string"))) % 100
+        < F.col("rate")
+    )
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .filter(keep)
+        .select("doc_id", "lang", "source")
+    )
+
+
+def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    5-word n-gram with the held-out eval set (docs with doc_id % 20 == 0
+    stand in for the benchmark suite). The eval n-gram set is
+    dictionary-sized relative to the corpus, so the overlap check is a
+    BROADCAST semi-join on the n-gram — the contaminated-doc scan stays
+    one map-side pass at 100 TB (GPT-3-style 13-gram decontamination,
+    shortened to 5-grams for the synthetic corpus)."""
+    d = table(spark, sf_dir, "documents", spread=True)
+    grams = d.select("doc_id", F.explode(ngrams(F.col("text"), 5)).alias("g")).distinct()
+    eval_g = grams.filter(F.col("doc_id") % 20 == 0).select("g").distinct()
+    train_g = grams.filter(F.col("doc_id") % 20 != 0)
+    hits = (
+        train_g.join(F.broadcast(eval_g), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        d.filter(F.col("doc_id") % 20 != 0)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_contaminated"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 QUERIES = {
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
@@ -163,6 +219,8 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "salted_wordcount": q_salted_wordcount,
     "curation_funnel": q_curation_funnel,
+    "stratified_sample": q_stratified_sample,
+    "decontam": q_decontam,
 }
 
 _TOKS = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
@@ -252,6 +310,32 @@ ORACLES = {
         SELECT word, count(*) AS n FROM (
             SELECT unnest({_TOKS}) AS word FROM documents
         ) GROUP BY word
+    """,
+    "stratified_sample": f"""
+        WITH rates(lang, rate) AS (VALUES {", ".join(f"('{k}', {v})" for k, v in sorted(SAMPLE_RATES.items()))})
+        SELECT d.doc_id, d.lang, d.source
+        FROM documents d JOIN rates r ON d.lang = r.lang
+        WHERE {DUCK_HEX32.format(x="'smp|' || d.doc_id::VARCHAR")} % 100 < r.rate
+    """,
+    "decontam": f"""
+        WITH g0 AS (
+            SELECT doc_id, unnest(gs) AS g FROM (
+                SELECT doc_id, {duck_ngrams(5)} AS gs FROM (
+                    SELECT doc_id, {_TOKS} AS toks FROM documents
+                )
+            )
+        ),
+        g AS (SELECT DISTINCT doc_id, g FROM g0),
+        ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 20 = 0),
+        hits AS (
+            SELECT g.doc_id, count(*) AS n
+            FROM g JOIN ev ON g.g = ev.g
+            WHERE g.doc_id % 20 <> 0 GROUP BY g.doc_id
+        )
+        SELECT d.doc_id, coalesce(h.n, 0)::BIGINT AS n_contaminated,
+               coalesce(h.n, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+        WHERE d.doc_id % 20 <> 0
     """,
 }
 

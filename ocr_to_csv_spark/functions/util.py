@@ -50,3 +50,29 @@ def tokens(col: Column) -> Column:
 
 
 DUCK_TOKENS = "list_filter(string_split_regex({x}, '\\s+'), t -> t <> '')"
+
+
+def ngrams(col: Column, n: int) -> Column:
+    """Space-joined word n-grams in document order (empty array when the
+    document has < n tokens). Pure expression — survives codegen."""
+    toks = tokens(col)
+    sz = F.size(toks)
+    return F.when(
+        sz >= n,
+        F.transform(
+            F.sequence(F.lit(1), sz - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def duck_ngrams(n: int, toks: str = "toks") -> str:
+    """DuckDB expression matching :func:`ngrams` over a token-list column
+    named ``toks`` (same empty-array behaviour for short docs)."""
+    joined = " || ' ' || ".join(f"{toks}[i+{j}]" if j else f"{toks}[i]" for j in range(n))
+    return (
+        f"list_transform(generate_series(1, greatest(len({toks}) - {n - 1}, 0)), "
+        f"i -> {joined})"
+    )

@@ -27,6 +27,10 @@ SPOT = [
     "moving_sum",
     "percentiles",
     "profile",
+    "dedup_clusters",
+    "dedup_survivors",
+    "stratified_sample",
+    "decontam",
 ]
 
 
