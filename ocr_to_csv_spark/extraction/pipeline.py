@@ -47,13 +47,59 @@ def _cleanup_stage_dirs() -> None:
     while _STAGE_DIRS:
         shutil.rmtree(_STAGE_DIRS.pop(), ignore_errors=True)
 
+
+_SWEPT_STALE = False
+
+
+def _sweep_stale_stage_dirs(max_age_s: int = 7200) -> None:
+    """Remove staging dirs leaked by crashed/SIGKILLed runs (atexit never
+    fires for those). Age-gated so staging dirs of jobs running
+    concurrently on the same host are never touched; runs once per
+    process, at the first extract() call."""
+    global _SWEPT_STALE
+    if _SWEPT_STALE:
+        return
+    _SWEPT_STALE = True
+    import time
+
+    now = time.time()
+    tmp = tempfile.gettempdir()
+    try:
+        names = os.listdir(tmp)
+    except OSError:
+        return
+    for name in names:
+        if not name.startswith(("ocr2csv_seg_stage_", "ocr2csv_pdf_stage_")):
+            continue
+        p = os.path.join(tmp, name)
+        try:
+            if p not in _STAGE_DIRS and now - os.path.getmtime(p) > max_age_s:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+
 DATE_REGEX = r"^\d{1,2}/\d{1,2}/(\d{4}|\d{2})$"
 
 # partition multiplier for the two Python-heavy stages (segment input,
 # cell-level salt): finer tasks shorten the straggler tail a mega
 # document leaves at the end of those stages without inflating the
-# partition count of the cheap assembly-tail exchanges
-PY_STAGE_FACTOR = int(os.environ.get("SPARK_GRAFT_PY_STAGE_FACTOR", "1"))
+# partition count of the cheap assembly-tail exchanges. Default is
+# ADAPTIVE: size those stages to ~8 tasks per core (measured +20%
+# at local[32] with 64 shuffle partitions, where the static default
+# left only 2 coarse tasks per thread and a long straggler tail);
+# the same rule holds on a 1000-executor cluster, where the Python
+# stages want several tasks per core regardless of the global shuffle
+# setting. Set SPARK_GRAFT_PY_STAGE_FACTOR to pin it (the scaling
+# protocol pins it so both parallelism levels run the identical plan).
+_PY_STAGE_TASKS_PER_CORE = 8
+
+
+def _py_stage_factor(spark: SparkSession, n_part: int) -> int:
+    env = os.environ.get("SPARK_GRAFT_PY_STAGE_FACTOR")
+    if env:
+        return int(env)
+    cores = spark.sparkContext.defaultParallelism
+    return max(1, -(-_PY_STAGE_TASKS_PER_CORE * cores // n_part))
 
 
 ITEM_SCHEMA = (
@@ -389,6 +435,8 @@ def extract(
     n_part = shuffle_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
+    py_factor = _py_stage_factor(spark, n_part)
+    _sweep_stale_stage_dirs()
 
     spans, quarantine = quarantine_bad_kinds(explode_spans(documents))
 
@@ -421,7 +469,7 @@ def extract(
     pages = (
         spans.filter(F.col("kind").isin("image", "pdf_page"))
         .join(media, "media_ref")
-        .repartition(PY_STAGE_FACTOR * n_part, "doc_id", "offset")
+        .repartition(py_factor * n_part, "doc_id", "offset")
     )
     seg = pages.select("doc_id", "offset", "media_ref", "content").mapInPandas(
         _segment_batches, schema=SEG_SCHEMA
@@ -438,7 +486,7 @@ def extract(
     # (doc_id, offset, row) repartition is the cell-level salt: a single
     # mega page fans out across tasks before the OCR-heavy stage (§4.3),
     # and the staged files inherit that layout.
-    seg = seg.repartition(PY_STAGE_FACTOR * n_part, "doc_id", "offset", "row")
+    seg = seg.repartition(py_factor * n_part, "doc_id", "offset", "row")
     stage_dir = tempfile.mkdtemp(prefix="ocr2csv_seg_stage_")
     seg.write.mode("overwrite").parquet(stage_dir)
     seg = spark.read.parquet(stage_dir)

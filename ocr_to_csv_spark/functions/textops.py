@@ -211,6 +211,51 @@ def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (Gopher-style quality rules):
+    fraction of word 2-grams that are repeats of an earlier 2-gram, and
+    the frequency share of the most common token. Both are pure
+    per-document array expressions — map-side only, no shuffle, fully
+    codegen'd; high-repetition docs are boilerplate/spam candidates."""
+    d = table(spark, sf_dir, "documents", spread=True)
+    toks = F.filter(F.split("text", r"\s+"), lambda t: t != "")
+    grams = ngrams(F.col("text"), 2)
+    n_g = F.size(grams)
+    dup_frac = F.when(
+        n_g > 0,
+        F.round((n_g - F.size(F.array_distinct(grams))) / n_g, 4),
+    ).otherwise(F.lit(0.0))
+    # max token frequency / token count: sort tokens, count the longest
+    # equal-run via aggregate over positions (expression-only argmax)
+    st = F.array_sort(toks)
+    n_t = F.size(st)
+    runs = F.aggregate(
+        F.sequence(F.lit(2), n_t),
+        F.struct(F.lit(1).alias("run"), F.lit(1).alias("best")),
+        lambda acc, i: F.struct(
+            F.when(F.element_at(st, i) == F.element_at(st, i - 1), acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(
+                    F.element_at(st, i) == F.element_at(st, i - 1), acc["run"] + 1
+                ).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+    )
+    # guard: Spark's sequence(2, n) DESCENDS for n < 2 (DuckDB's
+    # generate_series is empty) — take the fold only when it's well-formed
+    best = F.when(n_t >= 2, runs["best"]).otherwise(n_t)
+    top_frac = F.when(n_t > 0, F.round(best / n_t, 4)).otherwise(F.lit(0.0))
+    return d.select(
+        "doc_id",
+        n_g.cast("long").alias("n_2grams"),
+        dup_frac.alias("dup_2gram_frac"),
+        top_frac.alias("top_token_frac"),
+    )
+
+
 QUERIES = {
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
@@ -221,6 +266,7 @@ QUERIES = {
     "curation_funnel": q_curation_funnel,
     "stratified_sample": q_stratified_sample,
     "decontam": q_decontam,
+    "repetition": q_repetition,
 }
 
 _TOKS = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
@@ -336,6 +382,31 @@ ORACLES = {
                coalesce(h.n, 0) > 0 AS contaminated
         FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
         WHERE d.doc_id % 20 <> 0
+    """,
+    # top_token_frac via plain unnest+group-by max count — same result as
+    # the Spark side's sorted-run fold, different (simpler) formulation
+    "repetition": f"""
+        WITH base AS (
+            SELECT doc_id, {_TOKS} AS toks,
+                   {duck_ngrams(2, toks=_TOKS)} AS gs
+            FROM documents
+        ),
+        tc AS (
+            SELECT doc_id, max(c) AS best FROM (
+                SELECT doc_id, tok, count(*) AS c
+                FROM (SELECT doc_id, unnest(toks) AS tok FROM base)
+                GROUP BY doc_id, tok
+            ) GROUP BY doc_id
+        )
+        SELECT b.doc_id,
+               len(b.gs)::BIGINT AS n_2grams,
+               CASE WHEN len(b.gs) > 0
+                    THEN round((len(b.gs) - len(list_distinct(b.gs))) / len(b.gs), 4)
+                    ELSE 0.0 END AS dup_2gram_frac,
+               CASE WHEN len(b.toks) > 0
+                    THEN round(tc.best / len(b.toks), 4)
+                    ELSE 0.0 END AS top_token_frac
+        FROM base b LEFT JOIN tc ON tc.doc_id = b.doc_id
     """,
 }
 

@@ -31,6 +31,7 @@ SPOT = [
     "dedup_survivors",
     "stratified_sample",
     "decontam",
+    "repetition",
 ]
 
 
