@@ -8,7 +8,7 @@ identical arithmetic.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .util import DUCK_HEX32, duck_ngrams, hex32, ngrams, table
@@ -256,6 +256,104 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PII patterns (no \b anchors: Java-regex and RE2 word boundaries are
+# only guaranteed to agree on ASCII, and these patterns self-delimit)
+_PII = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"555-\d{3}-\d{4}",
+    "ip": r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}",
+}
+
+
+def _pii_enriched() -> Column:
+    """The synthetic corpus is a clean word bag, so augment each document
+    in-query with PII derived from doc_id (same stand-in precedent as
+    q_decontam's doc_id % 20 eval set): both engines build the identical
+    enriched string, so the scrub path is genuinely exercised."""
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")
+    email = F.when(
+        did % 3 == 0,
+        F.concat(F.lit(" u"), s(did), F.lit("@ex"), s(did % 7), F.lit(".org")),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        did % 4 == 0,
+        F.concat(
+            F.lit(" 555-"), s(did % 900 + 100), F.lit("-"),
+            F.lpad(s((did * 37) % 10000), 4, "0"),
+        ),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        did % 5 == 0,
+        F.concat(
+            F.lit(" 10."), s(did % 256), F.lit("."), s((did * 3) % 256),
+            F.lit("."), s((did * 7) % 256),
+        ),
+    ).otherwise(F.lit(""))
+    return F.concat(F.col("text"), email, phone, ip)
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: count + scrub emails / phone numbers / IPv4
+    addresses (email → phone → ip, fixed order) into typed placeholders.
+    Pure map-side regexp expressions — codegen'd, no shuffle, embarrassingly
+    parallel at 100 TB; the scrubbed text is md5'd so the oracle verifies
+    the full replacement output without shipping long strings."""
+    d = table(spark, sf_dir, "documents", spread=True)
+    t = _pii_enriched()
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, _PII["email"], "[EMAIL]"),
+            _PII["phone"], "[PHONE]",
+        ),
+        _PII["ip"], "[IP]",
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(_PII["email"])).alias("n_emails"),
+        F.regexp_count(t, F.lit(_PII["phone"])).alias("n_phones"),
+        F.regexp_count(t, F.lit(_PII["ip"])).alias("n_ips"),
+        F.md5(F.encode(scrubbed, "UTF-8")).alias("scrub_md5"),
+    )
+
+
+def q_url_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL extraction + per-host rollup (the crawl-frequency table a
+    curation pipeline uses for domain-level filtering): regexp-extract all
+    URLs, parse the host, aggregate url/document counts per host. One
+    map-side extract pass + one modest-cardinality groupBy (hosts, not
+    URLs, are the key — AQE handles residual hot-host skew; for truly
+    pathological hosts the salted two-phase agg in plans/skew.py applies
+    unchanged)."""
+    d = table(spark, sf_dir, "documents", spread=True)
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")
+    u1 = F.when(
+        did % 2 == 0,
+        F.concat(F.lit(" http://h"), s(did % 5), F.lit(".example.com/p/"), s(did)),
+    ).otherwise(F.lit(""))
+    u2 = F.when(
+        did % 6 == 0,
+        F.concat(F.lit(" https://cdn"), s(did % 3), F.lit(".example.net/a?b="), s(did)),
+    ).otherwise(F.lit(""))
+    t = F.concat(F.col("text"), u1, u2)
+    urls = d.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(t, F.lit(r"https?://[^\s]+"), 0)).alias("url"),
+    )
+    return (
+        urls.select(
+            "doc_id",
+            F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("host"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
 QUERIES = {
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
@@ -267,6 +365,8 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "decontam": q_decontam,
     "repetition": q_repetition,
+    "pii_scrub": q_pii_scrub,
+    "url_hosts": q_url_hosts,
 }
 
 _TOKS = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
@@ -407,6 +507,54 @@ ORACLES = {
                     THEN round(tc.best / len(b.toks), 4)
                     ELSE 0.0 END AS top_token_frac
         FROM base b LEFT JOIN tc ON tc.doc_id = b.doc_id
+    """,
+    "pii_scrub": f"""
+        SELECT doc_id,
+               len(regexp_extract_all(t, '{_PII["email"]}')) AS n_emails,
+               len(regexp_extract_all(t, '{_PII["phone"]}')) AS n_phones,
+               len(regexp_extract_all(t, '{_PII["ip"]}')) AS n_ips,
+               md5(regexp_replace(
+                       regexp_replace(
+                           regexp_replace(t, '{_PII["email"]}', '[EMAIL]', 'g'),
+                           '{_PII["phone"]}', '[PHONE]', 'g'),
+                       '{_PII["ip"]}', '[IP]', 'g')) AS scrub_md5
+        FROM (
+            SELECT doc_id, text
+                || CASE WHEN doc_id % 3 = 0
+                        THEN ' u' || doc_id::VARCHAR || '@ex'
+                             || (doc_id % 7)::VARCHAR || '.org'
+                        ELSE '' END
+                || CASE WHEN doc_id % 4 = 0
+                        THEN ' 555-' || (doc_id % 900 + 100)::VARCHAR || '-'
+                             || lpad(((doc_id * 37) % 10000)::VARCHAR, 4, '0')
+                        ELSE '' END
+                || CASE WHEN doc_id % 5 = 0
+                        THEN ' 10.' || (doc_id % 256)::VARCHAR || '.'
+                             || ((doc_id * 3) % 256)::VARCHAR || '.'
+                             || ((doc_id * 7) % 256)::VARCHAR
+                        ELSE '' END AS t
+            FROM documents
+        )
+    """,
+    "url_hosts": """
+        SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+               count(*) AS n_urls,
+               count(DISTINCT doc_id) AS n_docs
+        FROM (
+            SELECT doc_id, unnest(regexp_extract_all(t, 'https?://[^\\s]+')) AS url
+            FROM (
+                SELECT doc_id, text
+                    || CASE WHEN doc_id % 2 = 0
+                            THEN ' http://h' || (doc_id % 5)::VARCHAR
+                                 || '.example.com/p/' || doc_id::VARCHAR
+                            ELSE '' END
+                    || CASE WHEN doc_id % 6 = 0
+                            THEN ' https://cdn' || (doc_id % 3)::VARCHAR
+                                 || '.example.net/a?b=' || doc_id::VARCHAR
+                            ELSE '' END AS t
+                FROM documents
+            )
+        ) GROUP BY host
     """,
 }
 

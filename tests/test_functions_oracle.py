@@ -32,6 +32,8 @@ SPOT = [
     "stratified_sample",
     "decontam",
     "repetition",
+    "pii_scrub",
+    "url_hosts",
 ]
 
 
