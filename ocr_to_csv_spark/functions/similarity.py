@@ -408,6 +408,99 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SD_K = 8  # semantic-dedup clusters (centroids = vectors 0..SD_K-1)
+SD_T = 1_300_000  # integer squared-L2 near-duplicate threshold
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    embeddings, then find near-duplicate pairs ONLY within each cluster
+    and drop the pair member farther from its centroid.
+
+    The scale story is the whole point: the pairwise comparison is an
+    equi-join on the cluster id, never a corpus crossJoin — quadratic
+    cost is confined inside one cluster, and k grows with the corpus so
+    cluster sizes stay bounded (at 100 TB: k ~ sqrt(N) k-means via
+    q_kmeans's loop, per-cluster pair scan as a chunked numpy matmul in
+    applyInPandas if clusters exceed expression-join comfort). Exactness
+    by construction, like q_kmeans: integer-quantized vectors, exact
+    integer squared-L2 (order-independent sums), deterministic
+    keep/drop rule (farther-from-centroid loses; tie → larger vec_id).
+    Analogue of the reference's duplicate-name demotion (sanity.py:12-36)
+    lifted to embedding space."""
+    e = table(spark, sf_dir, "embeddings", spread=True)
+    v = e.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x * KM_SCALE).cast("long")
+        ).alias("v"),
+    )
+    cdf = (
+        v.filter(F.col("vec_id") < SD_K)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("c"))
+    )
+    diff = lambda i: F.element_at(F.col("v"), i) - F.element_at(F.col("c"), i)
+    dc = F.aggregate(
+        F.sequence(F.lit(1), F.lit(DIM)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc + diff(i) * diff(i),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dc"), F.asc("cid"))
+    assigned = (
+        v.crossJoin(F.broadcast(cdf))
+        .select("vec_id", "v", "cid", dc.alias("dc"))
+        .withColumn("rn_", F.row_number().over(w))
+        .filter(F.col("rn_") == 1)
+        .drop("rn_")
+    )
+    a = assigned.select(
+        F.col("cid"),
+        F.col("vec_id").alias("ia"),
+        F.col("v").alias("va"),
+        F.col("dc").alias("da"),
+    )
+    b = assigned.select(
+        F.col("cid"),
+        F.col("vec_id").alias("ib"),
+        F.col("v").alias("vb"),
+        F.col("dc").alias("db"),
+    )
+    pdiff = lambda i: F.element_at(F.col("va"), i) - F.element_at(F.col("vb"), i)
+    d2 = F.aggregate(
+        F.sequence(F.lit(1), F.lit(DIM)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc + pdiff(i) * pdiff(i),
+    )
+    pairs = (
+        a.join(b, "cid")  # equi-join on cluster id: the SemDeDup trick
+        .filter(F.col("ia") < F.col("ib"))
+        .select("cid", "ia", "ib", "da", "db", d2.alias("d2"))
+        .filter(F.col("d2") <= SD_T)
+    )
+    loser = F.when(
+        (F.col("da") > F.col("db"))
+        | ((F.col("da") == F.col("db")) & (F.col("ia") > F.col("ib"))),
+        F.col("ia"),
+    ).otherwise(F.col("ib"))
+    dropped = pairs.select("cid", loser.alias("loser")).distinct()
+    members = assigned.groupBy("cid").agg(F.count("*").alias("n_members"))
+    np_ = pairs.groupBy("cid").agg(F.count("*").alias("n_pairs"))
+    nd = dropped.groupBy("cid").agg(F.count("*").alias("n_dropped"))
+    return (
+        members.join(np_, "cid", "left")
+        .join(nd, "cid", "left")
+        .select(
+            "cid",
+            "n_members",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+            (F.col("n_members") - F.coalesce("n_dropped", F.lit(0))).alias(
+                "n_survivors"
+            ),
+        )
+    )
+
+
 QUERIES = {
     "cosine_topk": q_cosine_topk,
     "embed_near_pairs": q_embed_near_pairs,
@@ -417,6 +510,7 @@ QUERIES = {
     "ivf_search": q_ivf_search,
     "embed_stats": q_embed_stats,
     "kmeans": q_kmeans,
+    "semdedup": q_semdedup,
 }
 
 
@@ -636,3 +730,45 @@ ORACLES = {
 }
 
 ORACLES["kmeans"] = _kmeans_oracle_sql()
+
+_SD_DIST = (
+    "list_reduce(list_prepend(0::BIGINT, "
+    "list_transform(generate_series(1, {n}), "
+    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), (x, y) -> x + y)"
+)
+
+ORACLES["semdedup"] = f"""
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(round(x * {KM_SCALE}) AS BIGINT)) AS v
+        FROM embeddings
+    ),
+    c AS (SELECT vec_id AS cid, v AS c FROM v WHERE vec_id < {SD_K}),
+    asg AS (
+        SELECT vec_id, v, cid, dc FROM (
+            SELECT v.vec_id, v.v, c.cid,
+                   {_SD_DIST.format(n=DIM, a="v.v", b="c.c")} AS dc,
+                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                       {_SD_DIST.format(n=DIM, a="v.v", b="c.c")} ASC, c.cid ASC) AS rn
+            FROM v CROSS JOIN c
+        ) WHERE rn = 1
+    ),
+    pairs AS (
+        SELECT a.cid, a.vec_id AS ia, b.vec_id AS ib, a.dc AS da, b.dc AS db
+        FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        WHERE {_SD_DIST.format(n=DIM, a="a.v", b="b.v")} <= {SD_T}
+    ),
+    dropped AS (
+        SELECT DISTINCT cid,
+               CASE WHEN (da > db) OR (da = db AND ia > ib) THEN ia ELSE ib END AS loser
+        FROM pairs
+    ),
+    m AS (SELECT cid, count(*) AS n_members FROM asg GROUP BY cid),
+    p AS (SELECT cid, count(*) AS n_pairs FROM pairs GROUP BY cid),
+    d AS (SELECT cid, count(*) AS n_dropped FROM dropped GROUP BY cid)
+    SELECT m.cid, m.n_members,
+           coalesce(p.n_pairs, 0) AS n_pairs,
+           coalesce(d.n_dropped, 0) AS n_dropped,
+           m.n_members - coalesce(d.n_dropped, 0) AS n_survivors
+    FROM m LEFT JOIN p ON p.cid = m.cid LEFT JOIN d ON d.cid = m.cid
+"""

@@ -11,7 +11,16 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .util import DUCK_HEX32, duck_ngrams, hex32, ngrams, table
+from .util import (
+    DUCK_HEX32,
+    DUCK_HEX32B,
+    duck_ngrams,
+    hex32,
+    hex32b,
+    ngrams,
+    table,
+    tokens,
+)
 
 # tiny per-language stopword lexicons (n-gram heuristic; deterministic)
 _LEX = {
@@ -354,6 +363,192 @@ def q_url_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model commonness scoring (CCNet-style perplexity
+    filtering, integer-exact variant): train unigram counts on the corpus
+    itself (the classic wordcount — map-side partial agg), then score
+    each document by the mean corpus frequency of its tokens. Rare-token
+    documents (low mean_freq) are OCR noise / gibberish candidates;
+    boilerplate scores high. At 100 TB the vocabulary aggregate is one
+    shuffle keyed by token (bounded cardinality), and the scoring join
+    broadcasts the top-V vocabulary with a smoothed default for the tail
+    — here the whole vocab is dictionary-sized so it broadcasts whole.
+    Exact by construction: counts are integers, the only float op is one
+    final IEEE division + round."""
+    d = table(spark, sf_dir, "documents", spread=True)
+    tf = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    vocab = tf.groupBy("tok").agg(F.count("*").alias("cnt"))
+    return (
+        tf.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("cnt").alias("common_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "common_sum",
+            F.round(
+                F.col("common_sum").cast("double") / F.col("n_tokens"), 4
+            ).alias("mean_freq"),
+        )
+    )
+
+
+TFIDF_TERMS = ("table", "query", "spark")
+TFIDF_TOPN = 20
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF retrieval for a fixed query-term set, integer-exact: tf per
+    term is a map-side array expression (no explode, no shuffle), df/N is
+    ONE tiny aggregate row broadcast back, idf is integer-scaled
+    floor(N*1e6/df) so scores are exact bigints, and the final top-N is
+    TakeOrderedAndProject (no full sort). The 100 TB shape: one scan +
+    one single-row agg + one top-k — the inverted-index alternative only
+    pays off when the query workload is large and reusable."""
+    d = table(spark, sf_dir, "documents", spread=True)
+    toks = tokens(F.col("text"))
+
+    def tf(term):
+        # NB: the lambda must be unary — a 2-arg lambda would be treated
+        # as (element, index) by F.filter
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    base = d.select(
+        "doc_id", *[tf(t).alias(f"tf_{t}") for t in TFIDF_TERMS]
+    )
+    stats = base.agg(
+        F.count("*").alias("n_docs"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("long")).alias(f"df_{t}")
+            for t in TFIDF_TERMS
+        ],
+    )
+    j = base.crossJoin(F.broadcast(stats))
+    score = None
+    for t in TFIDF_TERMS:
+        idf = F.expr(f"n_docs * 1000000L div greatest(df_{t}, 1L)")
+        term = F.col(f"tf_{t}") * idf
+        score = term if score is None else score + term
+    ranked = j.select(
+        "doc_id", *[f"tf_{t}" for t in TFIDF_TERMS], score.alias("score")
+    ).orderBy(F.desc("score"), F.asc("doc_id")).limit(TFIDF_TOPN)
+    return ranked
+
+
+def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink-graph construction (crawl-frontier analytics): extract
+    outlink URLs per document (map-side regexp, same synthesized links as
+    q_url_hosts), roll up to (source, dst_host) edges with link/document
+    weights, and join each edge to its destination's in-degree (distinct
+    linking sources). The edge rollup is keyed by (source, host) —
+    bounded cardinality, AQE absorbs hot-host skew — and the in-degree
+    table is edge-rollup-sized, so it broadcasts; nothing in the plan
+    touches per-URL cardinality after the first groupBy."""
+    d = table(spark, sf_dir, "documents", spread=True)
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")
+    u1 = F.when(
+        did % 2 == 0,
+        F.concat(F.lit(" http://h"), s(did % 5), F.lit(".example.com/p/"), s(did)),
+    ).otherwise(F.lit(""))
+    u2 = F.when(
+        did % 6 == 0,
+        F.concat(F.lit(" https://cdn"), s(did % 3), F.lit(".example.net/a?b="), s(did)),
+    ).otherwise(F.lit(""))
+    t = F.concat(F.col("text"), u1, u2)
+    edges = (
+        d.select(
+            "source",
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(t, F.lit(r"https?://[^\s]+"), 0)
+            ).alias("url"),
+        )
+        .select(
+            F.col("source").alias("src"),
+            F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("dst"),
+            "doc_id",
+        )
+        .groupBy("src", "dst")
+        .agg(
+            F.count("*").alias("n_links"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+    indeg = edges.groupBy("dst").agg(
+        F.countDistinct("src").alias("dst_in_degree")
+    )
+    return edges.join(F.broadcast(indeg), "dst").select(
+        "src", "dst", "n_links", "n_docs", "dst_in_degree"
+    )
+
+
+BLOOM_WORDS = 32  # 32 x 32-bit words = 1024 bits, 2 hash functions
+
+
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter runtime semi-join — the 100 TB decontamination
+    pattern: instead of shuffling (or even broadcasting) the full eval
+    n-gram SET, aggregate it into a 1024-bit Bloom filter (two md5-slice
+    hash functions, bit_or per word), ship the tiny bitmap as a literal,
+    and pre-filter training-side n-grams map-side; only bloom survivors
+    pay the exact (broadcast) join that removes false positives. This is
+    what AQE's runtime filters / Iceberg bloom policies do under the
+    hood, expressed explicitly. Guarantee checked by the oracle: zero
+    false NEGATIVES (every truly contaminated gram passes the bloom), a
+    measured false-positive count, everything integer-exact."""
+    d = table(spark, sf_dir, "documents", spread=True)
+    grams = (
+        d.select("doc_id", F.explode(ngrams(F.col("text"), 5)).alias("g"))
+        .distinct()
+    )
+    m_bits = BLOOM_WORDS * 32
+    p1 = (hex32(F.col("g")) % m_bits).alias("p1")
+    p2 = (hex32b(F.col("g")) % m_bits).alias("p2")
+    eval_g = grams.filter(F.col("doc_id") % 20 == 0).select("g").distinct()
+    bitmap_rows = (
+        eval_g.select(
+            F.explode(
+                F.array(hex32(F.col("g")) % m_bits, hex32b(F.col("g")) % m_bits)
+            ).alias("p")
+        )
+        .select(
+            F.expr("p div 32").alias("w"),
+            F.expr("shiftleft(1L, cast(p % 32 as int))").alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("bits"))
+        .collect()
+    )
+    bits = [0] * BLOOM_WORDS
+    for r in bitmap_rows:
+        bits[int(r["w"])] = int(r["bits"])
+    bloom = F.array(*[F.lit(int(x)).cast("long") for x in bits])
+    train_g = grams.filter(F.col("doc_id") % 20 != 0).select(
+        "doc_id", "g", p1, p2
+    )
+    hit = lambda p: (
+        F.element_at(bloom, F.expr(f"cast({p} div 32 as int)") + 1).bitwiseAND(
+            F.expr(f"shiftleft(1L, cast({p} % 32 as int))")
+        )
+        != 0
+    )
+    cand = train_g.filter(hit("p1") & hit("p2"))
+    exact = cand.join(
+        F.broadcast(eval_g.withColumn("true_hit", F.lit(1))), "g", "left"
+    )
+    return exact.groupBy("doc_id").agg(
+        F.count("*").alias("n_candidate_grams"),
+        F.sum(F.coalesce("true_hit", F.lit(0))).alias("n_true_grams"),
+        (F.count("*") - F.sum(F.coalesce("true_hit", F.lit(0)))).alias(
+            "n_false_pos"
+        ),
+    )
+
+
 QUERIES = {
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
@@ -367,6 +562,10 @@ QUERIES = {
     "repetition": q_repetition,
     "pii_scrub": q_pii_scrub,
     "url_hosts": q_url_hosts,
+    "lm_commonness": q_lm_commonness,
+    "tfidf_topk": q_tfidf_topk,
+    "link_graph": q_link_graph,
+    "bloom_semi_join": q_bloom_semi_join,
 }
 
 _TOKS = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
@@ -557,6 +756,106 @@ ORACLES = {
         ) GROUP BY host
     """,
 }
+
+ORACLES["lm_commonness"] = f"""
+    WITH tf AS (
+        SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+    ),
+    v AS (SELECT tok, count(*) AS cnt FROM tf GROUP BY tok)
+    SELECT tf.doc_id, count(*)::BIGINT AS n_tokens,
+           sum(v.cnt)::BIGINT AS common_sum,
+           round(sum(v.cnt)::BIGINT::DOUBLE / count(*), 4) AS mean_freq
+    FROM tf JOIN v ON v.tok = tf.tok
+    GROUP BY tf.doc_id
+"""
+
+ORACLES["tfidf_topk"] = f"""
+    WITH base AS (
+        SELECT doc_id,
+               {", ".join(f"len(list_filter({_TOKS}, x -> x = '{t}')) AS tf_{t}" for t in TFIDF_TERMS)}
+        FROM documents
+    ),
+    stats AS (
+        SELECT count(*) AS n_docs,
+               {", ".join(f"sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}" for t in TFIDF_TERMS)}
+        FROM base
+    )
+    SELECT doc_id, {", ".join(f"tf_{t}" for t in TFIDF_TERMS)},
+           ({" + ".join(f"tf_{t} * (n_docs * 1000000 // greatest(df_{t}, 1))" for t in TFIDF_TERMS)})::BIGINT AS score
+    FROM base CROSS JOIN stats
+    ORDER BY score DESC, doc_id ASC LIMIT {TFIDF_TOPN}
+"""
+
+ORACLES["link_graph"] = """
+    WITH edges AS (
+        SELECT source AS src,
+               regexp_extract(url, '^https?://([^/]+)', 1) AS dst,
+               count(*) AS n_links,
+               count(DISTINCT doc_id) AS n_docs
+        FROM (
+            SELECT source, doc_id,
+                   unnest(regexp_extract_all(t, 'https?://[^\\s]+')) AS url
+            FROM (
+                SELECT source, doc_id, text
+                    || CASE WHEN doc_id % 2 = 0
+                            THEN ' http://h' || (doc_id % 5)::VARCHAR
+                                 || '.example.com/p/' || doc_id::VARCHAR
+                            ELSE '' END
+                    || CASE WHEN doc_id % 6 = 0
+                            THEN ' https://cdn' || (doc_id % 3)::VARCHAR
+                                 || '.example.net/a?b=' || doc_id::VARCHAR
+                            ELSE '' END AS t
+                FROM documents
+            )
+        ) GROUP BY src, dst
+    ),
+    indeg AS (
+        SELECT dst, count(DISTINCT src) AS dst_in_degree FROM edges GROUP BY dst
+    )
+    SELECT e.src, e.dst, e.n_links, e.n_docs, i.dst_in_degree
+    FROM edges e JOIN indeg i ON i.dst = e.dst
+"""
+
+ORACLES["bloom_semi_join"] = f"""
+    WITH grams AS (
+        SELECT DISTINCT doc_id, unnest(gs) AS g FROM (
+            SELECT doc_id, {duck_ngrams(5)} AS gs FROM (
+                SELECT doc_id, {_TOKS} AS toks FROM documents
+            )
+        )
+    ),
+    eval_g AS (
+        SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0
+    ),
+    bloom AS (
+        SELECT p // 32 AS w, bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS bits
+        FROM (
+            SELECT unnest([{DUCK_HEX32.format(x="g")} % {BLOOM_WORDS * 32},
+                           {DUCK_HEX32B.format(x="g")} % {BLOOM_WORDS * 32}]) AS p
+            FROM eval_g
+        ) GROUP BY w
+    ),
+    train_g AS (
+        SELECT doc_id, g,
+               {DUCK_HEX32.format(x="g")} % {BLOOM_WORDS * 32} AS p1,
+               {DUCK_HEX32B.format(x="g")} % {BLOOM_WORDS * 32} AS p2
+        FROM grams WHERE doc_id % 20 <> 0
+    ),
+    cand AS (
+        SELECT t.doc_id, t.g
+        FROM train_g t
+        JOIN bloom w1 ON w1.w = t.p1 // 32
+        JOIN bloom w2 ON w2.w = t.p2 // 32
+        WHERE (w1.bits & (1::BIGINT << CAST(t.p1 % 32 AS INT))) <> 0
+          AND (w2.bits & (1::BIGINT << CAST(t.p2 % 32 AS INT))) <> 0
+    )
+    SELECT c.doc_id,
+           count(*)::BIGINT AS n_candidate_grams,
+           sum(CASE WHEN e.g IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_true_grams,
+           (count(*) - sum(CASE WHEN e.g IS NOT NULL THEN 1 ELSE 0 END))::BIGINT AS n_false_pos
+    FROM cand c LEFT JOIN eval_g e ON e.g = c.g
+    GROUP BY c.doc_id
+"""
 
 ORACLES["curation_funnel"] = ORACLES["curation_funnel"].format(
     LANG_SQL=ORACLES["lang_id"],

@@ -43,6 +43,18 @@ def hex32(col: Column) -> Column:
 DUCK_HEX32 = "(('0x' || substr(md5({x}), 1, 8))::BIGINT)"
 
 
+def hex32b(col: Column) -> Column:
+    """Second independent 32-bit slice of the same md5 (hex chars 9-16) —
+    a second hash function for Bloom filters at zero extra hashing cost
+    (parity with DuckDB ``('0x' || substr(md5(x),9,8))::BIGINT``)."""
+    return F.conv(F.substring(F.md5(F.encode(col, "UTF-8")), 9, 8), 16, 10).cast(
+        "long"
+    )
+
+
+DUCK_HEX32B = "(('0x' || substr(md5({x}), 9, 8))::BIGINT)"
+
+
 def tokens(col: Column) -> Column:
     """Whitespace tokenization, empty tokens dropped (same as DuckDB
     ``list_filter(string_split_regex(x, '\\s+'), t -> t <> '')``)."""

@@ -34,6 +34,11 @@ SPOT = [
     "repetition",
     "pii_scrub",
     "url_hosts",
+    "semdedup",
+    "lm_commonness",
+    "tfidf_topk",
+    "link_graph",
+    "bloom_semi_join",
 ]
 
 
