@@ -50,3 +50,55 @@ def test_empty_and_untagged_inputs():
 def test_header_rows_flagged():
     out = parse_html("<table><tr><th>H</th></tr><tr><td>v</td></tr></table>")
     assert out == [("header_row", ["H"]), ("table_row", ["v"])]
+
+
+def test_colspan_expands_to_grid_slots():
+    out = parse_html(
+        "<table><tr><td colspan=2>a</td><td>b</td></tr>"
+        "<tr><td>c</td><td>d</td><td>e</td></tr></table>"
+    )
+    assert out == [
+        ("table_row", ["a", "a", "b"]),
+        ("table_row", ["c", "d", "e"]),
+    ]
+
+
+def test_rowspan_carries_into_following_rows():
+    out = parse_html(
+        "<table><tr><td rowspan=2>a</td><td>b</td></tr>"
+        "<tr><td>c</td></tr><tr><td>d</td><td>e</td></tr></table>"
+    )
+    assert out == [
+        ("table_row", ["a", "b"]),
+        ("table_row", ["a", "c"]),  # rowspan re-fills column 0
+        ("table_row", ["d", "e"]),  # span exhausted
+    ]
+
+
+def test_rowspan_colspan_combined_and_trailing():
+    # 2x2 block spanning both directions; second row has only one cell,
+    # so the pending block pads its slots
+    out = parse_html(
+        "<table><tr><td colspan=2 rowspan=2>x</td><td>r1</td></tr>"
+        "<tr><td>r2</td></tr></table>"
+    )
+    assert out == [
+        ("table_row", ["x", "x", "r1"]),
+        ("table_row", ["x", "x", "r2"]),
+    ]
+
+
+def test_hostile_span_values_clipped_or_defaulted():
+    out = parse_html(
+        "<table><tr><td colspan=999999999>a</td><td colspan=zzz>b</td></tr></table>"
+    )
+    row = out[0][1]
+    assert len(row) == 257 and row[-1] == "b"  # clipped to 256, malformed -> 1
+
+
+def test_rowspan_state_resets_between_tables():
+    out = parse_html(
+        "<table><tr><td rowspan=3>a</td></tr></table>"
+        "<table><tr><td>b</td></tr></table>"
+    )
+    assert out == [("table_row", ["a"]), ("table_row", ["b"])]
