@@ -438,6 +438,74 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+IVL_WIN = 600  # interval width (sec) == bucket width
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join via bucketing — the scale-safe alternative
+    to Spark's default plan for `p.ts BETWEEN i.lo AND i.hi` (a
+    BroadcastNestedLoopJoin that is O(|intervals|*|points|)): each error
+    event opens a 10-minute window; each interval is exploded into the
+    1-2 coarse time buckets it overlaps, click events carry their single
+    bucket, and the join becomes a shuffle EQUI-join on the bucket id
+    followed by the exact containment filter. Bucket width == interval
+    width bounds the explode factor at 2, and the equi-join partitions
+    by time bucket — uniform at any scale. Sums are exact (cent-integer
+    money, like pricing_summary)."""
+    ev = table(spark, sf_dir, "events", spread=True)
+    sec = F.unix_timestamp("ts").cast("long")
+    ivl = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("ivl_id"),
+        sec.alias("lo"),
+        (sec + IVL_WIN).alias("hi"),
+    )
+    ivl_b = ivl.select(
+        "*",
+        F.explode(
+            F.sequence(F.expr(f"lo div {IVL_WIN}"), F.expr(f"hi div {IVL_WIN}"))
+        ).alias("b"),
+    )
+    pts = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        sec.alias("p"),
+        F.expr(f"cast(unix_timestamp(ts) as long) div {IVL_WIN}").alias("b"),
+    )
+    hits = (
+        ivl_b.join(pts, "b")
+        .filter((F.col("p") >= F.col("lo")) & (F.col("p") < F.col("hi")))
+        .select("ivl_id", "click_id", "cents")
+        .distinct()  # an interval meets a click in at most one bucket, but stay safe
+    )
+    return hits.groupBy("ivl_id").agg(
+        F.count("*").alias("n_clicks"),
+        F.sum("cents").alias("click_cents"),
+    )
+
+
+HIST_W = 10_000  # bucket width in cents ($100)
+HIST_NB = 50
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of line-item prices — one map-side bucket
+    expression + one bounded-cardinality groupBy (partial agg combines
+    map-side; the shuffle carries ≤ HIST_NB rows per task regardless of
+    input size). Money as integer cents so bucket edges are exact."""
+    li = table(spark, sf_dir, "lineitem", spread=True)
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    bucket = F.least(F.expr(f"cast(round(l_extendedprice * 100) as long) div {HIST_W}"), F.lit(HIST_NB - 1).cast("long"))
+    return (
+        li.select(bucket.alias("bucket"), cents.alias("cents"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+    )
+
+
 QUERIES = {
     "f1_kind_filter": q_f1_kind_filter,
     "f8_regex_filter": q_f8_regex_filter,
@@ -465,6 +533,8 @@ QUERIES = {
     "moving_sum": q_moving_sum,
     "percentiles": q_percentiles,
     "profile": q_profile,
+    "interval_join": q_interval_join,
+    "histogram": q_histogram,
 }
 
 ORACLES = {
@@ -666,5 +736,25 @@ ORACLES = {
                count(DISTINCT o_orderpriority),
                min(o_orderpriority), max(o_orderpriority)
         FROM orders
+    """,
+    "interval_join": """
+        SELECT i.event_id AS ivl_id, count(*) AS n_clicks,
+               sum(c.cents)::BIGINT AS click_cents
+        FROM (SELECT event_id, floor(epoch(ts))::BIGINT AS lo,
+                     floor(epoch(ts))::BIGINT + 600 AS hi
+              FROM events WHERE event_type = 'error') i
+        JOIN (SELECT event_id, round(value * 100)::BIGINT AS cents,
+                     floor(epoch(ts))::BIGINT AS p
+              FROM events WHERE event_type = 'click') c
+          ON c.p >= i.lo AND c.p < i.hi
+        GROUP BY i.event_id
+    """,
+    "histogram": """
+        SELECT least(round(l_extendedprice * 100)::BIGINT // 10000, 49) AS bucket,
+               count(*) AS n,
+               min(round(l_extendedprice * 100)::BIGINT) AS min_cents,
+               max(round(l_extendedprice * 100)::BIGINT) AS max_cents
+        FROM lineitem
+        GROUP BY 1
     """,
 }

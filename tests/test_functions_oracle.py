@@ -39,7 +39,19 @@ SPOT = [
     "tfidf_topk",
     "link_graph",
     "bloom_semi_join",
+    "interval_join",
+    "histogram",
 ]
+
+
+def test_interval_join_plan_has_no_nested_loop(spark):
+    """The bucketed range join must compile to a shuffle equi-join —
+    never the O(n*m) BroadcastNestedLoopJoin Spark picks for a raw
+    BETWEEN predicate."""
+    from ocr_to_csv_spark.functions import relational
+
+    plan = relational.q_interval_join(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
 
 
 def test_cosine_topk_fast_matches_fold(spark):
