@@ -486,6 +486,89 @@ def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PR_SCALE = 1_000_000  # fixed-point rank units per node at init
+PR_ITERS = 3
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative PageRank over a synthesized doc→doc link graph — the
+    Pregel-in-DataFrame idiom: the static edge list (joined once to its
+    out-degrees) meets the node-sized rank table in a shuffle equi-join
+    on src each superstep, contributions re-aggregate by dst, and a left
+    join against the node universe restores dangling/no-inlink nodes.
+    Per iteration that is one join + one groupBy, both keyed — the same
+    plan at 10^9 nodes (ranks never broadcast, never collected).
+
+    Exact by construction: ranks are integer fixed-point units
+    (PR_SCALE per node), damping is floor(r*85/100) split as
+    floor(·/outdeg) per edge — all order-independent integer sums, so
+    the DuckDB oracle (same 3 unrolled iterations) matches bit-for-bit.
+    Leftover units from the two floors leak deterministically (no
+    renormalization), as does dangling mass — both engines agree.
+    Edges are modular-arithmetic synthesized over the dense doc_id
+    domain: d→(2d+1)%N unless d%3==0, d→(7d+3)%N for even d,
+    d→(d+N/2)%N when d%6==1; d%6==3 nodes are dangling."""
+    d = table(spark, sf_dir, "documents", spread=True)
+    n = d.count()
+    nodes = d.select(F.col("doc_id").cast("long").alias("id"))
+    i = F.col("id")
+    e1 = nodes.filter(i % 3 != 0).select(i.alias("src"), ((i * 2 + 1) % n).alias("dst"))
+    e2 = nodes.filter(i % 2 == 0).select(i.alias("src"), ((i * 7 + 3) % n).alias("dst"))
+    e3 = nodes.filter(i % 6 == 1).select(i.alias("src"), ((i + n // 2) % n).alias("dst"))
+    edges = e1.unionByName(e2).unionByName(e3)
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    ed = edges.join(outdeg, "src")  # static across supersteps
+    base = PR_SCALE * 15 // 100
+    ranks = nodes.select("id", F.lit(PR_SCALE).cast("long").alias("r"))
+    for _ in range(PR_ITERS):
+        inc = (
+            ed.join(ranks.withColumnRenamed("id", "src"), "src")
+            .select("dst", F.expr("(r * 85 div 100) div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inc"))
+        )
+        ranks = nodes.join(inc, nodes.id == inc.dst, "left").select(
+            "id",
+            (F.lit(base) + F.coalesce("inc", F.lit(0))).cast("long").alias("r"),
+        )
+    return ranks.select(F.col("id").alias("doc_id"), F.col("r").alias("rank_units"))
+
+
+_PR_SQL = """
+    WITH nodes AS (SELECT doc_id::BIGINT AS id FROM documents),
+    nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+    edges AS (
+        SELECT id AS src, (id*2+1) %% (SELECT n FROM nn) AS dst
+        FROM nodes WHERE id %% 3 <> 0
+        UNION ALL
+        SELECT id, (id*7+3) %% (SELECT n FROM nn) FROM nodes WHERE id %% 2 = 0
+        UNION ALL
+        SELECT id, (id + (SELECT n FROM nn) // 2) %% (SELECT n FROM nn)
+        FROM nodes WHERE id %% 6 = 1
+    ),
+    deg AS (SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY src),
+    r0 AS (SELECT id, 1000000::BIGINT AS r FROM nodes),
+    %s
+    SELECT id AS doc_id, r AS rank_units FROM r%d
+"""
+
+_PR_STEP = """
+    r%d AS (
+        SELECT n.id, (150000 + coalesce(c.inc, 0))::BIGINT AS r
+        FROM nodes n LEFT JOIN (
+            SELECT e.dst, sum((p.r * 85 // 100) // d.deg)::BIGINT AS inc
+            FROM edges e JOIN deg d USING (src) JOIN r%d p ON p.id = e.src
+            GROUP BY e.dst
+        ) c ON c.dst = n.id
+    )
+"""
+
+
+def _pagerank_oracle_sql() -> str:
+    steps = ",".join(_PR_STEP % (k + 1, k) for k in range(PR_ITERS))
+    return _PR_SQL % (steps, PR_ITERS)  # %-format also folds %% -> %
+
+
 BLOOM_WORDS = 32  # 32 x 32-bit words = 1024 bits, 2 hash functions
 
 
@@ -566,6 +649,7 @@ QUERIES = {
     "tfidf_topk": q_tfidf_topk,
     "link_graph": q_link_graph,
     "bloom_semi_join": q_bloom_semi_join,
+    "pagerank": q_pagerank,
 }
 
 _TOKS = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
@@ -862,3 +946,5 @@ ORACLES["curation_funnel"] = ORACLES["curation_funnel"].format(
     QUAL_SQL=ORACLES["quality_score"],
     DED_SQL=ORACLES["dedup_exact"],
 )
+
+ORACLES["pagerank"] = _pagerank_oracle_sql()

@@ -41,6 +41,7 @@ SPOT = [
     "bloom_semi_join",
     "interval_join",
     "histogram",
+    "pagerank",
 ]
 
 
