@@ -506,6 +506,79 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (o_orderstatus, o_orderpriority): all four grouping
+    sets in one Expand + single hash agg pass (vs four scans if written
+    as unioned GROUP BYs). Keys coalesced to 'ALL' like
+    rollup_hierarchy. Money summed as integer cents for exact parity."""
+    o = table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        o.select("o_orderstatus", "o_orderpriority", cents.alias("cents"))
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("cents"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "cents",
+        )
+    )
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup -> click -> purchase: per user,
+    the earliest signup, the earliest click strictly after it, the
+    earliest purchase strictly after that — then one row per funnel
+    stage with the user count. One groupBy(user) with conditional
+    min-aggregates computed from per-user stage times (two chained
+    window-free aggregations; no self-joins, no per-event state), so
+    the plan is two key-partitioned agg passes at any scale."""
+    e = table(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts").cast("long")
+    # stage 1: earliest signup per user
+    t = e.select("user_id", "event_type", sec.alias("s"))
+    per_user = t.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("s"))).alias("t_signup")
+    )
+    # stage 2+3 need event-level comparison against t_signup: broadcast-size
+    # per-user table? No — join back on user_id (key-partitioned equi-join).
+    j = t.join(per_user, "user_id")
+    stages = j.groupBy("user_id", "t_signup").agg(
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("s") > F.col("t_signup")),
+                F.col("s"),
+            )
+        ).alias("t_click")
+    )
+    j2 = t.join(stages, "user_id")
+    final = j2.groupBy("user_id", "t_signup", "t_click").agg(
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("s") > F.col("t_click")),
+                F.col("s"),
+            )
+        ).alias("t_purchase")
+    )
+    return final.agg(
+        F.count("*").alias("users"),
+        F.sum(F.when(F.col("t_signup").isNotNull(), 1).otherwise(0)).alias("signup"),
+        F.sum(
+            F.when(F.col("t_signup").isNotNull() & F.col("t_click").isNotNull(), 1)
+            .otherwise(0)
+        ).alias("click_after_signup"),
+        F.sum(
+            F.when(
+                F.col("t_signup").isNotNull()
+                & F.col("t_click").isNotNull()
+                & F.col("t_purchase").isNotNull(),
+                1,
+            ).otherwise(0)
+        ).alias("purchase_after_click"),
+    )
+
+
 QUERIES = {
     "f1_kind_filter": q_f1_kind_filter,
     "f8_regex_filter": q_f8_regex_filter,
@@ -535,6 +608,8 @@ QUERIES = {
     "profile": q_profile,
     "interval_join": q_interval_join,
     "histogram": q_histogram,
+    "cube": q_cube,
+    "event_funnel": q_event_funnel,
 }
 
 ORACLES = {
@@ -748,6 +823,47 @@ ORACLES = {
               FROM events WHERE event_type = 'click') c
           ON c.p >= i.lo AND c.p < i.hi
         GROUP BY i.event_id
+    """,
+    "cube": """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n,
+               sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "event_funnel": """
+        WITH t AS (
+            SELECT user_id, event_type, floor(epoch(ts))::BIGINT AS s FROM events
+        ),
+        u1 AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'signup' THEN s END) AS t_signup
+            FROM t GROUP BY user_id
+        ),
+        u2 AS (
+            SELECT t.user_id, u1.t_signup,
+                   min(CASE WHEN event_type = 'click' AND s > t_signup
+                            THEN s END) AS t_click
+            FROM t JOIN u1 USING (user_id)
+            GROUP BY t.user_id, u1.t_signup
+        ),
+        u3 AS (
+            SELECT t.user_id, u2.t_signup, u2.t_click,
+                   min(CASE WHEN event_type = 'purchase' AND s > t_click
+                            THEN s END) AS t_purchase
+            FROM t JOIN u2 USING (user_id)
+            GROUP BY t.user_id, u2.t_signup, u2.t_click
+        )
+        SELECT count(*) AS users,
+               sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                   AS signup,
+               sum(CASE WHEN t_signup IS NOT NULL AND t_click IS NOT NULL
+                        THEN 1 ELSE 0 END)::BIGINT AS click_after_signup,
+               sum(CASE WHEN t_signup IS NOT NULL AND t_click IS NOT NULL
+                             AND t_purchase IS NOT NULL
+                        THEN 1 ELSE 0 END)::BIGINT AS purchase_after_click
+        FROM u3
     """,
     "histogram": """
         SELECT least(round(l_extendedprice * 100)::BIGINT // 10000, 49) AS bucket,

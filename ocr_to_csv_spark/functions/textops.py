@@ -569,6 +569,55 @@ def _pagerank_oracle_sql() -> str:
     return _PR_SQL % (steps, PR_ITERS)  # %-format also folds %% -> %
 
 
+CC_ROUNDS = 7  # >= graph diameter by construction (chains of 8)
+
+
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by iterative min-label propagation — the
+    second graph-algorithm class next to pagerank: labels start as node
+    ids; each superstep every node takes the min of its own label and
+    its neighbors' (edge⋈label equi-join on the source, min-groupBy on
+    the destination, left-join back onto the node universe). The edge
+    list is synthesized as chains of 8 over the dense doc_id domain
+    (d—d+1 unless d%8==7) plus intra-block shortcuts (d—d-5 when
+    d%8>=5), so the diameter is < CC_ROUNDS and the fixed-round loop
+    provably converges; the oracle is the analytically-known component
+    id 8*(d div 8). Per superstep the plan is one shuffle join + one
+    groupBy, both keyed — at a 10^9-node scale you'd swap the linear
+    propagation for pointer-doubling (log-diameter rounds), same
+    per-round plan shape."""
+    d = table(spark, sf_dir, "documents", spread=True)
+    n = d.count()
+    nodes = d.select(F.col("doc_id").cast("long").alias("id"))
+    i = F.col("id")
+    fwd = (
+        nodes.filter(i % 8 != 7)
+        .select(i.alias("a"), (i + 1).alias("b"))
+        .filter(F.col("b") < n)
+    )
+    cross = nodes.filter(i % 8 >= 5).select(i.alias("a"), (i - 5).alias("b"))
+    e = fwd.unionByName(cross)
+    edges = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    labels = nodes.select("id", i.alias("comp"))
+    for _ in range(CC_ROUNDS):
+        nb = (
+            edges.join(
+                labels.select(F.col("id").alias("a"), F.col("comp").alias("lc")),
+                "a",
+            )
+            .groupBy("b")
+            .agg(F.min("lc").alias("nb_min"))
+        )
+        labels = labels.join(nb, labels.id == nb.b, "left").select(
+            "id",
+            F.least("comp", F.coalesce("nb_min", F.col("comp"))).alias("comp"),
+        )
+    w = Window.partitionBy("comp")
+    return labels.select(F.col("id").alias("doc_id"), "comp").withColumn(
+        "comp_size", F.count("*").over(w)
+    )
+
+
 BLOOM_WORDS = 32  # 32 x 32-bit words = 1024 bits, 2 hash functions
 
 
@@ -650,6 +699,7 @@ QUERIES = {
     "link_graph": q_link_graph,
     "bloom_semi_join": q_bloom_semi_join,
     "pagerank": q_pagerank,
+    "connected_components": q_connected_components,
 }
 
 _TOKS = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
@@ -948,3 +998,10 @@ ORACLES["curation_funnel"] = ORACLES["curation_funnel"].format(
 )
 
 ORACLES["pagerank"] = _pagerank_oracle_sql()
+
+# ground truth known analytically from the synthesized block structure
+ORACLES["connected_components"] = """
+    SELECT doc_id::BIGINT AS doc_id, (doc_id // 8 * 8)::BIGINT AS comp,
+           (count(*) OVER (PARTITION BY doc_id // 8))::BIGINT AS comp_size
+    FROM documents
+"""

@@ -42,6 +42,9 @@ SPOT = [
     "interval_join",
     "histogram",
     "pagerank",
+    "cube",
+    "event_funnel",
+    "connected_components",
 ]
 
 
