@@ -579,6 +579,79 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension history build from a changelog:
+    each event opens a validity interval closed by the user's next event
+    (lead over (user, ts)); the open interval is the current row. One
+    window pass, keyed by user — the standard warehouse pattern for
+    turning an append-only log into point-in-time joinable history."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    nxt = F.lead("ts").over(w)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.col("event_type").alias("state"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format(nxt, "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event value in time order — the
+    order-dependent-recurrence class (e_i = (3*e_{i-1} + v_i) div 4 in
+    integer cents, exact in any engine): values are gathered into one
+    ordered array per user (keyed groupBy) and folded with a sequential
+    left fold, the same sentinel-init fold the DuckDB oracle runs.
+    State per user is O(events-per-user); the fold itself is map-side
+    after the single keyed shuffle."""
+    e = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    sec = F.unix_timestamp("ts").cast("long")
+    arr = F.transform(
+        F.sort_array(
+            F.collect_list(F.struct(sec.alias("s"), F.col("event_id"), cents.alias("c")))
+        ),
+        lambda x: x["c"],
+    )
+    fold = F.aggregate(
+        arr,
+        F.lit(-1).cast("long"),
+        lambda acc, x: F.when(acc < 0, x).otherwise(
+            F.floor((acc * 3 + x) / 4).cast("long")
+        ),
+    )
+    return (
+        e.groupBy("user_id")
+        .agg(fold.alias("ewma_cents"), F.count("*").alias("n_events"))
+    )
+
+
+SLIDE_W = 600  # window width (sec)
+SLIDE_S = 300  # slide step (sec)
+
+
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping (sliding) time windows in batch: 10-minute windows
+    every 5 minutes — each event belongs to exactly W/S = 2 windows, so
+    it is exploded into its two window starts map-side and aggregated
+    with one bounded-fan-out groupBy. This is the batch twin of
+    Structured Streaming's window(ts, '10 minutes', '5 minutes')."""
+    e = table(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts").cast("long")
+    base = sec - (sec % SLIDE_S)  # all-integer bucket floor
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        e.select(
+            F.explode(F.array(base - SLIDE_S, base)).alias("win_start"),
+            cents.alias("cents"),
+        )
+        .groupBy("win_start")
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("cents"))
+    )
+
+
 QUERIES = {
     "f1_kind_filter": q_f1_kind_filter,
     "f8_regex_filter": q_f8_regex_filter,
@@ -610,6 +683,9 @@ QUERIES = {
     "histogram": q_histogram,
     "cube": q_cube,
     "event_funnel": q_event_funnel,
+    "scd2": q_scd2,
+    "ewma": q_ewma,
+    "sliding_window": q_sliding_window,
 }
 
 ORACLES = {
@@ -823,6 +899,40 @@ ORACLES = {
               FROM events WHERE event_type = 'click') c
           ON c.p >= i.lo AND c.p < i.hi
         GROUP BY i.event_id
+    """,
+    "scd2": """
+        SELECT user_id, event_id, event_type AS state,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+               strftime(lead(ts) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
+               lead(ts) OVER w IS NULL AS is_current
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
+    "ewma": """
+        SELECT user_id,
+               list_reduce(
+                   list_prepend(-1::BIGINT,
+                       list(round(value * 100)::BIGINT
+                            ORDER BY floor(epoch(ts))::BIGINT, event_id)),
+                   (acc, x) -> CASE WHEN acc < 0 THEN x
+                                    ELSE (acc * 3 + x) // 4 END
+               ) AS ewma_cents,
+               count(*) AS n_events
+        FROM events
+        GROUP BY user_id
+    """,
+    "sliding_window": """
+        SELECT win_start, count(*) AS n, sum(cents)::BIGINT AS cents
+        FROM (
+            SELECT (floor(epoch(ts))::BIGINT // 300) * 300 - 300 AS win_start,
+                   round(value * 100)::BIGINT AS cents
+            FROM events
+            UNION ALL
+            SELECT (floor(epoch(ts))::BIGINT // 300) * 300,
+                   round(value * 100)::BIGINT
+            FROM events
+        )
+        GROUP BY win_start
     """,
     "cube": """
         SELECT coalesce(o_orderstatus, 'ALL') AS status,

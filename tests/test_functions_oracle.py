@@ -45,6 +45,9 @@ SPOT = [
     "cube",
     "event_funnel",
     "connected_components",
+    "scd2",
+    "ewma",
+    "sliding_window",
 ]
 
 
