@@ -77,6 +77,21 @@ class Catalog:
     def append(self, df: DataFrame, name: str) -> None:
         df.write.mode("append").parquet(self.path(name))
 
+    def write_clustered(
+        self, df: DataFrame, name: str, cluster_by: list[str], n_files: int | None = None
+    ) -> None:
+        """Range-clustered write: rows are range-partitioned then sorted
+        within each file on ``cluster_by`` (Iceberg: a table SORT ORDER /
+        z-order maintenance write). Every file covers a disjoint key
+        range, so engines that read parquet min/max footers (Spark,
+        DuckDB, Trino, Iceberg planning) skip whole files for selective
+        predicates on the cluster key — the difference between touching
+        1/1000th and all of a 100 TB table. The range boundaries come
+        from Spark's distributed sampling; no driver materialization."""
+        n = n_files or int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        out = df.repartitionByRange(n, *cluster_by).sortWithinPartitions(*cluster_by)
+        out.write.mode("overwrite").parquet(self.path(name))
+
     def merge_distinct(
         self,
         df: DataFrame,

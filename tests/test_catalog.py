@@ -68,3 +68,27 @@ def test_merge_distinct_single_file_for_dictionaries(spark, tmp_path):
     assert len(parts) == 1
     got = [(r["col"], r["value"]) for r in cat.read("aliases").collect()]
     assert got == [(1, "a"), (1, "b")]
+
+
+def test_write_clustered_files_cover_disjoint_ranges(spark, tmp_path):
+    """Range-clustered writes must produce files with pairwise-disjoint
+    key ranges — the property min/max file pruning relies on."""
+    import os
+
+    cat = Catalog(spark, str(tmp_path))
+    df = spark.range(0, 50_000).selectExpr(
+        "cast(hash(id) % 100000 as bigint) AS k", "id AS payload"
+    )
+    cat.write_clustered(df, "clustered", ["k"], n_files=8)
+    d = cat.path("clustered")
+    files = [os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")]
+    assert len(files) > 1
+    spans = []
+    for f in files:
+        r = spark.read.parquet(f).agg({"k": "min"}).collect()[0][0], \
+            spark.read.parquet(f).agg({"k": "max"}).collect()[0][0]
+        spans.append(r)
+    spans.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, (hi1, lo2)
+    assert cat.read("clustered").count() == 50_000
