@@ -652,6 +652,28 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated fact⋈dim join: the events fact side is salted and
+    the per-user tier dim is replicated once per salt, so a hot user
+    spreads across 16 reducers (plans/skew.salted_join). Result is
+    provably identical to the plain join — the oracle runs the unsalted
+    formulation. Broadcast would win for THIS dictionary-sized dim; the
+    salted shape is the one that survives when both sides are beyond
+    broadcast size and the key histogram is ugly."""
+    from ..plans.skew import salted_join
+
+    e = table(spark, sf_dir, "events")
+    dim = (
+        e.select("user_id").distinct().withColumn("tier", F.col("user_id") % 5)
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        salted_join(e.select("user_id", cents.alias("cents")), dim, ["user_id"])
+        .groupBy("tier")
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("cents"))
+    )
+
+
 QUERIES = {
     "f1_kind_filter": q_f1_kind_filter,
     "f8_regex_filter": q_f8_regex_filter,
@@ -686,6 +708,7 @@ QUERIES = {
     "scd2": q_scd2,
     "ewma": q_ewma,
     "sliding_window": q_sliding_window,
+    "salted_join": q_salted_join,
 }
 
 ORACLES = {
@@ -899,6 +922,14 @@ ORACLES = {
               FROM events WHERE event_type = 'click') c
           ON c.p >= i.lo AND c.p < i.hi
         GROUP BY i.event_id
+    """,
+    "salted_join": """
+        SELECT u.tier, count(*) AS n,
+               sum(round(e.value * 100)::BIGINT)::BIGINT AS cents
+        FROM events e
+        JOIN (SELECT DISTINCT user_id, user_id % 5 AS tier FROM events) u
+          USING (user_id)
+        GROUP BY u.tier
     """,
     "scd2": """
         SELECT user_id, event_id, event_type AS state,

@@ -569,6 +569,64 @@ def _pagerank_oracle_sql() -> str:
     return _PR_SQL % (steps, PR_ITERS)  # %-format also folds %% -> %
 
 
+CM_ROWS = 2  # count-min sketch: 2 hash rows x 256 columns
+CM_COLS = 256
+CM_PROBES = ["the", "merge", "batch", "data", "xyzzy"]
+
+
+def _cm_col(col: Column, r: int) -> Column:
+    return hex32(F.concat(F.lit(f"cm{r}|"), col)) % CM_COLS
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via a count-min sketch — the frequency-sketch class
+    next to MinHash/SimHash/Bloom: every token increments one counter
+    per hash row, a probe's estimate is the MIN of its row counters
+    (never an undercount — the oracle asserts the guarantee per probe
+    next to the exact count). The sketch is 2x256 cells, so the groupBy
+    shuffles at most 512 rows per task no matter the corpus size, and
+    probes join against it broadcast — the constant-memory way to track
+    hot tokens / hot keys over a 100 TB stream where an exact groupBy
+    per token would shuffle the full token stream."""
+    d = table(spark, sf_dir, "documents", spread=True)
+    toks = d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    rc = None
+    for r in range(CM_ROWS):
+        part = toks.select(F.lit(r).alias("r"), _cm_col(F.col("tok"), r).alias("c"))
+        rc = part if rc is None else rc.unionByName(part)
+    sketch = rc.groupBy("r", "c").agg(F.count("*").alias("cnt"))
+    probes = spark.createDataFrame([(t,) for t in CM_PROBES], "token string")
+    prc = probes.select(
+        "token",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"), _cm_col(F.col("token"), r).alias("c")
+                    )
+                    for r in range(CM_ROWS)
+                ]
+            )
+        ).alias("rc"),
+    ).select("token", "rc.r", "rc.c")
+    est = (
+        prc.join(sketch, ["r", "c"], "left")
+        .groupBy("token")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cm_est"))
+    )
+    exact = (
+        toks.filter(F.col("tok").isin(CM_PROBES))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n_exact"))
+    )
+    return est.join(exact, est.token == exact.tok, "left").select(
+        "token",
+        F.coalesce("n_exact", F.lit(0).cast("long")).alias("n_exact"),
+        "cm_est",
+        (F.col("cm_est") >= F.coalesce("n_exact", F.lit(0))).alias("no_undercount"),
+    )
+
+
 CC_ROUNDS = 7  # >= graph diameter by construction (chains of 8)
 
 
@@ -700,6 +758,7 @@ QUERIES = {
     "bloom_semi_join": q_bloom_semi_join,
     "pagerank": q_pagerank,
     "connected_components": q_connected_components,
+    "heavy_hitters": q_heavy_hitters,
 }
 
 _TOKS = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
@@ -998,6 +1057,35 @@ ORACLES["curation_funnel"] = ORACLES["curation_funnel"].format(
 )
 
 ORACLES["pagerank"] = _pagerank_oracle_sql()
+
+_CM_H = lambda x: f"({DUCK_HEX32.format(x=x)}) % 256"
+_CM_PROBE_VALUES = ",".join(f"('{t}')" for t in CM_PROBES)
+ORACLES["heavy_hitters"] = f"""
+    WITH toks AS (SELECT unnest({_TOKS}) AS tok FROM documents),
+    rc AS (
+        SELECT 0 AS r, {_CM_H("'cm0|' || tok")} AS c FROM toks
+        UNION ALL
+        SELECT 1, {_CM_H("'cm1|' || tok")} FROM toks
+    ),
+    sketch AS (SELECT r, c, count(*) AS cnt FROM rc GROUP BY r, c),
+    probes(token) AS (VALUES {_CM_PROBE_VALUES}),
+    prc AS (
+        SELECT token, 0 AS r, {_CM_H("'cm0|' || token")} AS c FROM probes
+        UNION ALL
+        SELECT token, 1, {_CM_H("'cm1|' || token")} FROM probes
+    ),
+    est AS (
+        SELECT token, min(coalesce(cnt, 0))::BIGINT AS cm_est
+        FROM prc LEFT JOIN sketch USING (r, c) GROUP BY token
+    ),
+    ex AS (
+        SELECT tok AS token, count(*) AS n_exact FROM toks
+        WHERE tok IN (SELECT token FROM probes) GROUP BY tok
+    )
+    SELECT e.token, coalesce(x.n_exact, 0)::BIGINT AS n_exact, e.cm_est,
+           e.cm_est >= coalesce(x.n_exact, 0) AS no_undercount
+    FROM est e LEFT JOIN ex x USING (token)
+"""
 
 # ground truth known analytically from the synthesized block structure
 ORACLES["connected_components"] = """

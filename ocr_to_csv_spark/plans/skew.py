@@ -38,3 +38,24 @@ def salted_count_sum(
     if sum_col is not None:
         final_aggs.append(F.sum("_ps").alias("total"))
     return partial.groupBy(*keys).agg(*final_aggs)
+
+
+def salted_join(
+    big: DataFrame, small: DataFrame, on: list[str], n_salts: int = 16
+) -> DataFrame:
+    """Hot-key-safe equi-join: the big side gets a salt column, the
+    small side is replicated once per salt value, and the join runs on
+    (keys..., salt) — a key holding 20% of the big table spreads over
+    ``n_salts`` reducers instead of melting one. For a dim small enough
+    to broadcast, broadcast instead (no shuffle at all); salting is for
+    the case where BOTH sides exceed broadcast size and the key
+    histogram is skewed (AQE's skew-join split handles sort-merge
+    plans; explicit salting also covers hash-partitioned storage joins
+    and pre-AQE engines). Join semantics are exactly the plain join —
+    each big-side row meets each matching small-side row exactly once,
+    in the one partition its salt selects."""
+    b = big.withColumn("_salt", (F.rand(seed=7) * n_salts).cast("int"))
+    s = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return b.join(s, on + ["_salt"]).drop("_salt")

@@ -48,6 +48,8 @@ SPOT = [
     "scd2",
     "ewma",
     "sliding_window",
+    "salted_join",
+    "heavy_hitters",
 ]
 
 
