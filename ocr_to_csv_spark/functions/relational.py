@@ -674,6 +674,31 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: the events table arrives as 4
+    simulated ingest batches (event_id % 4); each batch is reduced to
+    mergeable partials (count/sum/min/max) and merged into the running
+    state with one state-sized keyed groupBy (plans/incremental.py) —
+    history is never rescanned. The oracle is the full recompute over
+    all events: merged state == recompute, the correctness contract of
+    every incremental pipeline."""
+    from ..plans.incremental import merge_aggregates, partial_aggregates
+
+    e = table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    state = None
+    for b in range(4):
+        batch = e.filter(F.col("event_id") % 4 == b)
+        partials = partial_aggregates(batch, ["event_type"], "cents")
+        state = partials if state is None else merge_aggregates(
+            state, partials, ["event_type"]
+        )
+    return state
+
+
 QUERIES = {
     "f1_kind_filter": q_f1_kind_filter,
     "f8_regex_filter": q_f8_regex_filter,
@@ -709,6 +734,7 @@ QUERIES = {
     "ewma": q_ewma,
     "sliding_window": q_sliding_window,
     "salted_join": q_salted_join,
+    "incremental_agg": q_incremental_agg,
 }
 
 ORACLES = {
@@ -922,6 +948,14 @@ ORACLES = {
               FROM events WHERE event_type = 'click') c
           ON c.p >= i.lo AND c.p < i.hi
         GROUP BY i.event_id
+    """,
+    "incremental_agg": """
+        SELECT event_type, count(*) AS n,
+               sum(round(value * 100)::BIGINT)::BIGINT AS total,
+               min(round(value * 100)::BIGINT) AS lo,
+               max(round(value * 100)::BIGINT) AS hi
+        FROM events
+        GROUP BY event_type
     """,
     "salted_join": """
         SELECT u.tier, count(*) AS n,

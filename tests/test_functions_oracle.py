@@ -50,6 +50,7 @@ SPOT = [
     "sliding_window",
     "salted_join",
     "heavy_hitters",
+    "incremental_agg",
 ]
 
 
