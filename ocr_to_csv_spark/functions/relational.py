@@ -699,6 +699,47 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state
 
 
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt wide→long (the inverse of pivot_rows): per-part
+    numeric attributes become (attr, val) rows via stack() — a Generate
+    node, pure map-side, no shuffle at all until the downstream agg."""
+    p = table(spark, sf_dir, "part")
+    long = p.select(
+        "p_partkey",
+        F.expr(
+            "stack(2, 'size', cast(p_size as bigint), "
+            "'retail_cents', cast(round(p_retailprice * 100) as bigint)) "
+            "AS (attr, val)"
+        ),
+    )
+    return long.groupBy("attr").agg(
+        F.count("*").alias("n"),
+        F.sum("val").alias("total"),
+        F.min("val").alias("lo"),
+        F.max("val").alias("hi"),
+    )
+
+
+def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile assignment per customer-segment by account balance
+    (ntile window) rolled up to per-(segment, quartile) stats — the
+    rank-bucketing window class (ntile/percent_rank) the other window
+    queries don't cover. Balance in integer cents for exact parity."""
+    c = table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.asc("c_acctbal"), F.asc("c_custkey")
+    )
+    q = c.select(
+        "c_mktsegment", cents.alias("cents"), F.ntile(4).over(w).alias("quartile")
+    )
+    return q.groupBy("c_mktsegment", "quartile").agg(
+        F.count("*").alias("n"),
+        F.min("cents").alias("lo_cents"),
+        F.max("cents").alias("hi_cents"),
+    )
+
+
 QUERIES = {
     "f1_kind_filter": q_f1_kind_filter,
     "f8_regex_filter": q_f8_regex_filter,
@@ -735,6 +776,8 @@ QUERIES = {
     "sliding_window": q_sliding_window,
     "salted_join": q_salted_join,
     "incremental_agg": q_incremental_agg,
+    "unpivot": q_unpivot,
+    "ntile": q_ntile,
 }
 
 ORACLES = {
@@ -948,6 +991,29 @@ ORACLES = {
               FROM events WHERE event_type = 'click') c
           ON c.p >= i.lo AND c.p < i.hi
         GROUP BY i.event_id
+    """,
+    "unpivot": """
+        SELECT attr, count(*) AS n, sum(val)::BIGINT AS total,
+               min(val) AS lo, max(val) AS hi
+        FROM (
+            SELECT p_partkey, 'size' AS attr, p_size::BIGINT AS val FROM part
+            UNION ALL
+            SELECT p_partkey, 'retail_cents', round(p_retailprice * 100)::BIGINT
+            FROM part
+        )
+        GROUP BY attr
+    """,
+    "ntile": """
+        SELECT c_mktsegment, quartile, count(*) AS n,
+               min(cents) AS lo_cents, max(cents) AS hi_cents
+        FROM (
+            SELECT c_mktsegment, round(c_acctbal * 100)::BIGINT AS cents,
+                   ntile(4) OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal ASC, c_custkey ASC)
+                       AS quartile
+            FROM customer
+        )
+        GROUP BY c_mktsegment, quartile
     """,
     "incremental_agg": """
         SELECT event_type, count(*) AS n,

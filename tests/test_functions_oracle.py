@@ -51,6 +51,8 @@ SPOT = [
     "salted_join",
     "heavy_hitters",
     "incremental_agg",
+    "unpivot",
+    "ntile",
 ]
 
 
