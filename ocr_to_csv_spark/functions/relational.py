@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .util import table
+from .util import hex32, table
 
 
 def q_f1_kind_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -740,6 +740,67 @@ def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HLL_M = 64  # registers; std err ≈ 1.04/sqrt(64) = 13%
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch, built from scratch as pure
+    expressions (m=64 registers, 26-bit rho domain, alpha_64=0.709,
+    linear-counting small-range correction) and audited against the exact
+    ``count_distinct`` per group.
+
+    This is the mergeable-sketch alternative to exact distinct at 100 TB:
+    the shuffle carries at most m register rows per group (a groupBy MAX —
+    partial-aggregates map-side and never widens with cardinality), vs
+    ``count_distinct``'s shuffle of every distinct key. The register table
+    is also unionable across ingest batches (max is associative), which
+    exact distinct is not. Determinism: md5-derived hash (``hex32``) and
+    integer register math make the sketch — and hence the DuckDB oracle —
+    bit-reproducible; the only floats are the final alpha/ln steps,
+    computed by the identical formula on both sides and rounded."""
+    e = table(spark, sf_dir, "events")
+    h = hex32(F.concat(F.lit("hll|"), F.col("user_id").cast("string")))
+    hashed = e.select(
+        "event_type",
+        (h % HLL_M).alias("bucket"),
+        F.floor(h / HLL_M).cast("long").alias("w"),
+    ).select(
+        "event_type", "bucket",
+        F.when(F.col("w") == 0, F.lit(27))
+        .otherwise(F.lit(27) - F.length(F.conv(F.col("w"), 10, 2)))
+        .cast("int")
+        .alias("rho"),
+    )
+    regs = hashed.groupBy("event_type", "bucket").agg(F.max("rho").alias("m"))
+    per = regs.groupBy("event_type").agg(
+        F.count("*").alias("npresent"),
+        F.sum(F.expr("shiftleft(1L, cast(27 - m as int))")).alias("s"),
+    )
+    T = F.col("s") + (F.lit(HLL_M) - F.col("npresent")) * F.lit(1 << 27)
+    raw = F.lit(0.709) * F.lit(float(HLL_M * HLL_M * (1 << 27))) / T
+    V = F.lit(HLL_M) - F.col("npresent")
+    est = (
+        F.when(
+            (raw <= F.lit(2.5 * HLL_M)) & (V > 0),
+            F.round(F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / V), 2),
+        )
+        .otherwise(F.round(raw, 2))
+        .alias("hll_est")
+    )
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    sk = per.select("event_type", est)
+    return sk.join(exact, "event_type").select(
+        "event_type",
+        "n_exact",
+        "hll_est",
+        F.round(
+            F.abs(F.col("hll_est") - F.col("n_exact")) / F.col("n_exact") * 100, 2
+        ).alias("err_pct"),
+    )
+
+
 QUERIES = {
     "f1_kind_filter": q_f1_kind_filter,
     "f8_regex_filter": q_f8_regex_filter,
@@ -778,6 +839,7 @@ QUERIES = {
     "incremental_agg": q_incremental_agg,
     "unpivot": q_unpivot,
     "ntile": q_ntile,
+    "hll_distinct": q_hll_distinct,
 }
 
 ORACLES = {
@@ -1115,3 +1177,44 @@ ORACLES = {
         GROUP BY 1
     """,
 }
+
+from .util import DUCK_HEX32 as _DH32  # noqa: E402
+
+_HLL_H = _DH32.format(x="'hll|' || user_id::VARCHAR")
+ORACLES["hll_distinct"] = f"""
+    WITH h AS (
+        SELECT event_type, user_id,
+               ({_HLL_H}) % 64 AS bucket,
+               ({_HLL_H}) // 64 AS w
+        FROM events
+    ),
+    r AS (
+        SELECT event_type, bucket,
+               max(CASE WHEN w = 0 THEN 27
+                        ELSE 27 - length(bin(w)) END) AS m
+        FROM h GROUP BY event_type, bucket
+    ),
+    per AS (
+        SELECT event_type, count(*) AS npresent,
+               sum(1::BIGINT << CAST(27 - m AS INT)) AS s
+        FROM r GROUP BY event_type
+    ),
+    sk AS (
+        SELECT event_type,
+               CASE WHEN (0.709 * 549755813888.0
+                          / (s + (64 - npresent) * 134217728)) <= 160.0
+                         AND (64 - npresent) > 0
+                    THEN round(64.0 * ln(64.0 / (64 - npresent)), 2)
+                    ELSE round(0.709 * 549755813888.0
+                               / (s + (64 - npresent) * 134217728), 2)
+               END AS hll_est
+        FROM per
+    ),
+    ex AS (
+        SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events
+        GROUP BY event_type
+    )
+    SELECT sk.event_type, ex.n_exact::BIGINT AS n_exact, sk.hll_est,
+           round(abs(sk.hll_est - ex.n_exact) / ex.n_exact * 100, 2) AS err_pct
+    FROM sk JOIN ex USING (event_type)
+"""

@@ -739,6 +739,60 @@ def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-SPAN detection at 5-gram granularity
+    (the substring-dedup signal of "Deduplicating Training Data Makes
+    Language Models Better": long verbatim repeats across documents).
+
+    Per document: total 5-grams, how many of its gram positions occur in
+    >= 2 distinct documents, the duplicated fraction, and the longest
+    CONSECUTIVE duplicated run (gaps-and-islands window: ``pos -
+    row_number`` over dup positions) — the run length is what separates a
+    quoted sentence from a wholesale copied page.
+
+    Scale: gram text never shuffles — only its 64-bit md5 slice (hex32)
+    is the shuffle/join key, so shuffle width is (doc_id, pos, int64) per
+    gram.  The doc-frequency agg combines map-side; the dup-flag join is
+    a plain equi-join on the hash (natural-language 5-grams have bounded
+    df, no skew salt needed).  Hash collisions conflate grams identically
+    in Spark and the oracle, which is also exactly what a production
+    hash-shingle pipeline accepts at 100 TB."""
+    d = table(spark, sf_dir, "documents", spread=True)
+    grams = d.select(
+        "doc_id", F.posexplode(ngrams(F.col("text"), 5)).alias("pos", "g")
+    ).select("doc_id", "pos", hex32(F.col("g")).alias("gh"))
+    df_docs = grams.groupBy("gh").agg(F.count_distinct("doc_id").alias("nd"))
+    flagged = grams.join(df_docs, "gh").select(
+        "doc_id", "pos", (F.col("nd") >= 2).cast("int").alias("dup")
+    )
+    agg = flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"), F.sum("dup").alias("n_dup_grams")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        flagged.filter(F.col("dup") == 1)
+        .withColumn("island", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id", "island")
+        .agg(F.count("*").alias("run"))
+        .groupBy("doc_id")
+        .agg(F.max("run").alias("max_dup_run"))
+    )
+    return (
+        d.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .join(runs, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_dup_grams", F.lit(0)).cast("long").alias("n_dup_grams"),
+            F.when(F.coalesce("n_grams", F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(F.round(F.col("n_dup_grams") / F.col("n_grams"), 4))
+            .alias("dup_frac"),
+            F.coalesce("max_dup_run", F.lit(0)).cast("long").alias("max_dup_run"),
+        )
+    )
+
+
 QUERIES = {
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
@@ -759,6 +813,7 @@ QUERIES = {
     "pagerank": q_pagerank,
     "connected_components": q_connected_components,
     "heavy_hitters": q_heavy_hitters,
+    "dup_spans": q_dup_spans,
 }
 
 _TOKS = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
@@ -1092,4 +1147,46 @@ ORACLES["connected_components"] = """
     SELECT doc_id::BIGINT AS doc_id, (doc_id // 8 * 8)::BIGINT AS comp,
            (count(*) OVER (PARTITION BY doc_id // 8))::BIGINT AS comp_size
     FROM documents
+"""
+
+_DUP_GH = DUCK_HEX32.format(x="gs")
+ORACLES["dup_spans"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    g AS (
+        SELECT doc_id, i AS pos, {_DUP_GH} AS gh
+        FROM (
+            SELECT doc_id,
+                   unnest({duck_ngrams(5)}) AS gs,
+                   unnest(generate_series(1, greatest(len(toks) - 4, 0))) AS i
+            FROM t
+        )
+    ),
+    df AS (SELECT gh, count(DISTINCT doc_id) AS nd FROM g GROUP BY gh),
+    fl AS (
+        SELECT g.doc_id, g.pos, CASE WHEN df.nd >= 2 THEN 1 ELSE 0 END AS dup
+        FROM g JOIN df USING (gh)
+    ),
+    agg AS (
+        SELECT doc_id, count(*) AS n_grams, sum(dup) AS n_dup
+        FROM fl GROUP BY doc_id
+    ),
+    runs AS (
+        SELECT doc_id,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM fl WHERE dup = 1
+    ),
+    mr AS (
+        SELECT doc_id, max(cnt) AS max_run
+        FROM (SELECT doc_id, island, count(*) AS cnt FROM runs GROUP BY doc_id, island)
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(a.n_grams, 0)::BIGINT AS n_grams,
+           coalesce(a.n_dup, 0)::BIGINT AS n_dup_grams,
+           CASE WHEN coalesce(a.n_grams, 0) = 0 THEN 0.0
+                ELSE round(a.n_dup / a.n_grams::DOUBLE, 4) END AS dup_frac,
+           coalesce(m.max_run, 0)::BIGINT AS max_dup_run
+    FROM documents d
+    LEFT JOIN agg a ON a.doc_id = d.doc_id
+    LEFT JOIN mr m ON m.doc_id = d.doc_id
 """

@@ -53,6 +53,8 @@ SPOT = [
     "incremental_agg",
     "unpivot",
     "ntile",
+    "dup_spans",
+    "hll_distinct",
 ]
 
 
