@@ -501,6 +501,131 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- product quantization (PQ): 64-dim vectors → M=4 subspaces of 16
+# dims, K=8 codewords each → a 4-byte code per vector. The memory-
+# compression ANN path: at 100 TB the candidate set stores codes, not
+# floats, and search is a broadcast lookup-table join (ADC), never a
+# per-pair vector fold. Codebooks are init-by-selection (subvectors of
+# vec_id 0..K-1, the q_kmeans init idiom) so the whole construction is
+# integer-exact and DuckDB-oracle-checkable.
+PQ_M = 4
+PQ_SUB = 16
+PQ_K = 8
+PQ_SCALE = 1000
+
+
+def _pq_subdist(a: Column, b: Column) -> Column:
+    """Exact integer squared-L2 over one PQ_SUB-dim subvector."""
+    diff = lambda i: F.element_at(a, i) - F.element_at(b, i)
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(PQ_SUB)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc + diff(i) * diff(i),
+    )
+
+
+def _pq_subvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, s, sv): integer-quantized 16-dim subvector per subspace."""
+    e = table(spark, sf_dir, "embeddings", spread=True)
+    qv = F.transform(
+        "embedding", lambda x: F.round(x * PQ_SCALE).cast("long")
+    )
+    return (
+        e.select("vec_id", qv.alias("v"))
+        .select(
+            "vec_id",
+            F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("s"),
+            F.col("v"),
+        )
+        .select(
+            "vec_id",
+            "s",
+            F.slice("v", F.col("s") * PQ_SUB + 1, PQ_SUB).alias("sv"),
+        )
+    )
+
+
+def _pq_assign(subs: DataFrame) -> DataFrame:
+    """(vec_id, s, code, dist): nearest codeword per subspace, smaller-j
+    tie-break. The codebook (M*K = 32 subvectors) is broadcast; the
+    argmin is the ivf_assign window idiom."""
+    cb = subs.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").cast("int").alias("j"),
+        F.col("s").alias("cs"),
+        F.col("sv").alias("cv"),
+    )
+    d = subs.join(F.broadcast(cb), subs.s == cb.cs).select(
+        "vec_id", "s", "j", _pq_subdist(F.col("sv"), F.col("cv")).alias("dist")
+    )
+    w = Window.partitionBy("vec_id", "s").orderBy(F.asc("dist"), F.asc("j"))
+    return (
+        d.withColumn("rn_", F.row_number().over(w))
+        .filter(F.col("rn_") == 1)
+        .select("vec_id", "s", F.col("j").alias("code"), "dist")
+    )
+
+
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encoding: each vector compressed to PQ_M codebook indices plus
+    its total quantization distortion (exact integer). At scale this runs
+    once per ingest and shrinks the ANN candidate store by ~64x (4 bytes
+    vs 64 floats); the shuffle is only (vec_id, s, int) rows."""
+    best = _pq_assign(_pq_subvectors(spark, sf_dir))
+    return best.groupBy("vec_id").agg(
+        *[
+            F.max(F.when(F.col("s") == i, F.col("code")))
+            .cast("int")
+            .alias(f"code{i}")
+            for i in range(PQ_M)
+        ],
+        F.sum("dist").alias("distortion"),
+    )
+
+
+def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k search: the query keeps its full
+    subvectors, candidates keep only their codes, and the per-pair
+    distance is a SUM OF TABLE LOOKUPS — a broadcast equi-join on
+    (subspace, code) against the query's M*K-entry distance table,
+    followed by a keyed sum and per-query top-k window. No per-pair
+    vector fold anywhere: at 10^12 candidates the join input is 4 narrow
+    integer rows per candidate, which is the entire point of PQ."""
+    subs = _pq_subvectors(spark, sf_dir)
+    cand = (
+        _pq_assign(subs)
+        .filter(F.col("vec_id") >= N_QUERIES)
+        .select(F.col("vec_id").alias("neighbor_id"), "s", "code")
+    )
+    qsubs = subs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("s").alias("qs"), "sv"
+    )
+    cb = subs.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").cast("int").alias("j"),
+        F.col("s").alias("cs"),
+        F.col("sv").alias("cv"),
+    )
+    lut = qsubs.join(F.broadcast(cb), qsubs.qs == cb.cs).select(
+        "query_id",
+        F.col("qs").alias("s"),
+        "j",
+        _pq_subdist(F.col("sv"), F.col("cv")).alias("d"),
+    )
+    adc = (
+        cand.join(F.broadcast(lut), ["s"])
+        .filter(F.col("code") == F.col("j"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "adc_dist")
+    )
+
+
 QUERIES = {
     "cosine_topk": q_cosine_topk,
     "embed_near_pairs": q_embed_near_pairs,
@@ -511,6 +636,8 @@ QUERIES = {
     "embed_stats": q_embed_stats,
     "kmeans": q_kmeans,
     "semdedup": q_semdedup,
+    "pq_encode": q_pq_encode,
+    "pq_search": q_pq_search,
 }
 
 
@@ -771,4 +898,63 @@ ORACLES["semdedup"] = f"""
            coalesce(d.n_dropped, 0) AS n_dropped,
            m.n_members - coalesce(d.n_dropped, 0) AS n_survivors
     FROM m LEFT JOIN p ON p.cid = m.cid LEFT JOIN d ON d.cid = m.cid
+"""
+
+_PQ_CTE = """
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> round(x * 1000)::BIGINT) AS v
+        FROM embeddings
+    ),
+    subs AS (
+        SELECT vec_id, s, list_slice(v, s*16 + 1, s*16 + 16) AS sv
+        FROM (SELECT vec_id, v, unnest(generate_series(0, 3)) AS s FROM v)
+    ),
+    cb AS (SELECT vec_id AS j, s AS cs, sv AS cv FROM subs WHERE vec_id < 8),
+    d AS (
+        SELECT subs.vec_id, subs.s, cb.j,
+               list_reduce(list_prepend(0::BIGINT,
+                   list_transform(generate_series(1, 16),
+                       i -> (subs.sv[i] - cb.cv[i]) * (subs.sv[i] - cb.cv[i]))),
+                   (a, b) -> a + b) AS dist
+        FROM subs JOIN cb ON subs.s = cb.cs
+    ),
+    best AS (
+        SELECT vec_id, s, j AS code, dist FROM d
+        QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, j) = 1
+    )
+"""
+
+ORACLES["pq_encode"] = _PQ_CTE + """
+    SELECT vec_id,
+           max(CASE WHEN s = 0 THEN code END)::INT AS code0,
+           max(CASE WHEN s = 1 THEN code END)::INT AS code1,
+           max(CASE WHEN s = 2 THEN code END)::INT AS code2,
+           max(CASE WHEN s = 3 THEN code END)::INT AS code3,
+           sum(dist)::BIGINT AS distortion
+    FROM best GROUP BY vec_id
+"""
+
+ORACLES["pq_search"] = _PQ_CTE + """
+    , cand AS (SELECT vec_id AS neighbor_id, s, code FROM best WHERE vec_id >= 10),
+    lut AS (
+        SELECT q.vec_id AS query_id, q.s, cb.j,
+               list_reduce(list_prepend(0::BIGINT,
+                   list_transform(generate_series(1, 16),
+                       i -> (q.sv[i] - cb.cv[i]) * (q.sv[i] - cb.cv[i]))),
+                   (a, b) -> a + b) AS dq
+        FROM subs q JOIN cb ON q.s = cb.cs
+        WHERE q.vec_id < 10
+    ),
+    adc AS (
+        SELECT lut.query_id, cand.neighbor_id, sum(lut.dq)::BIGINT AS adc_dist
+        FROM cand JOIN lut ON cand.s = lut.s AND cand.code = lut.j
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc_dist, neighbor_id)::INT AS rank,
+           adc_dist
+    FROM adc
+    QUALIFY rank <= 5
 """

@@ -55,6 +55,8 @@ SPOT = [
     "ntile",
     "dup_spans",
     "hll_distinct",
+    "pq_encode",
+    "pq_search",
 ]
 
 
