@@ -72,3 +72,47 @@ def drain_to_memory(df: DataFrame, table_name: str, checkpoint_dir: str):
     )
     q.awaitTermination()
     return q
+
+
+def session_event_counts(
+    spark,
+    stream_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming SESSION windows: per-user activity sessions that close
+    after ``gap`` of silence (the streaming counterpart of the batch
+    ``q_sessionize`` gap/lag formulation, expressed with Spark's native
+    ``session_window`` so Catalyst handles the merge-adjacent-windows
+    state machine). The watermark bounds session state: a session whose
+    end is older than the watermark is finalized and evicted, which is
+    what lets per-user session state survive a 10^12-event stream."""
+    e = spark.readStream.schema(EVENTS_SCHEMA).parquet(stream_dir)
+    return (
+        e.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.col("w.start").alias("sess_start"),
+            F.col("w.end").alias("sess_end"),
+            "user_id",
+            "n_events",
+            "total",
+        )
+    )
+
+
+def batch_session_counts(spark, events_path: str, gap: str = "30 minutes") -> DataFrame:
+    """The batch session_window plan the streaming version must match."""
+    e = spark.read.parquet(events_path)
+    return (
+        e.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.col("w.start").alias("sess_start"),
+            F.col("w.end").alias("sess_end"),
+            "user_id",
+            "n_events",
+            "total",
+        )
+    )
