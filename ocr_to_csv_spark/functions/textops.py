@@ -793,6 +793,70 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram conditional-probability LM scoring — the n-gram upgrade of
+    ``q_lm_commonness``: train bigram and unigram counts on the corpus,
+    then score each document by the mean scaled conditional probability
+    floor(1e6 * count(w1 w2) / count(w1·)) over its bigrams. Low scores
+    mark improbable word transitions (OCR garble, shuffled text) that
+    unigram frequency cannot see.
+
+    Scale: two bounded-cardinality count aggregations (map-side partial),
+    one broadcast join per table — the LM tables are vocabulary-sized,
+    not corpus-sized. count(w1·) is derived from the bigram table itself
+    (sum over w2), so the unigram denominator matches the bigram
+    numerator even at document boundaries. Integer-exact: the scaled
+    probability uses floor of one IEEE division."""
+    d = table(spark, sf_dir, "documents", spread=True)
+    big = d.select("doc_id", F.explode(ngrams(F.col("text"), 2)).alias("bg"))
+    counts = big.groupBy("bg").agg(F.count("*").alias("c2"))
+    w1 = counts.withColumn("w1", F.split("bg", " ")[0])
+    denom = w1.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    lm = w1.join(F.broadcast(denom), "w1").select(
+        "bg",
+        F.floor(F.lit(1000000.0) * F.col("c2") / F.col("c1")).alias("p6"),
+    )
+    return (
+        big.join(F.broadcast(lm), "bg")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), F.sum("p6").alias("p6_sum"))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.floor(F.col("p6_sum") / F.col("n_bigrams"))
+            .cast("long")
+            .alias("mean_p6"),
+        )
+    )
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir sampling (Efraimidis–Spirakis A-ES), the
+    data-mixing primitive: draw k=5 documents per language with inclusion
+    probability proportional to document length, deterministically.
+
+    Each doc gets key = -ln(u)/w with u = (hash(doc_id)+1)/2^32 hash-
+    uniform and w = n_chars; the k smallest keys per stratum are an exact
+    weighted sample. One narrow map-side projection + a per-group top-k
+    window — no RNG state, no shuffle beyond the top-k, reproducible
+    across engines/retries (df.sample is none of these). At 100 TB the
+    window input is (lang, doc_id, key) only."""
+    d = table(spark, sf_dir, "documents")
+    u = (
+        hex32(F.concat(F.lit("ws|"), F.col("doc_id").cast("string"))) + 1
+    ) / F.lit(4294967296.0)
+    key = -F.log(u) / F.col("n_chars")
+    w = Window.partitionBy("lang").orderBy(F.asc("key"), F.asc("doc_id"))
+    return (
+        d.select("doc_id", "lang", "n_chars", key.alias("key"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "doc_id", "lang", "rank", F.round("key", 10).alias("sample_key")
+        )
+    )
+
+
 QUERIES = {
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
@@ -814,6 +878,8 @@ QUERIES = {
     "connected_components": q_connected_components,
     "heavy_hitters": q_heavy_hitters,
     "dup_spans": q_dup_spans,
+    "weighted_sample": q_weighted_sample,
+    "lm_bigram": q_lm_bigram,
 }
 
 _TOKS = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
@@ -1189,4 +1255,37 @@ ORACLES["dup_spans"] = f"""
     FROM documents d
     LEFT JOIN agg a ON a.doc_id = d.doc_id
     LEFT JOIN mr m ON m.doc_id = d.doc_id
+"""
+
+_WS_U = (
+    "((" + DUCK_HEX32.format(x="'ws|' || doc_id::VARCHAR") + ") + 1) / 4294967296.0"
+)
+ORACLES["weighted_sample"] = f"""
+    SELECT doc_id, lang, rank::INT AS rank, round(key, 10) AS sample_key
+    FROM (
+        SELECT doc_id, lang,
+               -ln({_WS_U}) / n_chars AS key,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY -ln({_WS_U}) / n_chars, doc_id
+               ) AS rank
+        FROM documents
+    )
+    WHERE rank <= 5
+"""
+
+ORACLES["lm_bigram"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    big AS (SELECT doc_id, unnest({duck_ngrams(2)}) AS bg FROM t),
+    counts AS (SELECT bg, count(*) AS c2 FROM big GROUP BY bg),
+    w1t AS (SELECT bg, c2, string_split(bg, ' ')[1] AS w1 FROM counts),
+    denom AS (SELECT w1, sum(c2) AS c1 FROM w1t GROUP BY w1),
+    lm AS (
+        SELECT bg, floor(1000000.0 * c2 / c1)::BIGINT AS p6
+        FROM w1t JOIN denom USING (w1)
+    )
+    SELECT big.doc_id, count(*)::BIGINT AS n_bigrams,
+           floor(sum(p6) / count(*))::BIGINT AS mean_p6
+    FROM big JOIN lm USING (bg)
+    GROUP BY big.doc_id
 """

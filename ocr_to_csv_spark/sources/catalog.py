@@ -114,9 +114,16 @@ class Catalog:
             merged = merged.orderBy(*order_by)
         if single_file:
             merged = merged.coalesce(1)
+        self._swap_write(merged, name)
+
+    def _swap_write(self, df: DataFrame, name: str) -> None:
+        """Write ``df`` over an existing table it may be reading from:
+        scratch-dir write + atomic rename, rollback on failure. Never
+        materializes on the driver (Iceberg gets this for free from
+        snapshot isolation; plain parquet needs the swap)."""
         target = self.path(name)
-        scratch = f"{target}.__merge_{uuid.uuid4().hex[:8]}"
-        merged.write.mode("overwrite").parquet(scratch)
+        scratch = f"{target}.__swap_{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").parquet(scratch)
         backup = f"{target}.__old_{uuid.uuid4().hex[:8]}"
         if os.path.exists(target):
             os.rename(target, backup)
@@ -127,3 +134,48 @@ class Catalog:
                 os.rename(backup, target)
             raise
         shutil.rmtree(backup, ignore_errors=True)
+
+    def compact(
+        self,
+        name: str,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        cluster_by: list[str] | None = None,
+    ) -> dict:
+        """Small-file compaction (Iceberg ``rewrite_data_files``): rewrite
+        the table so each file is ~``target_file_bytes``, preserving rows.
+
+        Streaming appends and per-bucket checkpoint commits accumulate
+        thousands of tiny files; at 100 TB that turns every scan into a
+        metadata/open() storm and defeats row-group pruning. Compaction
+        sizes file count from the table's actual on-disk bytes (driver
+        reads only directory metadata, never data), optionally restoring
+        the cluster order so min/max file pruning keeps working, and
+        commits via the same atomic scratch-dir swap as merge_distinct.
+        Returns {files_before, files_after, bytes}."""
+        target = self.path(name)
+        files_before, total = 0, 0
+        for root, _, fs in os.walk(target):
+            for f in fs:
+                if f.endswith(".parquet"):
+                    files_before += 1
+                    total += os.path.getsize(os.path.join(root, f))
+        n = max(1, -(-total // target_file_bytes))  # ceil
+        df = self.read(name)
+        if cluster_by:
+            out = df.repartitionByRange(n, *cluster_by).sortWithinPartitions(
+                *cluster_by
+            )
+        else:
+            out = df.repartition(n)
+        self._swap_write(out, name)
+        files_after = sum(
+            1
+            for _, _, fs in os.walk(target)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        return {
+            "files_before": files_before,
+            "files_after": files_after,
+            "bytes": total,
+        }

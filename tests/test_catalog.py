@@ -92,3 +92,39 @@ def test_write_clustered_files_cover_disjoint_ranges(spark, tmp_path):
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2, (hi1, lo2)
     assert cat.read("clustered").count() == 50_000
+
+
+def test_compact_rewrites_small_files(spark, tmp_path):
+    """Many tiny appended files -> few target-sized files, same rows;
+    with cluster_by, compaction restores disjoint min/max file ranges."""
+    import pyarrow.parquet as pq
+    import os
+
+    cat = Catalog(spark, str(tmp_path))
+    # simulate a streaming ingest: 12 tiny appends
+    for i in range(12):
+        df = spark.createDataFrame(
+            [(i * 100 + j, f"v{i}-{j}") for j in range(100)], "id int, v string"
+        )
+        cat.append(df.coalesce(1), "t")
+    before = cat.read("t").collect()
+    stats = cat.compact("t", target_file_bytes=1 << 20, cluster_by=["id"])
+    assert stats["files_before"] == 12
+    assert stats["files_after"] < stats["files_before"]
+    after = cat.read("t").collect()
+    assert sorted(before) == sorted(after)  # nothing lost, nothing dup'd
+    # cluster_by: per-file id ranges must be pairwise disjoint
+    ranges = []
+    for root, _, fs in os.walk(cat.path("t")):
+        for f in fs:
+            if f.endswith(".parquet"):
+                md = pq.read_metadata(os.path.join(root, f))
+                los, his = [], []
+                for rg in range(md.num_row_groups):
+                    col = md.row_group(rg).column(0)
+                    los.append(col.statistics.min)
+                    his.append(col.statistics.max)
+                ranges.append((min(los), max(his)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2

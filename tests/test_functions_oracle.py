@@ -57,6 +57,8 @@ SPOT = [
     "hll_distinct",
     "pq_encode",
     "pq_search",
+    "weighted_sample",
+    "lm_bigram",
 ]
 
 

@@ -106,11 +106,26 @@ ex = []
 for _ in range(n_timed):
     t0 = time.time(); run_extract(); ex.append(time.time() - t0)
 
-dedup.q_minhash_sig(spark, "/root/testdata/sf0.1").count()  # warm
+# minhash level: 16x-replicated sf0.1 documents so the map-side hash
+# stage carries real work (the plain sf0.1 pass finishes in ~2 s and
+# measures only fixed job overhead, not scaling)
+rep = "/tmp/ocr2csv_sfrep16"
+if not os.path.exists(rep + "/documents.parquet/_SUCCESS"):
+    from pyspark.sql import functions as F
+    d0 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    u = None
+    for i in range(16):
+        di = d0.withColumn(
+            "doc_id", (F.col("doc_id") + F.lit(i * 10_000_000)).cast("long")
+        )
+        u = di if u is None else u.unionByName(di)
+    u.repartition(64).write.mode("overwrite").parquet(rep + "/documents.parquet")
+
+dedup.q_minhash_sig(spark, rep).count()  # warm
 mh = []
 for _ in range(1 if quick else 5):
     t0 = time.time()
-    dedup.q_minhash_sig(spark, "/root/testdata/sf0.1").count()
+    dedup.q_minhash_sig(spark, rep).count()
     mh.append(time.time() - t0)
 
 print(json.dumps({{
