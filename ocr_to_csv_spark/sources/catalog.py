@@ -92,6 +92,61 @@ class Catalog:
         out = df.repartitionByRange(n, *cluster_by).sortWithinPartitions(*cluster_by)
         out.write.mode("overwrite").parquet(self.path(name))
 
+    def write_zordered(
+        self,
+        df: DataFrame,
+        name: str,
+        col_x: str,
+        col_y: str,
+        n_files: int | None = None,
+        bits: int = 16,
+    ) -> None:
+        """Z-order (Morton-curve) clustered write on TWO keys — the
+        Iceberg ``rewrite_data_files(strategy => 'sort', sort_order =>
+        zorder(x, y))`` analogue. ``write_clustered`` gives perfect
+        pruning on one key and none on the other; interleaving the bits
+        of both keys gives each parquet file a small min/max bounding
+        RECTANGLE, so selective predicates on either key (or both) skip
+        most files. Keys are min/max-normalized to ``bits`` bits (the
+        min/max pass is one 4-scalar aggregate — never a global rank
+        window, which would serialize the whole table through one
+        partition); the z-value is a pure 2*bits-term integer expression
+        (codegen, no UDF), and the write is range-partitioned on z —
+        fully distributed, boundaries from Spark's sampler. Heavily
+        skewed keys under-fill the curve with linear normalization; at
+        production scale substitute distributed-quantile boundaries for
+        the min/max scaling, same z expression."""
+        from pyspark.sql import functions as F
+
+        scale = (1 << bits) - 1
+        mm = df.agg(
+            F.min(col_x).alias("x0"), F.max(col_x).alias("x1"),
+            F.min(col_y).alias("y0"), F.max(col_y).alias("y1"),
+        ).collect()[0]
+        span_x = max(float(mm["x1"]) - float(mm["x0"]), 1e-12)
+        span_y = max(float(mm["y1"]) - float(mm["y0"]), 1e-12)
+        rx = F.floor(
+            (F.col(col_x) - F.lit(float(mm["x0"]))) / span_x * scale
+        ).cast("long")
+        ry = F.floor(
+            (F.col(col_y) - F.lit(float(mm["y0"]))) / span_y * scale
+        ).cast("long")
+        z = None
+        for i in range(bits):
+            part = F.shiftleft(F.shiftright(F.col("__rx"), i).bitwiseAND(1), 2 * i) + \
+                F.shiftleft(F.shiftright(F.col("__ry"), i).bitwiseAND(1), 2 * i + 1)
+            z = part if z is None else z + part
+        n = n_files or int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        out = (
+            df.withColumn("__rx", rx)
+            .withColumn("__ry", ry)
+            .withColumn("__z", z)
+            .repartitionByRange(n, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__rx", "__ry", "__z")
+        )
+        out.write.mode("overwrite").parquet(self.path(name))
+
     def merge_distinct(
         self,
         df: DataFrame,

@@ -128,3 +128,48 @@ def test_compact_rewrites_small_files(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 < lo2
+
+
+def test_write_zordered_prunes_on_both_dims(spark, tmp_path):
+    """Z-order files carry small (x, y) bounding rectangles: a selective
+    predicate on EITHER dimension skips most files, where single-key
+    range clustering prunes only its own key."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    cat = Catalog(spark, str(tmp_path))
+    rows = [(x, y, x * 100 + y) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(rows, "x int, y int, payload int")
+    cat.write_zordered(df, "tz", "x", "y", n_files=16)
+    cat.write_clustered(df, "tx", cluster_by=["x"], n_files=16)
+    assert cat.read("tz").count() == len(rows)
+
+    def file_bounds(name):
+        out = []
+        for root, _, fs in os.walk(cat.path(name)):
+            for f in fs:
+                if not f.endswith(".parquet"):
+                    continue
+                md = pq.read_metadata(os.path.join(root, f))
+                b = {}
+                for rg in range(md.num_row_groups):
+                    for ci in range(md.row_group(rg).num_columns):
+                        col = md.row_group(rg).column(ci)
+                        nm = col.path_in_schema
+                        st = col.statistics
+                        lo, hi = b.get(nm, (st.min, st.max))
+                        b[nm] = (min(lo, st.min), max(hi, st.max))
+                out.append(b)
+        return out
+
+    def n_intersecting(bounds, col, lo, hi):
+        return sum(1 for b in bounds if not (b[col][1] < lo or b[col][0] > hi))
+
+    zb, xb = file_bounds("tz"), file_bounds("tx")
+    assert len(zb) == 16 and len(xb) == 16
+    # y-selective predicate: x-clustering cannot prune at all
+    assert n_intersecting(xb, "y", 0, 7) == 16
+    # ...but z-order prunes most files on y, and on x too
+    assert n_intersecting(zb, "y", 0, 7) <= 8
+    assert n_intersecting(zb, "x", 0, 7) <= 8

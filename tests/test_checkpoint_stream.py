@@ -170,3 +170,37 @@ def test_media_features_shape(spark, corpus_dir):
     from ocr_to_csv_spark.imaging import png as pngc
     t = pngc.decode(bytes(feats.iloc[0]["thumb"]))
     assert t.shape == (16, 16)
+
+
+def test_stream_upsert_idempotent_under_redelivery(spark, tmp_path):
+    """Overlapping rows across micro-batches (simulated re-delivery)
+    merge to exactly one copy each — the at-least-once stream plus an
+    idempotent MERGE sink gives exactly-once table state."""
+    import os
+
+    from ocr_to_csv_spark.streaming.stream import stream_upsert
+
+    src = str(tmp_path / "upsert_src")
+    os.makedirs(src)
+    a = spark.createDataFrame([(i, f"v{i}") for i in range(50)], "id int, v string")
+    b = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(25, 75)], "id int, v string"
+    )  # 25..49 re-delivered
+    a.coalesce(1).write.mode("append").parquet(src)
+    b.coalesce(1).write.mode("append").parquet(src)
+
+    stream_upsert(
+        spark,
+        src,
+        "id int, v string",
+        str(tmp_path / "cat"),
+        "merged",
+        str(tmp_path / "up_ckpt"),
+        order_by=["id"],
+        max_files_per_trigger=1,
+    )
+    from ocr_to_csv_spark.sources import Catalog
+
+    got = Catalog(spark, str(tmp_path / "cat")).read("merged").collect()
+    assert len(got) == 75
+    assert {r["id"] for r in got} == set(range(75))
