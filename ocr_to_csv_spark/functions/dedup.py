@@ -131,6 +131,31 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the LSH near-dup candidate graph — the
+    cluster-density signal that separates a tight duplicate clique from
+    a chain of pairwise-marginal matches, and the third graph operator
+    next to PageRank / connected components.
+
+    Compact-forward algorithm on ordered edges: every edge is stored
+    once as (a < b), and a triangle {a<b<c} is found exactly once by
+    joining (a,b)⋈(b,c) on the middle vertex then closing with (a,c) —
+    two shuffle equi-joins, join input bounded by the graph's wedge
+    count (at production scale, degree-ordering the edges first caps
+    the wedge explosion on hubs). No enumeration of non-edges, no
+    cartesian anything."""
+    e = q_lsh_pairs(spark, sf_dir)
+    e1 = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = e.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    e3 = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"]).select("a", "b", "c")
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash over token bag: bit j of the signature is the sign of the
     sum over tokens of ±1 by bit j of the token's 32-bit hash."""
@@ -348,6 +373,7 @@ QUERIES = {
     "minhash_jaccard_est": q_minhash_jaccard_est,
     "dedup_clusters": q_dedup_clusters,
     "dedup_survivors": q_dedup_survivors,
+    "triangles": q_triangles,
 }
 
 _SHINGLE_CTE = f"""
@@ -541,3 +567,23 @@ ORACLES = {
         FROM ranked WHERE rn = 1 AND n_docs >= 2
     """,
 }
+
+ORACLES["triangles"] = f"""{_BUCKET_SQL}
+    , pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+        FROM buckets a JOIN buckets c
+          ON a.band = c.band AND a.band_key = c.band_key
+        WHERE a.doc_id < c.doc_id
+    ),
+    tri AS (
+        SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+        FROM pairs e1
+        JOIN pairs e2 ON e2.doc_a = e1.doc_b
+        JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    )
+    SELECT doc_id, count(*)::BIGINT AS n_triangles
+    FROM (
+        SELECT unnest([a, b, c]) AS doc_id FROM tri
+    )
+    GROUP BY doc_id
+"""

@@ -740,6 +740,38 @@ def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic: per candidate join/agg key, the
+    group-size distribution (key count, max, exact median, skew factor
+    = max/mean) — the measurement that decides whether a key needs the
+    salted path (``salted_join`` / ``salted_wordcount``) before a plan
+    ships. Median uses the explicit discrete-index formula from
+    ``q_percentiles`` for cross-engine exactness. The per-key size agg
+    partial-aggregates map-side; the collect_list holds one int per
+    DISTINCT key (at 100 TB, feed the same rollup from a sampled or
+    sketched size table instead)."""
+    e = table(spark, sf_dir, "events")
+    sizes = e.groupBy("event_type", "user_id").agg(F.count("*").alias("n"))
+    g = sizes.groupBy("event_type").agg(
+        F.count("*").alias("n_keys"),
+        F.max("n").alias("max_n"),
+        F.sum("n").alias("total_rows"),
+        F.sort_array(F.collect_list("n")).alias("vals"),
+    )
+    med_idx = F.greatest(F.lit(1), F.ceil(F.lit(0.5) * F.col("n_keys"))).cast(
+        "int"
+    )
+    return g.select(
+        "event_type",
+        "n_keys",
+        "max_n",
+        F.element_at(F.col("vals"), med_idx).alias("p50_n"),
+        F.round(
+            F.col("max_n") * F.col("n_keys") / F.col("total_rows"), 2
+        ).alias("skew_factor"),
+    )
+
+
 HLL_M = 64  # registers; std err ≈ 1.04/sqrt(64) = 13%
 
 
@@ -840,6 +872,7 @@ QUERIES = {
     "unpivot": q_unpivot,
     "ntile": q_ntile,
     "hll_distinct": q_hll_distinct,
+    "key_skew": q_key_skew,
 }
 
 ORACLES = {
@@ -1217,4 +1250,25 @@ ORACLES["hll_distinct"] = f"""
     SELECT sk.event_type, ex.n_exact::BIGINT AS n_exact, sk.hll_est,
            round(abs(sk.hll_est - ex.n_exact) / ex.n_exact * 100, 2) AS err_pct
     FROM sk JOIN ex USING (event_type)
+"""
+
+ORACLES["key_skew"] = """
+    WITH sizes AS (
+        SELECT event_type, user_id, count(*) AS n
+        FROM events GROUP BY event_type, user_id
+    ),
+    g AS (
+        SELECT event_type,
+               count(*) AS n_keys,
+               max(n) AS max_n,
+               sum(n) AS total_rows,
+               list_sort(list(n)) AS vals
+        FROM sizes GROUP BY event_type
+    )
+    SELECT event_type,
+           n_keys::BIGINT AS n_keys,
+           max_n::BIGINT AS max_n,
+           vals[greatest(1, ceil(0.5 * n_keys))::INT]::BIGINT AS p50_n,
+           round(max_n * n_keys / total_rows::DOUBLE, 2) AS skew_factor
+    FROM g
 """

@@ -59,6 +59,8 @@ SPOT = [
     "pq_search",
     "weighted_sample",
     "lm_bigram",
+    "triangles",
+    "key_skew",
 ]
 
 
