@@ -626,6 +626,37 @@ def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality audit: recall of each approximate search path against
+    the brute-force cosine ground truth over the same query/candidate
+    split — PQ top-5 vs exact top-5, LSH-bucket top-3 vs exact top-3.
+    This is the evaluation loop a production ANN deployment runs after
+    every index rebuild; low recall says raise nprobe / bands / codebook
+    size before shipping. Pure DataFrame composition of the existing
+    oracle-checked queries: two semi-joins + tiny aggregates."""
+    exact = q_cosine_topk(spark, sf_dir)
+    e5 = exact.select("query_id", "neighbor_id")
+    e3 = exact.filter(F.col("rank") <= 3).select("query_id", "neighbor_id")
+    pq = q_pq_search(spark, sf_dir).select("query_id", "neighbor_id")
+    lsh = q_ann_lsh_search(spark, sf_dir).select(
+        "query_id", F.col("cand_id").alias("neighbor_id")
+    )
+
+    def row(method: str, approx: DataFrame, truth: DataFrame) -> DataFrame:
+        hits = approx.join(
+            truth, ["query_id", "neighbor_id"], "left_semi"
+        ).agg(F.count("*").alias("n_hits"))
+        tot = truth.agg(F.count("*").alias("n_expected"))
+        return hits.crossJoin(tot).select(
+            F.lit(method).alias("method"),
+            "n_hits",
+            "n_expected",
+            F.round(F.col("n_hits") / F.col("n_expected"), 4).alias("recall"),
+        )
+
+    return row("pq_top5", pq, e5).unionByName(row("lsh_top3", lsh, e3))
+
+
 QUERIES = {
     "cosine_topk": q_cosine_topk,
     "embed_near_pairs": q_embed_near_pairs,
@@ -638,6 +669,7 @@ QUERIES = {
     "semdedup": q_semdedup,
     "pq_encode": q_pq_encode,
     "pq_search": q_pq_search,
+    "ann_recall": q_ann_recall,
 }
 
 
@@ -957,4 +989,23 @@ ORACLES["pq_search"] = _PQ_CTE + """
            adc_dist
     FROM adc
     QUALIFY rank <= 5
+"""
+
+ORACLES["ann_recall"] = f"""
+    WITH exact AS ({ORACLES["cosine_topk"]}),
+    pq AS ({ORACLES["pq_search"]}),
+    lsh AS ({ORACLES["ann_lsh_search"]})
+    SELECT 'pq_top5' AS method,
+           (SELECT count(*) FROM pq JOIN exact USING (query_id, neighbor_id))::BIGINT AS n_hits,
+           (SELECT count(*) FROM exact)::BIGINT AS n_expected,
+           round((SELECT count(*) FROM pq JOIN exact USING (query_id, neighbor_id))
+                 / (SELECT count(*) FROM exact)::DOUBLE, 4) AS recall
+    UNION ALL
+    SELECT 'lsh_top3',
+           (SELECT count(*) FROM lsh JOIN exact e ON lsh.query_id = e.query_id
+              AND lsh.cand_id = e.neighbor_id WHERE e.rank <= 3)::BIGINT,
+           (SELECT count(*) FROM exact WHERE rank <= 3)::BIGINT,
+           round((SELECT count(*) FROM lsh JOIN exact e ON lsh.query_id = e.query_id
+                    AND lsh.cand_id = e.neighbor_id WHERE e.rank <= 3)
+                 / (SELECT count(*) FROM exact WHERE rank <= 3)::DOUBLE, 4)
 """
