@@ -61,6 +61,7 @@ SPOT = [
     "lm_bigram",
     "triangles",
     "key_skew",
+    "ann_recall",
 ]
 
 
