@@ -740,6 +740,38 @@ def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_resample_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill (resample-to-daily): per user, daily event
+    counts with missing days ZERO-FILLED across the user's own observed
+    span — the densification step before any rolling-window or
+    day-over-day computation (a gap would silently shrink the window).
+
+    The day spine is generated per key with ``sequence(min_day,
+    max_day)`` + explode — map-side after one per-key min/max agg, no
+    calendar dim table and no cross join of users × all days (which at
+    10^9 users × years would dwarf the data). The fill join is a keyed
+    left join against the per-(user, day) counts."""
+    e = table(spark, sf_dir, "events")
+    days = e.select("user_id", F.to_date("ts").alias("day"))
+    counts = days.groupBy("user_id", "day").agg(F.count("*").alias("n"))
+    spine = (
+        days.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("d0", "d1")).alias("day"),
+        )
+    )
+    return (
+        spine.join(counts, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        )
+    )
+
+
 def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-key skew diagnostic: per candidate join/agg key, the
     group-size distribution (key count, max, exact median, skew factor
@@ -873,6 +905,7 @@ QUERIES = {
     "ntile": q_ntile,
     "hll_distinct": q_hll_distinct,
     "key_skew": q_key_skew,
+    "resample_daily": q_resample_daily,
 }
 
 ORACLES = {
@@ -1271,4 +1304,22 @@ ORACLES["key_skew"] = """
            vals[greatest(1, ceil(0.5 * n_keys))::INT]::BIGINT AS p50_n,
            round(max_n * n_keys / total_rows::DOUBLE, 2) AS skew_factor
     FROM g
+"""
+
+ORACLES["resample_daily"] = """
+    WITH days AS (
+        SELECT user_id, ts::DATE AS day FROM events
+    ),
+    counts AS (
+        SELECT user_id, day, count(*) AS n FROM days GROUP BY user_id, day
+    ),
+    spine AS (
+        SELECT user_id, unnest(generate_series(min(day), max(day),
+                                               INTERVAL 1 DAY))::DATE AS day
+        FROM days GROUP BY user_id
+    )
+    SELECT s.user_id, strftime(s.day, '%Y-%m-%d') AS day,
+           coalesce(c.n, 0)::BIGINT AS n
+    FROM spine s
+    LEFT JOIN counts c ON c.user_id = s.user_id AND c.day = s.day
 """

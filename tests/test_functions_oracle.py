@@ -62,6 +62,7 @@ SPOT = [
     "triangles",
     "key_skew",
     "ann_recall",
+    "resample_daily",
 ]
 
 
