@@ -740,6 +740,43 @@ def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest-string join (the scale twin of the pipeline's
+    alias fuzzy matcher, J1/J2): for every part name, its closest OTHER
+    name by Levenshtein distance among candidates sharing the same
+    leading word — band-then-verify, the standard fuzzy-join shape where
+    the quadratic edit-distance work is confined WITHIN bands instead of
+    all-pairs. First-max tie-break on the smaller partkey.
+
+    At 100 TB the band key graduates from first-word to character-q-gram
+    LSH (same join shape); Levenshtein is a JVM built-in on both engines
+    with the classic unit-cost semantics, so the oracle is exact."""
+    p = table(spark, sf_dir, "part")
+    n = p.select(
+        "p_partkey", "p_name", F.split("p_name", " ")[0].alias("w1")
+    )
+    a = n.select(
+        F.col("p_partkey").alias("k"), F.col("p_name").alias("na"), "w1"
+    )
+    b = n.select(
+        F.col("p_partkey").alias("mk"), F.col("p_name").alias("nb"),
+        F.col("w1").alias("w1b"),
+    )
+    cand = a.join(b, (a.w1 == b.w1b) & (a.k != b.mk)).select(
+        "k", "mk", F.levenshtein("na", "nb").alias("dist")
+    )
+    w = Window.partitionBy("k").orderBy(F.asc("dist"), F.asc("mk"))
+    return (
+        cand.withColumn("rn_", F.row_number().over(w))
+        .filter(F.col("rn_") == 1)
+        .select(
+            F.col("k").alias("p_partkey"),
+            F.col("mk").alias("match_key"),
+            "dist",
+        )
+    )
+
+
 def q_resample_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series gap fill (resample-to-daily): per user, daily event
     counts with missing days ZERO-FILLED across the user's own observed
@@ -906,6 +943,7 @@ QUERIES = {
     "hll_distinct": q_hll_distinct,
     "key_skew": q_key_skew,
     "resample_daily": q_resample_daily,
+    "fuzzy_match": q_fuzzy_match,
 }
 
 ORACLES = {
@@ -1322,4 +1360,18 @@ ORACLES["resample_daily"] = """
            coalesce(c.n, 0)::BIGINT AS n
     FROM spine s
     LEFT JOIN counts c ON c.user_id = s.user_id AND c.day = s.day
+"""
+
+ORACLES["fuzzy_match"] = """
+    WITH n AS (
+        SELECT p_partkey, p_name, string_split(p_name, ' ')[1] AS w1 FROM part
+    ),
+    cand AS (
+        SELECT a.p_partkey AS k, b.p_partkey AS mk,
+               levenshtein(a.p_name, b.p_name) AS dist
+        FROM n a JOIN n b ON a.w1 = b.w1 AND a.p_partkey <> b.p_partkey
+    )
+    SELECT k AS p_partkey, mk AS match_key, dist::INT AS dist
+    FROM cand
+    QUALIFY row_number() OVER (PARTITION BY k ORDER BY dist, mk) = 1
 """

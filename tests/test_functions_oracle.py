@@ -63,6 +63,7 @@ SPOT = [
     "key_skew",
     "ann_recall",
     "resample_daily",
+    "fuzzy_match",
 ]
 
 
