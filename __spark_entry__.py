@@ -96,6 +96,59 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_AUDIO = 24
+
+
+def _staged_audio_paths() -> tuple[str, str]:
+    """Deterministic WAV blob table + its golden feature table (computed
+    from the raw samples at synthesis time; PCM is lossless so the
+    decode stage must reproduce them bit-exactly). Includes one stereo
+    blob per 6 and one deliberately truncated blob that must land as
+    fmt='corrupt_wav', not a task failure."""
+    import pandas as pd
+
+    from ocr_to_csv_spark.extraction.audio import synth_wav
+
+    d = _corpus_dir()
+    blobs_p = os.path.join(d, "audio_blobs.parquet")
+    gold_p = os.path.join(d, "expected_audio_meta.parquet")
+    if not (os.path.exists(blobs_p) and os.path.exists(gold_p)):
+        blobs, gold = [], []
+        for s in range(N_AUDIO):
+            data, exp = synth_wav(
+                s, sr=8000 if s % 3 else 16000, n=4000 + 250 * (s % 5),
+                channels=2 if s % 6 == 0 else 1,
+            )
+            if s == N_AUDIO - 1:  # truncated body → corrupt_wav
+                data = data[: len(data) // 2]
+                exp = {
+                    "media_ref": exp["media_ref"], "fmt": "corrupt_wav",
+                    "sample_rate": -1, "n_channels": -1, "n_samples": -1,
+                    "duration_ms": -1, "energy": -1, "zero_crossings": -1,
+                }
+            blobs.append({"media_ref": exp["media_ref"], "content": data})
+            gold.append(exp)
+        pd.DataFrame(blobs).to_parquet(blobs_p, index=False)
+        pd.DataFrame(gold).to_parquet(gold_p, index=False)
+    return blobs_p, gold_p
+
+
+def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio modality: WAV/PCM decode (stdlib wave + numpy, mapInPandas)
+    to integer-exact features; corrupt blobs yield corrupt_wav rows.
+    Oracle = golden features from synthesis time."""
+    from ocr_to_csv_spark.extraction.audio import audio_features
+
+    blobs_p, _ = _staged_audio_paths()
+    blobs = spark.read.parquet(blobs_p)
+    return audio_features(blobs).select(
+        "media_ref", "fmt",
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.col("n_channels").cast("long").alias("n_channels"),
+        "n_samples", "duration_ms", "energy", "zero_crossings",
+    )
+
+
 def q_multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-dup over extracted 264-dim features via banded
     hyperplane LSH (no cross join — the 100 TB path). Oracle = the same
@@ -130,6 +183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "extract_rows": q_extract_rows,
             "multimodal_meta": q_multimodal_meta,
             "multimodal_near_dup": q_multimodal_near_dup,
+            "audio_meta": q_audio_meta,
         }
     )
     return out
@@ -162,6 +216,17 @@ def oracle_sql() -> dict[str, str]:
     # multimodal oracles: golden metadata/features computed by the datagen
     # from the pre-encode arrays (the lossless codec means the pipeline's
     # decode path must reproduce them bit-exactly)
+    _, audio_gold = _staged_audio_paths()
+    out["audio_meta"] = f"""
+        SELECT media_ref, fmt,
+               sample_rate::BIGINT AS sample_rate,
+               n_channels::BIGINT AS n_channels,
+               n_samples::BIGINT AS n_samples,
+               duration_ms::BIGINT AS duration_ms,
+               energy::BIGINT AS energy,
+               zero_crossings::BIGINT AS zero_crossings
+        FROM '{audio_gold}'
+    """
     out["multimodal_meta"] = f"""
         SELECT media_ref, fmt, width::BIGINT AS width, height::BIGINT AS height,
                n_bytes::BIGINT AS n_bytes, mean_intensity, fill_ratio

@@ -4,8 +4,9 @@ typed metadata, processed by Arrow-batched pandas stages (mapInPandas).
 The Spark-side contract — schema, partitioning, UDF signature, batch
 shape — is real and tested, and so are the PNG and baseline-JPEG decode
 paths (pure-numpy codecs in ``imaging.png`` / ``imaging.jpeg`` — the
-reference's accepted scan formats, image_scraper.py:103-114). Audio/
-video frame-sampling stays stubbed behind ``NotImplementedError`` (no
+reference's accepted scan formats, image_scraper.py:103-114) and the
+WAV/PCM audio path (``extraction.audio``, stdlib wave + numpy). Only
+VIDEO frame-sampling stays stubbed behind ``NotImplementedError`` (no
 AV codec library in this environment); those rows — and corrupt or
 unknown blobs — route to the quarantine kind instead of failing the job.
 """
