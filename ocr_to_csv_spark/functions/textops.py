@@ -857,6 +857,35 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction — the retrieval structure behind the
+    TF-IDF/BM25 layer: token → document frequency + sorted posting list,
+    for the 20 highest-df tokens (deterministic tie-break on token).
+
+    One distinct (token, doc) projection, one groupBy token building the
+    posting array map-side-partial, one TakeOrderedAndProject for the
+    top slice. At 100 TB postings shard naturally by token hash and the
+    per-token array is bounded by document frequency — the hot tokens
+    ('the') are exactly the ones a real index stopword-caps, which the
+    top-20 df slice makes visible. Posting lists serialize to CSV
+    strings so the oracle comparison is array-representation-agnostic."""
+    d = table(spark, sf_dir, "documents", spread=True)
+    tf = d.select(
+        F.explode(tokens(F.col("text"))).alias("tok"), "doc_id"
+    ).distinct()
+    idx = tf.groupBy("tok").agg(
+        F.count("*").alias("df"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_set("doc_id")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings"),
+    )
+    return idx.orderBy(F.desc("df"), F.asc("tok")).limit(20)
+
+
 QUERIES = {
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
@@ -880,6 +909,7 @@ QUERIES = {
     "dup_spans": q_dup_spans,
     "weighted_sample": q_weighted_sample,
     "lm_bigram": q_lm_bigram,
+    "postings": q_postings,
 }
 
 _TOKS = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
@@ -1288,4 +1318,14 @@ ORACLES["lm_bigram"] = f"""
            floor(sum(p6) / count(*))::BIGINT AS mean_p6
     FROM big JOIN lm USING (bg)
     GROUP BY big.doc_id
+"""
+
+ORACLES["postings"] = f"""
+    WITH tf AS (
+        SELECT DISTINCT unnest({_TOKS}) AS tok, doc_id FROM documents
+    )
+    SELECT tok, count(*)::BIGINT AS df,
+           array_to_string(list_sort(list(doc_id)), ',') AS postings
+    FROM tf GROUP BY tok
+    ORDER BY df DESC, tok ASC LIMIT 20
 """

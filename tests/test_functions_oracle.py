@@ -64,6 +64,7 @@ SPOT = [
     "ann_recall",
     "resample_daily",
     "fuzzy_match",
+    "postings",
 ]
 
 
