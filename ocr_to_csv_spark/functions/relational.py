@@ -740,6 +740,37 @@ def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-rank windows (percent_rank + cume_dist) — the remaining
+    window subtype after row_number/rank/ntile/frames: per market
+    segment, each of the 30 largest accounts with its exact relative
+    rank. Both functions are exact rationals ((rank-1)/(n-1), cum n/N)
+    computed identically by every engine; balances in integer cents pin
+    the ordering."""
+    c = table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.asc("cents"), F.asc("c_custkey")
+    )
+    ranked = c.select(
+        "c_custkey", "c_mktsegment", cents.alias("cents")
+    ).select(
+        "c_custkey",
+        "c_mktsegment",
+        "cents",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+    w2 = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("cents"), F.asc("c_custkey")
+    )
+    return (
+        ranked.withColumn("rn_", F.row_number().over(w2))
+        .filter(F.col("rn_") <= 30)
+        .select("c_custkey", "c_mktsegment", "cents", "pct_rank", "cume")
+    )
+
+
 def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate nearest-string join (the scale twin of the pipeline's
     alias fuzzy matcher, J1/J2): for every part name, its closest OTHER
@@ -944,6 +975,7 @@ QUERIES = {
     "key_skew": q_key_skew,
     "resample_daily": q_resample_daily,
     "fuzzy_match": q_fuzzy_match,
+    "window_pct": q_window_pct,
 }
 
 ORACLES = {
@@ -1374,4 +1406,22 @@ ORACLES["fuzzy_match"] = """
     SELECT k AS p_partkey, mk AS match_key, dist::INT AS dist
     FROM cand
     QUALIFY row_number() OVER (PARTITION BY k ORDER BY dist, mk) = 1
+"""
+
+ORACLES["window_pct"] = """
+    WITH ranked AS (
+        SELECT c_custkey, c_mktsegment,
+               round(c_acctbal * 100)::BIGINT AS cents,
+               round(percent_rank() OVER (PARTITION BY c_mktsegment
+                     ORDER BY round(c_acctbal * 100)::BIGINT, c_custkey), 6)
+                   AS pct_rank,
+               round(cume_dist() OVER (PARTITION BY c_mktsegment
+                     ORDER BY round(c_acctbal * 100)::BIGINT, c_custkey), 6)
+                   AS cume
+        FROM customer
+    )
+    SELECT c_custkey, c_mktsegment, cents, pct_rank, cume
+    FROM ranked
+    QUALIFY row_number() OVER (PARTITION BY c_mktsegment
+                               ORDER BY cents DESC, c_custkey) <= 30
 """

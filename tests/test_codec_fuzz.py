@@ -92,3 +92,36 @@ def test_decode_image_dispatch_survives_fuzz():
                 codecs.decode_image(bytes(data))
             except Exception:
                 pass
+
+
+def test_wav_fuzz_corruptions():
+    """Audio path shares the 'prompt, bounded, never crash' contract."""
+    from ocr_to_csv_spark.extraction.audio import _decode_one, synth_wav
+
+    blob, _ = synth_wav(7, sr=8000, n=3000)
+
+    def decode(data: bytes):
+        row = _decode_one("fz", data)
+        assert row[1] in ("wav", "corrupt_wav")
+        return None
+
+    _fuzz(blob, decode, 300, seed=4)
+
+
+def test_wav_hostile_header_fields_bounded():
+    """A WAV header claiming absurd frame counts must not allocate
+    gigabytes: the decoder reads only the actual payload and flags the
+    frame-count mismatch as corrupt."""
+    from ocr_to_csv_spark.extraction.audio import _decode_one, synth_wav
+    import struct
+
+    blob, _ = synth_wav(8)
+    # wave's nframes lives in the data-chunk size; lie by patching the
+    # RIFF chunk size AND data size fields to huge values
+    data = bytearray(blob)
+    data[4:8] = struct.pack("<I", 0x7FFFFFF0)
+    data[-len(data) + 40:-len(data) + 44] = struct.pack("<I", 0x7FFFFFF0)
+    t0 = time.time()
+    row = _decode_one("hostile", bytes(data))
+    assert row[1] in ("wav", "corrupt_wav")
+    assert time.time() - t0 < 10

@@ -65,6 +65,7 @@ SPOT = [
     "resample_daily",
     "fuzzy_match",
     "postings",
+    "window_pct",
 ]
 
 
