@@ -97,6 +97,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 N_AUDIO = 24
+AUDIO_STAGE_V = 1  # bump when synth_wav or the audio feature formulas change
 
 
 def _staged_audio_paths() -> tuple[str, str]:
@@ -104,14 +105,16 @@ def _staged_audio_paths() -> tuple[str, str]:
     from the raw samples at synthesis time; PCM is lossless so the
     decode stage must reproduce them bit-exactly). Includes one stereo
     blob per 6 and one deliberately truncated blob that must land as
-    fmt='corrupt_wav', not a task failure."""
+    fmt='corrupt_wav', not a task failure. Staged names carry
+    AUDIO_STAGE_V so a formula change can't silently compare against
+    stale goldens (corpus GEN_VERSION bumps also wipe the directory)."""
     import pandas as pd
 
     from ocr_to_csv_spark.extraction.audio import synth_wav
 
     d = _corpus_dir()
-    blobs_p = os.path.join(d, "audio_blobs.parquet")
-    gold_p = os.path.join(d, "expected_audio_meta.parquet")
+    blobs_p = os.path.join(d, f"audio_blobs_v{AUDIO_STAGE_V}.parquet")
+    gold_p = os.path.join(d, f"expected_audio_meta_v{AUDIO_STAGE_V}.parquet")
     if not (os.path.exists(blobs_p) and os.path.exists(gold_p)):
         blobs, gold = [], []
         for s in range(N_AUDIO):
@@ -149,6 +152,84 @@ def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_VIDEO = 16
+VIDEO_STAGE_V = 1  # bump when synth_avi or the video feature formulas change
+
+
+def _staged_video_paths() -> tuple[str, str, str]:
+    """Deterministic AVI blob table + golden feature table + golden
+    264-dim signature table. Mix: raw-Y800 (goldens from pre-encode
+    frames, bit-exact) and MJPEG (goldens from the deterministic decode,
+    the lossy-media convention of datagen/gen.py); varied dims/fps; one
+    deliberately truncated blob that must land as fmt='corrupt_avi'."""
+    import pandas as pd
+
+    from ocr_to_csv_spark.extraction.video import (
+        sample_frames, synth_avi, video_signature_np,
+    )
+
+    d = _corpus_dir()
+    blobs_p = os.path.join(d, f"video_blobs_v{VIDEO_STAGE_V}.parquet")
+    gold_p = os.path.join(d, f"expected_video_meta_v{VIDEO_STAGE_V}.parquet")
+    sig_p = os.path.join(d, f"expected_video_sig_v{VIDEO_STAGE_V}.parquet")
+    if not all(os.path.exists(p) for p in (blobs_p, gold_p, sig_p)):
+        blobs, gold, sigs = [], [], []
+        for s in range(N_VIDEO):
+            codec = "mjpg" if s % 2 else "raw"
+            data, exp = synth_avi(
+                s, w=40 + 8 * (s % 3), h=32 + 8 * (s % 2),
+                n_frames=9 + (s % 4) * 3, fps=8 + 2 * (s % 3), codec=codec,
+            )
+            if s == N_VIDEO - 1:  # truncated container → corrupt_avi
+                data = data[: len(data) // 2]
+                exp = {"media_ref": exp["media_ref"], "fmt": "corrupt_avi",
+                       "width": -1, "height": -1, "n_frames": -1, "fps": -1,
+                       "duration_ms": -1, "n_sampled": -1,
+                       "intensity_sum": -1, "motion": -1}
+            else:
+                _, frames = sample_frames(data, 3)
+                sigs.append({"media_ref": exp["media_ref"],
+                             "feat": video_signature_np(frames).tolist()})
+            blobs.append({"media_ref": exp["media_ref"], "content": data})
+            gold.append(exp)
+        pd.DataFrame(blobs).to_parquet(blobs_p, index=False)
+        pd.DataFrame(gold).to_parquet(gold_p, index=False)
+        pd.DataFrame(sigs).to_parquet(sig_p, index=False)
+    return blobs_p, gold_p, sig_p
+
+
+def q_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video modality: AVI container parse + MJPEG/raw-Y800 frame decode
+    (pure-numpy, mapInPandas) with every-3rd-frame sampling to
+    integer-exact features; corrupt blobs yield corrupt_avi rows.
+    Oracle = golden features from synthesis time."""
+    from ocr_to_csv_spark.extraction.video import video_features
+
+    blobs_p, _, _ = _staged_video_paths()
+    blobs = spark.read.parquet(blobs_p)
+    return video_features(blobs, every_n=3).select(
+        "media_ref", "fmt",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "n_frames",
+        F.col("fps").cast("long").alias("fps"),
+        "duration_ms", "n_sampled", "intensity_sum", "motion",
+    )
+
+
+def q_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup: per-video 264-dim signatures (mean sampled frame,
+    same recipe as image features) through the banded hyperplane LSH —
+    identical no-cross-join plan as image near-dup. Oracle = same LSH +
+    cosine in DuckDB over the golden signature fixtures."""
+    from ocr_to_csv_spark.extraction.multimodal import media_near_dup
+    from ocr_to_csv_spark.extraction.video import video_signatures
+
+    blobs_p, _, _ = _staged_video_paths()
+    blobs = spark.read.parquet(blobs_p)
+    return media_near_dup(video_signatures(blobs, every_n=3), top=10)
+
+
 def q_multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-dup over extracted 264-dim features via banded
     hyperplane LSH (no cross join — the 100 TB path). Oracle = the same
@@ -184,6 +265,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "multimodal_meta": q_multimodal_meta,
             "multimodal_near_dup": q_multimodal_near_dup,
             "audio_meta": q_audio_meta,
+            "video_meta": q_video_meta,
+            "video_near_dup": q_video_near_dup,
         }
     )
     return out
@@ -232,15 +315,36 @@ def oracle_sql() -> dict[str, str]:
                n_bytes::BIGINT AS n_bytes, mean_intensity, fill_ratio
         FROM '{d}/expected_media_meta.parquet'
     """
+    _, video_gold, video_sig = _staged_video_paths()
+    out["video_meta"] = f"""
+        SELECT media_ref, fmt,
+               width::BIGINT AS width, height::BIGINT AS height,
+               n_frames::BIGINT AS n_frames, fps::BIGINT AS fps,
+               duration_ms::BIGINT AS duration_ms,
+               n_sampled::BIGINT AS n_sampled,
+               intensity_sum::BIGINT AS intensity_sum,
+               motion::BIGINT AS motion
+        FROM '{video_gold}'
+    """
+    out["multimodal_near_dup"] = _near_dup_oracle_sql(
+        f"{d}/expected_media_feat.parquet"
+    )
+    out["video_near_dup"] = _near_dup_oracle_sql(video_sig)
+    return out
+
+
+def _near_dup_oracle_sql(feat_path: str) -> str:
+    """DuckDB recomputation of the banded-hyperplane-LSH near-dup query
+    over a golden 264-dim feature parquet (shared by image and video)."""
     _fold_dot = (
         "list_reduce(list_prepend(0.0::DOUBLE, "
         "list_transform(generate_series(1, 264), i -> {a}[i] * {b}[i])), "
         "(x, y) -> x + y)"
     )
-    out["multimodal_near_dup"] = f"""
+    return f"""
         WITH f AS (
             SELECT media_ref, feat::DOUBLE[] AS v
-            FROM '{d}/expected_media_feat.parquet'
+            FROM '{feat_path}'
         ),
         dots AS (
             SELECT media_ref, j,
@@ -274,4 +378,3 @@ def oracle_sql() -> dict[str, str]:
         JOIN f fb ON fb.media_ref = cands.rb
         ORDER BY sim DESC, ra ASC, rb ASC LIMIT 10
     """
-    return out

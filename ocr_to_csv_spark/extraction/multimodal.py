@@ -2,13 +2,14 @@
 typed metadata, processed by Arrow-batched pandas stages (mapInPandas).
 
 The Spark-side contract — schema, partitioning, UDF signature, batch
-shape — is real and tested, and so are the PNG and baseline-JPEG decode
-paths (pure-numpy codecs in ``imaging.png`` / ``imaging.jpeg`` — the
-reference's accepted scan formats, image_scraper.py:103-114) and the
-WAV/PCM audio path (``extraction.audio``, stdlib wave + numpy). Only
-VIDEO frame-sampling stays stubbed behind ``NotImplementedError`` (no
-AV codec library in this environment); those rows — and corrupt or
-unknown blobs — route to the quarantine kind instead of failing the job.
+shape — is real and tested, and so are ALL the modality decoders: PNG
+and baseline-JPEG (pure-numpy codecs in ``imaging.png`` /
+``imaging.jpeg`` — the reference's accepted scan formats,
+image_scraper.py:103-114), WAV/PCM audio (``extraction.audio``), and
+AVI video with MJPEG or raw-Y800 frames (``extraction.video`` — frame
+sampling reuses the in-repo JPEG codec, no AV library needed). Corrupt
+or unknown blobs route to the quarantine kind instead of failing the
+job.
 """
 
 from __future__ import annotations
@@ -30,9 +31,12 @@ META_SCHEMA = (
 DECODABLE = ("png", "jpeg")
 
 
-def sample_frames(data: bytes, every_n: int = 30):  # pragma: no cover - stub
-    """STUB: video frame sampling (no AV codecs in this environment)."""
-    raise NotImplementedError("frame sampling requires an AV codec library")
+def sample_frames(data: bytes, every_n: int = 30):
+    """Video frame sampling — real AVI parse + MJPEG/raw-Y800 decode; see
+    ``extraction.video`` for the container and codec details."""
+    from .video import sample_frames as _sf
+
+    return _sf(data, every_n)
 
 
 def _meta_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -27,6 +27,10 @@ def sniff_format(data: bytes) -> str:
     if data[:5] == b"%PDF-":
         return "pdf"
     if data[:4] == b"RIFF":
+        if data[8:12] == b"AVI ":
+            return "avi"
+        if data[8:12] == b"WAVE":
+            return "wav"
         return "riff_av"
     return "unknown"
 

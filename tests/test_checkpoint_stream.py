@@ -126,7 +126,7 @@ def test_multimodal_metadata_and_quarantine(spark, corpus_dir):
     qmeta = multimodal.media_metadata(junk)
     quarantined = {r["media_ref"]: r["fmt"]
                    for r in multimodal.quarantine_undecodable(qmeta).collect()}
-    assert quarantined == {"j1": "corrupt_jpeg", "j2": "riff_av"}
+    assert quarantined == {"j1": "corrupt_jpeg", "j2": "wav"}
 
 
 def test_corrupt_media_quarantined_not_fatal(spark, corpus_dir):

@@ -50,6 +50,14 @@ def test_pdf_fuzz_corruptions():
     _fuzz(blob, pdf.extract_page_images, 200, seed=3)
 
 
+def test_avi_fuzz_corruptions():
+    from ocr_to_csv_spark.extraction import video
+
+    for codec, seed in (("raw", 4), ("mjpg", 5)):
+        blob, _ = video.synth_avi(7, codec=codec, n_frames=6)
+        _fuzz(blob, lambda d: video.sample_frames(d, 2)[1], 200, seed=seed)
+
+
 def test_hostile_dimension_headers_raise_not_oom():
     # PNG declaring 65535x65535
     import struct, zlib
