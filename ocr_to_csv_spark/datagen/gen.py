@@ -31,7 +31,7 @@ from ..imaging import jpeg, png, render
 # bump when generated content changes shape OR codec numerics change:
 # consumers cache corpora in /tmp keyed by (docs, seed) and regenerate
 # when the version file differs (goldens must match the current codecs)
-GEN_VERSION = 4
+GEN_VERSION = 5
 
 DATE_RE = re.compile(r"\d{1,2}\/\d{1,2}\/(\d{4}|\d{2})")
 
@@ -159,26 +159,66 @@ def _render_span_page(
     return page, rows, _golden_dates(boxes)
 
 
-def _encode_media(rng: random.Random, page: np.ndarray) -> bytes:
-    """A deterministic slice of the corpus ships as baseline JPEG (the
-    reference accepts jpg/jpeg scans, image_scraper.py:103-114); q95
-    keeps binarization bit-identical so OCR goldens hold for both."""
-    fmt_draw = rng.random()
-    if fmt_draw < 0.125:
-        ri = 8 if fmt_draw < 0.0625 else 0  # half of them use restart markers
-        return jpeg.encode_gray(page, quality=95, restart_interval=ri)
-    return png.encode_gray(page)
+def _tint(page: np.ndarray) -> np.ndarray:
+    """Deterministic RGB tint whose luma fold stays within ~1 gray level
+    of the source page (far inside the binarization margin)."""
+    p = page.astype(np.int32)
+    return np.stack(
+        [np.clip(p + 18, 0, 255), p, np.clip(p - 30, 0, 255)], axis=-1
+    ).astype(np.uint8)
+
+
+def _encode_media(
+    rng: random.Random, page: np.ndarray
+) -> tuple[bytes, np.ndarray]:
+    """Encode one page in the corpus v5 format mix — every format
+    ``cv2.imread`` accepts in the reference (image_scraper.py:103-114):
+    PNG (gray + truecolor), baseline JPEG (gray, with/without restart
+    markers, and 3-component color), progressive JPEG (SOF2), BMP
+    (8-bit paletted + 24-bit BGR), TIFF (gray + RGB strips). Returns
+    (blob, expected_decoded_plane): exact pre-encode arrays for lossless
+    paths, the deterministic decode for lossy JPEG, and the truncating
+    luma fold for color (matching each decoder bit-for-bit). q95 keeps
+    binarization bit-identical so OCR goldens hold for every format."""
+    from ..imaging import simple_formats as simplec
+
+    draw = rng.random()
+    if draw < 0.05:
+        blob = jpeg.encode_gray(page, quality=95, restart_interval=8)
+        return blob, jpeg.decode(blob)
+    if draw < 0.10:
+        blob = jpeg.encode_gray(page, quality=95)
+        return blob, jpeg.decode(blob)
+    if draw < 0.14:
+        blob = jpeg.encode_gray_progressive(page, quality=95)
+        return blob, jpeg.decode(blob)
+    if draw < 0.18:
+        blob = jpeg.encode_color(_tint(page), quality=95)
+        return blob, jpeg.decode(blob)
+    if draw < 0.23:
+        return simplec.encode_gray_bmp(page), page
+    if draw < 0.27:
+        rgb = _tint(page)
+        return simplec.encode_rgb_bmp(rgb), simplec._fold(rgb)
+    if draw < 0.32:
+        return simplec.encode_tiff(page), page
+    if draw < 0.36:
+        rgb = _tint(page)
+        return simplec.encode_tiff(rgb), simplec._fold(rgb)
+    if draw < 0.42:
+        rgb = _tint(page)
+        return png.encode_rgb(rgb), simplec._fold(rgb)
+    return png.encode_gray(page), page
 
 
 def _golden_media(
     ref: str, content: bytes, page: np.ndarray | None
 ) -> tuple[dict, dict | None]:
-    """Golden metadata + feature rows for one media blob. PNG goldens come
-    from the PRE-ENCODE array (the codec is lossless, so the pipeline's
-    decode path must reproduce them exactly); JPEG goldens come from the
-    deterministic decode of the encoded bytes (lossy codec — the decoded
-    plane IS the pipeline's input); PDF container blobs get a
-    metadata-only row (fmt='pdf', no image stats, no features)."""
+    """Golden metadata + feature rows for one media blob. ``page`` is the
+    plane the decoder must reproduce bit-for-bit (pre-encode array for
+    lossless formats, deterministic decode for lossy JPEG, truncating
+    luma fold for color — see ``_encode_media``); PDF container blobs
+    get a metadata-only row (fmt='pdf', no image stats, no features)."""
     from ..imaging.codecs import sniff_format
     from ..imaging.ocr import _resize_mean
 
@@ -190,8 +230,6 @@ def _golden_media(
              "fill_ratio": None},
             None,
         )
-    if fmt == "jpeg":
-        page = jpeg.decode(content)
     meta = {
         "media_ref": ref,
         "fmt": fmt,
@@ -320,7 +358,7 @@ def gen_corpus(
             else:  # image | pdf_page (pre-rendered page media)
                 n_rows = 150 if mega_image else rng.randint(1, 8)
                 page, ground, dates = _render_span_page(rng, n_rows)
-                content = _encode_media(rng, page)
+                content, dec_plane = _encode_media(rng, page)
                 ref = f"m-{d:06d}-{offset}"
                 spans.append(
                     {"kind": kind, "text": None, "media_ref": ref, "offset": offset}
@@ -328,7 +366,7 @@ def gen_corpus(
                 media.append(
                     {"media_ref": ref, "content": content, "width": 0, "height": 0}
                 )
-                g_meta, g_feat = _golden_media(ref, content, page)
+                g_meta, g_feat = _golden_media(ref, content, dec_plane)
                 exp_media_meta.append(g_meta)
                 if g_feat is not None:
                     exp_media_feat.append(g_feat)

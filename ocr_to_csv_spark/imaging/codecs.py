@@ -15,6 +15,7 @@ import numpy as np
 
 from . import jpeg as jpegc
 from . import png as pngc
+from . import simple_formats as simplec
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -26,6 +27,10 @@ def sniff_format(data: bytes) -> str:
         return "jpeg"
     if data[:5] == b"%PDF-":
         return "pdf"
+    if data[:2] == b"BM" and len(data) >= 54:
+        return "bmp"
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
     if data[:4] == b"RIFF":
         if data[8:12] == b"AVI ":
             return "avi"
@@ -36,12 +41,17 @@ def sniff_format(data: bytes) -> str:
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    """Decode PNG or baseline JPEG bytes to a 2-D uint8 grayscale array."""
+    """Decode PNG / JPEG (baseline or progressive) / BMP / TIFF bytes to
+    a 2-D uint8 grayscale array (color folds to luma)."""
     fmt = sniff_format(data)
     if fmt == "png":
         return pngc.decode(data)
     if fmt == "jpeg":
         return jpegc.decode(data)
+    if fmt == "bmp":
+        return simplec.decode_bmp(data)
+    if fmt == "tiff":
+        return simplec.decode_tiff(data)
     raise ValueError(f"no decoder for format {fmt!r}")
 
 
@@ -52,14 +62,14 @@ def image_dims(data: bytes) -> tuple[int, int]:
         w, h = struct.unpack(">II", data[16:24])
         return int(w), int(h)
     if fmt == "jpeg":
-        # scan markers for SOF0/1
+        # scan markers for SOF0/1 (baseline) or SOF2 (progressive)
         pos = 2
         while pos + 4 <= len(data):
             if data[pos] != 0xFF:
                 pos += 1
                 continue
             marker = data[pos + 1]
-            if marker in (0xC0, 0xC1):
+            if marker in (0xC0, 0xC1, 0xC2):
                 _, h, w = struct.unpack(">BHH", data[pos + 4 : pos + 9])
                 return int(w), int(h)
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
@@ -68,4 +78,11 @@ def image_dims(data: bytes) -> tuple[int, int]:
             (length,) = struct.unpack(">H", data[pos + 2 : pos + 4])
             pos += 2 + length
         raise ValueError("no SOF in JPEG stream")
+    if fmt == "bmp":
+        w, h = struct.unpack("<ii", data[18:26])
+        return int(w), abs(int(h))
+    if fmt == "tiff":
+        # full IFD walk (cheap — uncompressed baseline only)
+        img = simplec.decode_tiff(data)
+        return int(img.shape[1]), int(img.shape[0])
     raise ValueError(f"no header parser for format {fmt!r}")

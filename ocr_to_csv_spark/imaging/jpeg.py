@@ -1,18 +1,29 @@
-"""Minimal pure-numpy baseline JPEG codec (ITU T.81, SOF0 only).
+"""Minimal pure-numpy JPEG codec (ITU T.81): baseline SOF0/1 AND
+progressive SOF2.
 
 The reference accepts ``{jpg, jpeg, png}`` scans via ``cv2.imread``
-(``/root/reference/modules/image_scraper.py:103-114``); this sandbox has
-no image codec library, so the engine ships its own baseline JPEG path:
+(``/root/reference/modules/image_scraper.py:103-114``) — which includes
+progressive JPEGs, common in real scan corpora; this sandbox has no
+image codec library, so the engine ships its own:
 
-- ``decode``: baseline sequential (SOF0), 8-bit, grayscale or YCbCr with
-  arbitrary sampling factors, restart markers (DRI). Returns the LUMA
-  plane as 2-D uint8 — mathematically the 0.299/0.587/0.114 grayscale
-  the rest of the pipeline uses (Y of YCbCr is that exact combination),
-  so chroma never needs upsampling. Progressive (SOF2) / arithmetic /
-  12-bit variants raise ``ValueError`` → the multimodal quarantine path.
+- ``decode``: baseline sequential (SOF0/1) and progressive (SOF2) —
+  spectral selection, successive approximation (DC/AC first + refine
+  passes, EOB runs, per T.81 Annex G; the scan-update algorithms follow
+  the public libjpeg jdphuff.c structure), 8-bit, grayscale or YCbCr
+  with arbitrary sampling factors, restart markers (DRI). Returns the
+  LUMA plane as 2-D uint8 — mathematically the 0.299/0.587/0.114
+  grayscale the rest of the pipeline uses (Y of YCbCr is that exact
+  combination), so chroma never needs upsampling; chroma-only
+  progressive AC scans are skipped without entropy-decoding at all.
+  Arithmetic-coded / hierarchical / 12-bit variants raise ``ValueError``
+  → the multimodal quarantine path.
 - ``encode_gray``: single-component baseline JFIF with the Annex K
   example tables, quality-scaled quantization — used by the datagen and
   tests to synthesize deterministic JPEG media.
+- ``encode_gray_progressive``: single-component SOF2 with a 6-scan
+  script (DC first/refine, two spectral AC bands, two AC refinement
+  passes) — decodes to the IDENTICAL pixels as the baseline encoding at
+  the same quality (same quantized coefficients), which the tests pin.
 
 Pure numpy: DCT/IDCT are 8×8 orthonormal matrix products batched over
 all blocks; the entropy coder is table-driven Python (fine at cell/page
@@ -171,6 +182,97 @@ def _magnitude(v: int) -> tuple[int, int]:
     return size, bits
 
 
+def _encode_block(bw_: "_BitWriter", row: np.ndarray, prev_dc: int,
+                  dc_codes: dict, ac_codes: dict) -> int:
+    """Baseline entropy coding of one zigzag block; returns the new DC
+    predictor."""
+    size, bits = _magnitude(int(row[0]) - prev_dc)
+    c, l = dc_codes[size]
+    bw_.write(c, l)
+    if size:
+        bw_.write(bits, size)
+    run = 0
+    last_nz = np.nonzero(row[1:])[0]
+    end = last_nz[-1] + 1 if len(last_nz) else 0
+    for k in range(1, end + 1):
+        v = int(row[k])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            c, l = ac_codes[0xF0]  # ZRL
+            bw_.write(c, l)
+            run -= 16
+        size, bits = _magnitude(v)
+        c, l = ac_codes[(run << 4) | size]
+        bw_.write(c, l)
+        bw_.write(bits, size)
+        run = 0
+    if end < 63:
+        c, l = ac_codes[0x00]  # EOB
+        bw_.write(c, l)
+    return int(row[0])
+
+
+# JFIF RGB -> YCbCr (ITU-R BT.601); row i gives component i
+_RGB2YCC = np.array([
+    [0.299, 0.587, 0.114],
+    [-0.168736, -0.331264, 0.5],
+    [0.5, -0.418688, -0.081312],
+])
+
+
+def _block_zz(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    """Level-shifted float plane -> quantized zigzag rows (nblocks, 64)."""
+    h, w = plane.shape
+    arr = np.pad(plane, ((0, -h % 8), (0, -w % 8)), mode="edge")
+    bh, bw = arr.shape[0] // 8, arr.shape[1] // 8
+    blocks = arr.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    quant = np.round((_C @ blocks @ _C.T) / qt.reshape(8, 8)).astype(np.int64)
+    return quant.reshape(-1, 64)[:, ZIGZAG]
+
+
+def encode_color(rgb: np.ndarray, quality: int = 90) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a 3-component 4:4:4
+    baseline JFIF (interleaved Y/Cb/Cr MCUs, shared Annex K tables).
+    ``decode`` returns the Y plane — the exact 0.299/0.587/0.114 luma —
+    so color scans flow through the same grayscale pipeline."""
+    if rgb.ndim != 3 or rgb.shape[2] != 3:
+        raise ValueError("encode_color expects an (h, w, 3) array")
+    h, w, _ = rgb.shape
+    qt = _quality_qt(quality)
+    ycc = rgb.astype(np.float64) @ _RGB2YCC.T  # Y in 0..255, Cb/Cr centred 0
+    zzs = [
+        _block_zz(ycc[:, :, 0] - 128.0, qt),
+        _block_zz(ycc[:, :, 1], qt),
+        _block_zz(ycc[:, :, 2], qt),
+    ]
+    dc_codes = _build_canonical(DC_LUM_BITS, DC_LUM_VALS)
+    ac_codes = _build_canonical(AC_LUM_BITS, AC_LUM_VALS)
+    bw_ = _BitWriter()
+    preds = [0, 0, 0]
+    for m in range(len(zzs[0])):
+        for ci in range(3):
+            preds[ci] = _encode_block(bw_, zzs[ci][m], preds[ci],
+                                      dc_codes, ac_codes)
+    scan = bw_.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    qt_zz = qt.reshape(64)[ZIGZAG].astype(np.uint8)
+    out = b"\xff\xd8"
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + qt_zz.tobytes())
+    out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 3)
+               + b"\x01\x11\x00\x02\x11\x00\x03\x11\x00")
+    out += seg(0xFFC4, b"\x00" + bytes(DC_LUM_BITS) + bytes(DC_LUM_VALS))
+    out += seg(0xFFC4, b"\x10" + bytes(AC_LUM_BITS) + bytes(AC_LUM_VALS))
+    out += seg(0xFFDA, struct.pack(">B", 3) + b"\x01\x00\x02\x00\x03\x00"
+               + b"\x00\x3f\x00")
+    return out + scan + b"\xff\xd9"
+
+
 def encode_gray(
     img: np.ndarray, quality: int = 90, restart_interval: int = 0
 ) -> bytes:
@@ -204,32 +306,7 @@ def encode_gray(
             )
             bw_ = _BitWriter()
             prev_dc = 0
-        size, bits = _magnitude(int(row[0]) - prev_dc)
-        prev_dc = int(row[0])
-        c, l = dc_codes[size]
-        bw_.write(c, l)
-        if size:
-            bw_.write(bits, size)
-        run = 0
-        last_nz = np.nonzero(row[1:])[0]
-        end = last_nz[-1] + 1 if len(last_nz) else 0
-        for k in range(1, end + 1):
-            v = int(row[k])
-            if v == 0:
-                run += 1
-                continue
-            while run >= 16:
-                c, l = ac_codes[0xF0]  # ZRL
-                bw_.write(c, l)
-                run -= 16
-            size, bits = _magnitude(v)
-            c, l = ac_codes[(run << 4) | size]
-            bw_.write(c, l)
-            bw_.write(bits, size)
-            run = 0
-        if end < 63:
-            c, l = ac_codes[0x00]  # EOB
-            bw_.write(c, l)
+        prev_dc = _encode_block(bw_, row, prev_dc, dc_codes, ac_codes)
     scan_parts.append(bw_.flush())
     scan = b"".join(scan_parts)
 
@@ -250,16 +327,203 @@ def encode_gray(
     return out
 
 
-def _split_scan(data: bytes, pos: int) -> list[bytes]:
+# near-flat Huffman table covering every RRRRSSSS symbol (255 codes of
+# length 8 + one of length 9 — canonical assignment never produces an
+# all-ones code). Slightly suboptimal vs per-scan optimal tables, but it
+# legally encodes anything a progressive scan can emit (EOBn, ZRL, s=1
+# refinement codes), which the Annex K example tables cannot.
+FLAT_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0, 0]
+FLAT_AC_VALS = list(range(256))
+
+# default progressive scan script: DC first w/ point transform, two
+# spectral AC bands at Al=2, then successive-approximation refinements
+# down to full precision (exercises every decode path incl. EOB runs).
+PROG_SCRIPT = [
+    (0, 0, 0, 1),
+    (1, 5, 0, 2),
+    (6, 63, 0, 2),
+    (1, 63, 2, 1),
+    (0, 0, 1, 0),
+    (1, 63, 1, 0),
+]
+
+
+def _emit_eobrun_factory(bw: "_BitWriter", ac_codes: dict):
+    state = {"eobrun": 0, "pend": []}
+
+    def bump(corr_bits: list[int]) -> None:
+        state["eobrun"] += 1
+        state["pend"].extend(corr_bits)
+        if state["eobrun"] == 0x7FFF or len(state["pend"]) > 900:
+            flush()
+
+    def flush() -> None:
+        if state["eobrun"] > 0:
+            nbits = state["eobrun"].bit_length() - 1
+            c, l = ac_codes[nbits << 4]
+            bw.write(c, l)
+            if nbits:
+                bw.write(state["eobrun"] & ((1 << nbits) - 1), nbits)
+            state["eobrun"] = 0
+            for b in state["pend"]:
+                bw.write(b, 1)
+            state["pend"] = []
+
+    return bump, flush
+
+
+def _ac_first_scan(zz: np.ndarray, ss: int, se: int, al: int,
+                   ac_codes: dict) -> bytes:
+    bw = _BitWriter()
+    bump_eob, flush_eob = _emit_eobrun_factory(bw, ac_codes)
+    for row in zz:
+        r = 0
+        for k in range(ss, se + 1):
+            t = int(row[k])
+            t_abs = (-t if t < 0 else t) >> al
+            if t_abs == 0:
+                r += 1
+                continue
+            t2 = ~t_abs if t < 0 else t_abs  # ones-complement low bits
+            flush_eob()
+            while r > 15:
+                c, l = ac_codes[0xF0]
+                bw.write(c, l)
+                r -= 16
+            nbits = t_abs.bit_length()
+            c, l = ac_codes[(r << 4) | nbits]
+            bw.write(c, l)
+            bw.write(t2 & ((1 << nbits) - 1), nbits)
+            r = 0
+        if r > 0:
+            bump_eob([])
+    flush_eob()
+    return bw.flush()
+
+
+def _ac_refine_scan(zz: np.ndarray, ss: int, se: int, al: int,
+                    ac_codes: dict) -> bytes:
+    """Successive-approximation AC refinement (libjpeg jcphuff.c
+    encode_mcu_AC_refine structure: correction bits buffer with the
+    next emitted symbol or the pending EOB run)."""
+    bw = _BitWriter()
+    bump_eob, flush_eob = _emit_eobrun_factory(bw, ac_codes)
+    for row in zz:
+        absvals = []
+        eob = ss - 1  # index of last newly-significant (absval == 1) coef
+        for k in range(ss, se + 1):
+            t = int(row[k])
+            t = (-t if t < 0 else t) >> al
+            absvals.append(t)
+            if t == 1:
+                eob = k
+        r = 0
+        br_bits: list[int] = []
+        for k in range(ss, se + 1):
+            t = absvals[k - ss]
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eob:
+                flush_eob()
+                c, l = ac_codes[0xF0]
+                bw.write(c, l)
+                r -= 16
+                for b in br_bits:
+                    bw.write(b, 1)
+                br_bits = []
+            if t > 1:  # already significant: just its next magnitude bit
+                br_bits.append(t & 1)
+                continue
+            flush_eob()
+            c, l = ac_codes[(r << 4) | 1]
+            bw.write(c, l)
+            bw.write(0 if int(row[k]) < 0 else 1, 1)
+            for b in br_bits:
+                bw.write(b, 1)
+            br_bits = []
+            r = 0
+        if r > 0 or br_bits:
+            bump_eob(br_bits)
+    flush_eob()
+    return bw.flush()
+
+
+def encode_gray_progressive(
+    img: np.ndarray, quality: int = 90,
+    script: list[tuple[int, int, int, int]] | None = None,
+) -> bytes:
+    """Encode a 2-D uint8 array as single-component progressive (SOF2)
+    JFIF. Same quantized coefficients as ``encode_gray`` at the same
+    quality, so ``decode`` of both yields IDENTICAL pixels."""
+    if img.ndim != 2:
+        raise ValueError("encode_gray_progressive expects a 2-D array")
+    h, w = img.shape
+    qt = _quality_qt(quality)
+    ph, pw = -h % 8, -w % 8
+    arr = np.pad(img.astype(np.float64), ((0, ph), (0, pw)), mode="edge") - 128.0
+    bh, bw_blocks = arr.shape[0] // 8, arr.shape[1] // 8
+    blocks = (
+        arr.reshape(bh, 8, bw_blocks, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+    coefq = np.round((_C @ blocks @ _C.T) / qt.reshape(8, 8)).astype(np.int64)
+    zz = coefq.reshape(-1, 64)[:, ZIGZAG]
+
+    dc_codes = _build_canonical(DC_LUM_BITS, DC_LUM_VALS)
+    ac_codes = _build_canonical(FLAT_AC_BITS, FLAT_AC_VALS)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    qt_zz = qt.reshape(64)[ZIGZAG].astype(np.uint8)
+    out = b"\xff\xd8"
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + qt_zz.tobytes())
+    out += seg(0xFFC2, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+    out += seg(0xFFC4, b"\x00" + bytes(DC_LUM_BITS) + bytes(DC_LUM_VALS))
+    out += seg(0xFFC4, b"\x10" + bytes(FLAT_AC_BITS) + bytes(FLAT_AC_VALS))
+
+    for ss, se, ah, al in script or PROG_SCRIPT:
+        if ss == 0:
+            bw_ = _BitWriter()
+            if ah == 0:  # DC first: diff-code (dc >> al)
+                prev = 0
+                for row in zz:
+                    v = int(row[0]) >> al
+                    size, bits = _magnitude(v - prev)
+                    prev = v
+                    c, l = dc_codes[size]
+                    bw_.write(c, l)
+                    if size:
+                        bw_.write(bits, size)
+            else:  # DC refine: one magnitude bit per block
+                for row in zz:
+                    bw_.write((int(row[0]) >> al) & 1, 1)
+            scan = bw_.flush()
+        elif ah == 0:
+            scan = _ac_first_scan(zz, ss, se, al, ac_codes)
+        else:
+            scan = _ac_refine_scan(zz, ss, se, al, ac_codes)
+        out += seg(0xFFDA, struct.pack(">BBBBBB", 1, 1, 0x00, ss, se,
+                                       (ah << 4) | al))
+        out += scan
+    return out + b"\xff\xd9"
+
+
+def _split_scan_at(data: bytes, pos: int) -> tuple[list[bytes], int]:
     """Split the entropy-coded scan into restart-interval segments with
     0xFF00 stuffing removed — one vectorized pre-pass, so the bit reader
-    never checks for markers."""
+    never checks for markers. Also returns the offset of the marker that
+    ends the scan (EOI or the next header segment), so multi-scan
+    (progressive) streams can keep walking."""
     arr = np.frombuffer(data, dtype=np.uint8)
     ffs = np.flatnonzero(arr[pos:-1] == 0xFF) + pos
     segments: list[bytes] = []
     parts: list[bytes] = []
     start = pos
     for i in ffs:
+        if i < start:  # FF inside an already-consumed stuffing pair
+            continue
         nxt = data[i + 1]
         if nxt == 0x00:  # stuffed FF: keep the FF, drop the 00
             parts.append(data[start : i + 1])
@@ -272,10 +536,14 @@ def _split_scan(data: bytes, pos: int) -> list[bytes]:
         else:  # EOI or next header segment: end of scan
             parts.append(data[start:i])
             segments.append(b"".join(parts))
-            return segments
+            return segments, i
     parts.append(data[start:])
     segments.append(b"".join(parts))
-    return segments
+    return segments, len(data)
+
+
+def _split_scan(data: bytes, pos: int) -> list[bytes]:
+    return _split_scan_at(data, pos)[0]
 
 
 def _decode_segment(
@@ -382,7 +650,8 @@ def _decode_segment(
 
 
 def decode(data: bytes) -> np.ndarray:
-    """Decode baseline JPEG bytes to the 2-D uint8 luma plane."""
+    """Decode baseline (SOF0/1) or progressive (SOF2) JPEG bytes to the
+    2-D uint8 luma plane."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream")
     qts: dict[int, np.ndarray] = {}
@@ -391,6 +660,8 @@ def decode(data: bytes) -> np.ndarray:
     comps: list[dict] = []
     h = w = 0
     restart_interval = 0
+    progressive = False
+    prog_scans: list[dict] = []
     pos = 2
     scan_pos = None
     scan_comps: list[dict] = []
@@ -416,17 +687,20 @@ def decode(data: bytes) -> np.ndarray:
                 tab[ZIGZAG] = np.frombuffer(body[b + 1 : b + 65], dtype=np.uint8)
                 qts[tid] = tab
                 b += 65
-        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            progressive = marker == 0xC2
             _, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if h * w == 0 or h * w > MAX_PIXELS:
+                raise ValueError(f"implausible JPEG dimensions {w}x{h}")
             comps = []
             for i in range(nc):
                 cid, samp, qid = body[6 + 3 * i : 9 + 3 * i]
                 comps.append(
                     {"id": cid, "hs": samp >> 4, "vs": samp & 0x0F, "q": qid}
                 )
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise ValueError("only baseline (SOF0/1) JPEG is supported")
+            raise ValueError("only baseline/progressive Huffman JPEG is supported")
         elif marker == 0xC4:  # DHT
             b = 0
             while b < len(body):
@@ -448,12 +722,30 @@ def decode(data: bytes) -> np.ndarray:
                     {**comp, "dc": tabs >> 4, "ac": tabs & 0x0F}
                 )
             scan_pos = pos + 2 + length
-            break
+            if not progressive:
+                break
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            if len(prog_scans) > 256:
+                raise ValueError("implausible progressive scan count")
+            segments, end = _split_scan_at(data, scan_pos)
+            prog_scans.append(
+                {
+                    "comps": scan_comps, "ss": ss, "se": se,
+                    "ah": ahal >> 4, "al": ahal & 0x0F,
+                    "segments": segments, "dri": restart_interval,
+                    # snapshot table refs: DHT may redefine between scans
+                    "dc_luts": dict(huff_dc), "ac_luts": dict(huff_ac),
+                }
+            )
+            pos = end
+            continue
         pos += 2 + length
     if scan_pos is None or not comps:
         raise ValueError("no scan in JPEG stream")
     if h * w == 0 or h * w > MAX_PIXELS:
         raise ValueError(f"implausible JPEG dimensions {w}x{h}")
+    if progressive:
+        return _decode_progressive(prog_scans, comps, h, w, qts)
 
     hmax = max(c["hs"] for c in scan_comps)
     vmax = max(c["vs"] for c in scan_comps)
@@ -501,7 +793,16 @@ def decode(data: bytes) -> np.ndarray:
     cols = (ms % mcux) * lw + bs % lw
     Z = np.zeros((nrows * ncols, 64))
     Z[rows * ncols + cols, np.asarray(ks_l, dtype=np.int64)] = vs_l
-    qt_z = qts[luma["q"]][ZIGZAG]
+    return _idct_luma(Z, qts[luma["q"]], nrows, ncols, lw, lv, hmax, vmax, h, w)
+
+
+def _idct_luma(
+    Z: np.ndarray, qt: np.ndarray, nrows: int, ncols: int,
+    lw: int, lv: int, hmax: int, vmax: int, h: int, w: int,
+) -> np.ndarray:
+    """Zigzag-ordered luma coefficient matrix (nblocks, 64) → uint8 plane:
+    batched dequant + inverse-zigzag + IDCT, replicate-up if subsampled."""
+    qt_z = qt[ZIGZAG]
     blocks = np.zeros((nrows * ncols, 64))
     blocks[:, ZIGZAG] = Z * qt_z
     pix = _C.T @ blocks.reshape(-1, 8, 8) @ _C  # batched matmul IDCT
@@ -515,3 +816,218 @@ def decode(data: bytes) -> np.ndarray:
     if lw != hmax or lv != vmax:
         img = np.repeat(np.repeat(img, vmax // lv, axis=0), hmax // lw, axis=1)
     return img[:h, :w]
+
+
+class _BitReader:
+    """Big-endian MSB-first bit reader over a pre-unstuffed entropy
+    segment (progressive path; the baseline path keeps its inlined
+    reader — that one is the per-pixel hot loop)."""
+
+    __slots__ = ("words", "wi", "acc", "nbits")
+    _M64 = 0xFFFFFFFFFFFFFFFF
+
+    def __init__(self, seg: bytes):
+        pad = (-len(seg)) % 4
+        # trailing 0xFF guard words = the spec's 1-bit padding
+        self.words = np.frombuffer(seg + b"\xff" * (pad + 16), dtype=">u4").tolist()
+        self.wi = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def bits(self, n: int) -> int:
+        while self.nbits < n:
+            self.acc = ((self.acc << 32) | self.words[self.wi]) & self._M64
+            self.wi += 1
+            self.nbits += 32
+        self.nbits -= n
+        return (self.acc >> self.nbits) & ((1 << n) - 1)
+
+    def huff(self, lut: list[int]) -> int:
+        if self.nbits < 16:
+            self.acc = ((self.acc << 32) | self.words[self.wi]) & self._M64
+            self.wi += 1
+            self.nbits += 32
+        entry = lut[(self.acc >> (self.nbits - 16)) & 0xFFFF]
+        if entry == 0:
+            raise ValueError("bad Huffman code")
+        self.nbits -= entry >> 8
+        return entry & 0xFF
+
+
+def _extend(v: int, size: int) -> int:
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _decode_progressive(
+    scans: list[dict], comps: list[dict], h: int, w: int,
+    qts: dict[int, np.ndarray],
+) -> np.ndarray:
+    """Progressive (SOF2) reconstruction: accumulate luma coefficients
+    across DC/AC first + refinement scans (T.81 Annex G; scan-update
+    structure follows the public libjpeg jdphuff.c), then one batched
+    IDCT. Chroma: DC bits are entropy-decoded only to advance interleaved
+    scans; chroma-only AC scans are skipped outright (their entropy
+    segments were already isolated by the marker walk)."""
+    hmax = max(c["hs"] for c in comps)
+    vmax = max(c["vs"] for c in comps)
+    luma = comps[0]
+    lid, lw, lv = luma["id"], luma["hs"], luma["vs"]
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    nrows, ncols = mcuy * lv, mcux * lw
+    if nrows * ncols > MAX_PIXELS // 64:
+        raise ValueError("implausible progressive block count")
+    # luma's own (non-interleaved) block grid — differs from the padded
+    # interleaved grid at right/bottom edges when subsampled
+    bw_n = -(-(-(-w * lw // hmax)) // 8)
+    bh_n = -(-(-(-h * lv // vmax)) // 8)
+    coef = [[0] * 64 for _ in range(nrows * ncols)]
+
+    for sc in scans:
+        ss, se, ah, al = sc["ss"], sc["se"], sc["ah"], sc["al"]
+        scomps = sc["comps"]
+        interleaved = len(scomps) > 1
+        has_luma = any(c["id"] == lid for c in scomps)
+        if ss > 0 and not has_luma:
+            continue  # chroma-only AC scan: skip without decoding
+        if ss > se or se > 63 or (ss == 0) != (se == 0):
+            raise ValueError("bad spectral selection")
+        if ss > 0 and interleaved:
+            raise ValueError("interleaved AC scan is not legal progressive")
+        if interleaved:
+            n_units = mcux * mcuy
+        else:
+            c0 = scomps[0]
+            cw = -(-(-(-w * c0["hs"] // hmax)) // 8)
+            chh = -(-(-(-h * c0["vs"] // vmax)) // 8)
+            n_units = cw * chh
+        dri = sc["dri"]
+        segments = sc["segments"]
+        dc_luts, ac_luts = sc["dc_luts"], sc["ac_luts"]
+
+        done = 0
+        seg_i = 0
+        while done < n_units:
+            n = min(dri, n_units - done) if dri else n_units - done
+            if seg_i >= len(segments):
+                raise ValueError("missing restart segment")
+            br = _BitReader(segments[seg_i])
+            preds = {c["id"]: 0 for c in scomps}
+            eobrun = 0
+            if ss == 0:
+                _prog_dc_pass(
+                    br, scomps, done, n, ah, al, coef, lid, lw, lv,
+                    mcux, ncols, bw_n, dc_luts, preds, interleaved,
+                )
+            else:
+                eobrun = _prog_ac_pass(
+                    br, scomps[0], done, n, ss, se, ah, al, coef,
+                    ncols, bw_n, ac_luts, eobrun,
+                )
+            done += n
+            seg_i += 1
+
+    Z = np.asarray(coef, dtype=np.float64)
+    return _idct_luma(Z, qts[luma["q"]], nrows, ncols, lw, lv, hmax, vmax, h, w)
+
+
+def _prog_dc_pass(
+    br, scomps, first, n, ah, al, coef, lid, lw, lv,
+    mcux, ncols, bw_n, dc_luts, preds, interleaved,
+):
+    """One restart segment of a DC scan (first pass or refinement)."""
+    for m in range(first, first + n):
+        for c in scomps:
+            is_luma = c["id"] == lid
+            nb = c["hs"] * c["vs"] if interleaved else 1
+            for b in range(nb):
+                if ah == 0:
+                    sym = br.huff(dc_luts[c["dc"]])
+                    diff = _extend(br.bits(sym), sym) if sym else 0
+                    preds[c["id"]] += diff
+                else:
+                    bit = br.bits(1)
+                if not is_luma:
+                    continue
+                if interleaved:
+                    row_i = (m // mcux) * lv + b // lw
+                    col_i = (m % mcux) * lw + b % lw
+                else:
+                    row_i, col_i = m // bw_n, m % bw_n
+                blk = coef[row_i * ncols + col_i]
+                if ah == 0:
+                    blk[0] = preds[c["id"]] << al
+                elif bit:
+                    blk[0] |= 1 << al
+
+
+def _prog_ac_pass(br, comp, first, n, ss, se, ah, al, coef, ncols, bw_n,
+                  ac_luts, eobrun):
+    """One restart segment of a (single-component, luma) AC scan."""
+    lut = ac_luts[comp["ac"]]
+    p1, m1 = 1 << al, (-1) << al
+    for m in range(first, first + n):
+        blk = coef[(m // bw_n) * ncols + (m % bw_n)]
+        if ah == 0:  # first pass for this band
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                sym = br.huff(lut)
+                r, s = sym >> 4, sym & 0x0F
+                if s == 0:
+                    if r == 15:  # ZRL
+                        k += 16
+                        continue
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += br.bits(r)
+                    break
+                k += r
+                if k > se:
+                    raise ValueError("AC index overflow")
+                blk[k] = _extend(br.bits(s), s) << al
+                k += 1
+        else:  # refinement pass (libjpeg decode_mcu_AC_refine structure)
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    sym = br.huff(lut)
+                    r, s = sym >> 4, sym & 0x0F
+                    if s == 0:
+                        if r != 15:
+                            eobrun = (1 << r)
+                            if r:
+                                eobrun += br.bits(r)
+                            break
+                        # ZRL: skip 16 zero-history coefficients
+                        val = 0
+                    else:
+                        if s != 1:
+                            raise ValueError("bad refinement symbol")
+                        val = p1 if br.bits(1) else m1
+                    while k <= se:
+                        c = blk[k]
+                        if c != 0:
+                            if br.bits(1) and (c & p1) == 0:
+                                blk[k] = c + (p1 if c >= 0 else m1)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if val:
+                        if k > se:
+                            raise ValueError("refinement overflow")
+                        blk[k] = val
+                    k += 1
+            if eobrun > 0:
+                while k <= se:
+                    c = blk[k]
+                    if c != 0:
+                        if br.bits(1) and (c & p1) == 0:
+                            blk[k] = c + (p1 if c >= 0 else m1)
+                    k += 1
+                eobrun -= 1
+    return eobrun

@@ -45,6 +45,22 @@ def encode_gray(img: np.ndarray) -> bytes:
     return _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 
+def encode_rgb(img: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 array as truecolor PNG bytes (color
+    type 2, filter 0) — the datagen uses this for the color slice of the
+    corpus; ``decode`` folds it back to luma."""
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("encode_rgb expects an (h, w, 3) array")
+    arr = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w, _ = arr.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = np.empty((h, w * 3 + 1), dtype=np.uint8)
+    raw[:, 0] = 0
+    raw[:, 1:] = arr.reshape(h, w * 3)
+    idat = zlib.compress(raw.tobytes(), 6)
+    return _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
 def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     p = a.astype(np.int16) + b.astype(np.int16) - c.astype(np.int16)
     pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)

@@ -107,10 +107,12 @@ def test_multimodal_metadata_and_quarantine(spark, corpus_dir):
 
     media = spark.read.parquet(f"{corpus_dir}/media.parquet")
     meta = multimodal.media_metadata(media).toPandas()
-    # corpus v3 mixes formats: png + baseline jpeg images, pdf containers
-    assert set(meta["fmt"]) <= {"png", "jpeg", "pdf"}
-    assert (meta["fmt"] == "png").any() and (meta["fmt"] == "jpeg").any()
-    imgs = meta[meta["fmt"].isin(["png", "jpeg"])]
+    # corpus v5 mixes every cv2.imread format: png/jpeg (incl. color +
+    # progressive), bmp, tiff images, pdf containers
+    assert set(meta["fmt"]) <= {"png", "jpeg", "bmp", "tiff", "pdf"}
+    for fmt in ("png", "jpeg", "bmp", "tiff"):
+        assert (meta["fmt"] == fmt).any(), f"corpus lacks {fmt} media"
+    imgs = meta[meta["fmt"].isin(["png", "jpeg", "bmp", "tiff"])]
     assert (imgs["width"] > 0).all() and (imgs["height"] > 0).all()
     assert imgs["fill_ratio"].between(0, 1).all()
     pdfs = meta[meta["fmt"] == "pdf"]

@@ -80,3 +80,134 @@ def test_codec_dispatch_and_dims():
     assert codecs.decode_image(jp).shape == img.shape
     with pytest.raises(ValueError):
         codecs.decode_image(b"RIFF....WAVE")
+
+
+def _wavy(h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    return np.clip(
+        128
+        + 60 * np.sin(np.arange(w) / 7)[None, :]
+        + 40 * np.cos(np.arange(h) / 5)[:, None]
+        + rng.normal(0, 12, (h, w)),
+        0, 255,
+    ).astype(np.uint8)
+
+
+def test_progressive_decodes_identical_to_baseline():
+    """SOF2 reconstruction is exact: the 6-scan successive-approximation
+    script reassembles the same quantized coefficients as the baseline
+    stream, so decoded pixels are bit-identical."""
+    for shape in [(64, 96), (57, 83), (8, 8), (23, 17)]:
+        img = _wavy(*shape, seed=shape[0])
+        for q in (95, 80):
+            base = jpeg.decode(jpeg.encode_gray(img, q))
+            prog = jpeg.decode(jpeg.encode_gray_progressive(img, q))
+            np.testing.assert_array_equal(base, prog)
+
+
+def test_progressive_dims_and_sniff():
+    from ocr_to_csv_spark.imaging import codecs
+
+    img = _wavy(41, 67)
+    blob = jpeg.encode_gray_progressive(img, 90)
+    assert codecs.sniff_format(blob) == "jpeg"
+    assert codecs.image_dims(blob) == (67, 41)
+    np.testing.assert_array_equal(codecs.decode_image(blob),
+                                  jpeg.decode(jpeg.encode_gray(img, 90)))
+
+
+def _color_progressive_fixture(img):
+    """Hand-built 3-component (YCbCr, all-zero chroma) progressive
+    stream: interleaved DC scan + luma AC scans + chroma AC scans that
+    are pure EOB runs — exercises the interleaved-DC decode path and the
+    chroma-AC-scan skip path."""
+    import struct
+
+    h, w = img.shape
+    qt = jpeg._quality_qt(90)
+    ph, pw = -h % 8, -w % 8
+    arr = np.pad(img.astype(np.float64), ((0, ph), (0, pw)), mode="edge") - 128.0
+    bh, bw = arr.shape[0] // 8, arr.shape[1] // 8
+    blocks = arr.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    zz = np.round((jpeg._C @ blocks @ jpeg._C.T) / qt.reshape(8, 8)).astype(
+        np.int64
+    ).reshape(-1, 64)[:, jpeg.ZIGZAG]
+
+    dc_codes = jpeg._build_canonical(jpeg.DC_LUM_BITS, jpeg.DC_LUM_VALS)
+    ac_codes = jpeg._build_canonical(jpeg.FLAT_AC_BITS, jpeg.FLAT_AC_VALS)
+
+    def seg(marker, payload):
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    qt_zz = qt.reshape(64)[jpeg.ZIGZAG].astype(np.uint8)
+    out = b"\xff\xd8"
+    out += seg(0xFFDB, b"\x00" + qt_zz.tobytes())
+    # SOF2: 3 components, all 1x1 sampling, all using qt 0
+    out += seg(0xFFC2, struct.pack(">BHHB", 8, h, w, 3)
+               + b"\x01\x11\x00\x02\x11\x00\x03\x11\x00")
+    out += seg(0xFFC4, b"\x00" + bytes(jpeg.DC_LUM_BITS) + bytes(jpeg.DC_LUM_VALS))
+    out += seg(0xFFC4, b"\x10" + bytes(jpeg.FLAT_AC_BITS) + bytes(jpeg.FLAT_AC_VALS))
+
+    # scan 1: interleaved DC first (Al=0) over Y,Cb,Cr (chroma DC = 0)
+    bw_ = jpeg._BitWriter()
+    prev = 0
+    zero_c, zero_l = dc_codes[0]
+    for row in zz:
+        size, bits = jpeg._magnitude(int(row[0]) - prev)
+        prev = int(row[0])
+        c, l = dc_codes[size]
+        bw_.write(c, l)
+        if size:
+            bw_.write(bits, size)
+        bw_.write(zero_c, zero_l)  # Cb dc diff 0
+        bw_.write(zero_c, zero_l)  # Cr dc diff 0
+    out += seg(0xFFDA, struct.pack(">B", 3) + b"\x01\x00\x02\x00\x03\x00"
+               + b"\x00\x00\x00")
+    out += bw_.flush()
+    # scan 2: luma AC 1-63 first, Al=0
+    out += seg(0xFFDA, b"\x01\x01\x00\x01\x3f\x00")
+    out += jpeg._ac_first_scan(zz, 1, 63, 0, ac_codes)
+    # scans 3-4: chroma AC — one maximal EOB run each (all zeros)
+    n = len(zz)
+    for cid in (2, 3):
+        bw_ = jpeg._BitWriter()
+        left = n
+        while left:
+            run = min(left, 0x7FFF)
+            nbits = run.bit_length() - 1
+            c, l = ac_codes[nbits << 4]
+            bw_.write(c, l)
+            if nbits:
+                bw_.write(run & ((1 << nbits) - 1), nbits)
+            left -= run
+        out += seg(0xFFDA, bytes([1, cid, 0x00, 1, 63, 0]))
+        out += bw_.flush()
+    return out + b"\xff\xd9"
+
+
+def test_color_progressive_interleaved_dc_and_chroma_skip():
+    img = _wavy(40, 56, seed=3)
+    blob = _color_progressive_fixture(img)
+    got = jpeg.decode(blob)
+    want = jpeg.decode(jpeg.encode_gray(img, 90))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_progressive_fuzz_corruptions():
+    import random
+    import time
+
+    img = _wavy(48, 64, seed=9)
+    blob = jpeg.encode_gray_progressive(img, 90)
+    rng = random.Random(11)
+    t0 = time.time()
+    for _ in range(250):
+        data = bytearray(blob)
+        for _ in range(rng.randint(1, 8)):
+            data[rng.randrange(len(data))] = rng.randrange(256)
+        try:
+            out = jpeg.decode(bytes(data))
+            assert out.nbytes <= 256_000_000
+        except Exception:
+            pass  # quarantine path
+    assert time.time() - t0 < 60
