@@ -42,6 +42,19 @@ from pyspark.sql import functions as F
 _STAGE_DIRS: list[str] = []
 
 
+def _parquet_rowcount(path: str) -> int:
+    """Total rows of a parquet directory from file FOOTERS only (pyarrow
+    metadata read) — the sandbox analogue of a catalog/manifest row
+    count; costs no Spark job."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for name in os.listdir(path):
+        if name.endswith(".parquet"):
+            total += pq.ParquetFile(os.path.join(path, name)).metadata.num_rows
+    return total
+
+
 @atexit.register
 def _cleanup_stage_dirs() -> None:
     while _STAGE_DIRS:
@@ -335,14 +348,15 @@ def _expand_pdf_spans(
     embedded page (media_ref ``<ref>#p<i>``, content re-encoded PNG into
     the media dimension), then ALL spans are renumbered so offsets stay
     the per-document ordinal the rest of the pipeline keys on. Returns
-    (spans', media', quarantine_rows). Cheap presence probe first: a
-    corpus with no PDFs pays only a pruned scan, no expansion stages."""
-    if spans.filter(F.col("kind") == "pdf").limit(1).count() == 0:
-        empty = spark.createDataFrame(
-            [], "doc_id string, kind string, text string, media_ref string, offset int"
-        )
-        return spans, media, empty
+    (spans', media', quarantine_rows).
 
+    PDF presence is derived from the SAME job that stages the fan-out:
+    the decode stage always runs (a PDF-free corpus scans only the
+    kind-pruned span slice and writes an empty stage), and emptiness is
+    then read from the staged parquet FOOTERS driver-side — zero extra
+    Spark jobs either way, where the old design paid a separate limit-1
+    probe job per extract (a real scan over a non-partition column on a
+    100 TB catalog)."""
     pdf_blobs = (
         spans.filter(F.col("kind") == "pdf")
         .select("media_ref")
@@ -355,8 +369,13 @@ def _expand_pdf_spans(
     # one decode per PDF: stage the fan-out (3 consumers below)
     stage_dir = tempfile.mkdtemp(prefix="ocr2csv_pdf_stage_")
     pages.write.mode("overwrite").parquet(stage_dir)
-    pages = spark.read.parquet(stage_dir)
     _STAGE_DIRS.append(stage_dir)
+    if _parquet_rowcount(stage_dir) == 0:  # footer metadata, no Spark job
+        empty = spark.createDataFrame(
+            [], "doc_id string, kind string, text string, media_ref string, offset int"
+        )
+        return spans, media, empty
+    pages = spark.read.parquet(stage_dir)
 
     pdf_spans = spans.filter(F.col("kind") == "pdf").select(
         "doc_id", "offset", "media_ref"

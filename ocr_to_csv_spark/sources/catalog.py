@@ -117,12 +117,24 @@ class Catalog:
         production scale substitute distributed-quantile boundaries for
         the min/max scaling, same z expression."""
         from pyspark.sql import functions as F
+        from pyspark.sql.types import NumericType
 
+        for c in (col_x, col_y):
+            if not isinstance(df.schema[c].dataType, NumericType):
+                raise ValueError(
+                    f"write_zordered('{name}'): cluster key '{c}' is "
+                    f"{df.schema[c].dataType.simpleString()}, not numeric"
+                )
         scale = (1 << bits) - 1
         mm = df.agg(
             F.min(col_x).alias("x0"), F.max(col_x).alias("x1"),
             F.min(col_y).alias("y0"), F.max(col_y).alias("y1"),
         ).collect()[0]
+        if mm["x0"] is None or mm["y0"] is None:
+            raise ValueError(
+                f"write_zordered('{name}'): min/max of '{col_x}'/'{col_y}' "
+                "is NULL — empty input or all-null cluster key"
+            )
         span_x = max(float(mm["x1"]) - float(mm["x0"]), 1e-12)
         span_y = max(float(mm["y1"]) - float(mm["y0"]), 1e-12)
         rx = F.floor(
@@ -167,6 +179,45 @@ class Catalog:
         )
         if order_by:
             merged = merged.orderBy(*order_by)
+        if single_file:
+            merged = merged.coalesce(1)
+        self._swap_write(merged, name)
+
+    def merge_upsert(
+        self,
+        df: DataFrame,
+        name: str,
+        keys: list[str],
+        single_file: bool = False,
+    ) -> None:
+        """Key-based MERGE: incoming rows REPLACE existing rows with the
+        same key (Iceberg ``MERGE INTO ... WHEN MATCHED THEN UPDATE``),
+        where ``merge_distinct`` is insert-distinct (a re-arrived row
+        with CHANGED non-key values would duplicate the key there).
+
+        One window over the key: incoming beats existing (__src desc),
+        duplicate incoming keys break ties deterministically on the
+        non-key columns — so re-delivery of the same batch is a no-op
+        (idempotent, the exactly-once contract streaming sinks need).
+        Distributed scratch-write + atomic swap, same as merge_distinct."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        others = [c for c in df.columns if c not in keys]
+        incoming = df.withColumn("__src", F.lit(1))
+        merged = (
+            self.read(name).withColumn("__src", F.lit(0)).unionByName(incoming)
+            if self.exists(name)
+            else incoming
+        )
+        w = Window.partitionBy(*keys).orderBy(
+            F.desc("__src"), *[F.desc(c) for c in others]
+        )
+        merged = (
+            merged.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__src")
+        )
         if single_file:
             merged = merged.coalesce(1)
         self._swap_write(merged, name)

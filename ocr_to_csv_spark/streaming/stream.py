@@ -66,15 +66,20 @@ def stream_upsert(
     checkpoint_dir: str,
     order_by: list[str] | None = None,
     max_files_per_trigger: int | None = None,
+    keys: list[str] | None = None,
 ) -> None:
     """Streaming MERGE sink: each micro-batch upserts into a Catalog
-    table via the distributed ``merge_distinct`` (scratch-write + atomic
-    swap). Structured Streaming's foreachBatch is at-least-once — a
-    crashed epoch can re-deliver a batch — so exactly-once table state
-    comes from the sink being IDEMPOTENT: re-merging already-present
-    rows is a no-op. This is the parquet stand-in for Iceberg
-    ``MERGE INTO`` driven by a stream, and the pattern that keeps a
-    continuously-ingested dedup/alias table correct at 10^12-doc scale."""
+    table. With ``keys`` set this is a true key-based MERGE
+    (``merge_upsert``: a row re-arriving with CHANGED non-key values
+    REPLACES the old row — Iceberg ``MERGE INTO ... WHEN MATCHED THEN
+    UPDATE``); without keys it is insert-distinct (``merge_distinct``:
+    idempotent for identical re-delivery only — changed values for the
+    same logical key would coexist). Structured Streaming's foreachBatch
+    is at-least-once — a crashed epoch can re-deliver a batch — so
+    exactly-once table state comes from the sink being IDEMPOTENT in
+    either mode. This is the parquet stand-in for Iceberg ``MERGE INTO``
+    driven by a stream, and the pattern that keeps a continuously-
+    ingested dedup/alias table correct at 10^12-doc scale."""
     from ..sources.catalog import Catalog
 
     cat = Catalog(spark, catalog_base)
@@ -84,7 +89,10 @@ def stream_upsert(
     src = reader.parquet(stream_dir)
 
     def process_batch(batch_df, batch_id: int) -> None:
-        cat.merge_distinct(batch_df, name, order_by=order_by)
+        if keys:
+            cat.merge_upsert(batch_df, name, keys=keys)
+        else:
+            cat.merge_distinct(batch_df, name, order_by=order_by)
 
     q = (
         src.writeStream.foreachBatch(process_batch)

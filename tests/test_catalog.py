@@ -173,3 +173,48 @@ def test_write_zordered_prunes_on_both_dims(spark, tmp_path):
     # ...but z-order prunes most files on y, and on x too
     assert n_intersecting(zb, "y", 0, 7) <= 8
     assert n_intersecting(zb, "x", 0, 7) <= 8
+
+
+def test_merge_upsert_replaces_on_key_and_is_idempotent(spark, tmp_path):
+    from ocr_to_csv_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path))
+    base = spark.createDataFrame(
+        [("a", 1, "x"), ("b", 2, "y")], "k string, v int, tag string"
+    )
+    cat.merge_upsert(base, "t", keys=["k"])
+    # changed non-key value REPLACES the old row (merge_distinct would
+    # keep both — the exact gap this variant closes)
+    upd = spark.createDataFrame([("a", 9, "x2")], "k string, v int, tag string")
+    cat.merge_upsert(upd, "t", keys=["k"])
+    got = {r["k"]: (r["v"], r["tag"]) for r in cat.read("t").collect()}
+    assert got == {"a": (9, "x2"), "b": (2, "y")}
+    # at-least-once re-delivery of the SAME batch is a no-op
+    cat.merge_upsert(upd, "t", keys=["k"])
+    got2 = {r["k"]: (r["v"], r["tag"]) for r in cat.read("t").collect()}
+    assert got2 == got
+    # duplicate incoming keys resolve deterministically (max non-key cols)
+    dup = spark.createDataFrame(
+        [("c", 1, "m"), ("c", 5, "m")], "k string, v int, tag string"
+    )
+    cat.merge_upsert(dup, "t", keys=["k"])
+    assert {r["v"] for r in cat.read("t").filter("k='c'").collect()} == {5}
+
+
+def test_write_zordered_guards(spark, tmp_path):
+    import pytest
+
+    from ocr_to_csv_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path))
+    empty = spark.createDataFrame([], "x double, y double, v int")
+    with pytest.raises(ValueError, match="empty input or all-null"):
+        cat.write_zordered(empty, "z", "x", "y")
+    allnull = spark.createDataFrame(
+        [(None, None, 1)], "x double, y double, v int"
+    )
+    with pytest.raises(ValueError, match="empty input or all-null"):
+        cat.write_zordered(allnull, "z", "x", "y")
+    strkey = spark.createDataFrame([("a", 1.0, 1)], "x string, y double, v int")
+    with pytest.raises(ValueError, match="not numeric"):
+        cat.write_zordered(strkey, "z", "x", "y")

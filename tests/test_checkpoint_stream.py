@@ -206,3 +206,31 @@ def test_stream_upsert_idempotent_under_redelivery(spark, tmp_path):
     got = Catalog(spark, str(tmp_path / "cat")).read("merged").collect()
     assert len(got) == 75
     assert {r["id"] for r in got} == set(range(75))
+
+
+def test_stream_upsert_keyed_replaces_changed_rows(spark, tmp_path):
+    """With keys= the sink is a true key-based MERGE: a row re-arriving
+    in a later micro-batch with CHANGED non-key values replaces the old
+    row instead of duplicating the key (insert-distinct would keep both)."""
+    import os
+
+    from ocr_to_csv_spark.sources import Catalog
+    from ocr_to_csv_spark.streaming.stream import stream_upsert
+
+    src = str(tmp_path / "kup_src")
+    os.makedirs(src)
+    a = spark.createDataFrame([(i, f"v{i}") for i in range(20)], "id int, v string")
+    b = spark.createDataFrame(
+        [(i, f"NEW{i}") for i in range(10, 20)], "id int, v string"
+    )  # same keys, changed values
+    a.coalesce(1).write.mode("append").parquet(src)
+    b.coalesce(1).write.mode("append").parquet(src)
+
+    stream_upsert(
+        spark, src, "id int, v string", str(tmp_path / "kcat"), "merged",
+        str(tmp_path / "kup_ckpt"), max_files_per_trigger=1, keys=["id"],
+    )
+    got = {r["id"]: r["v"] for r in
+           Catalog(spark, str(tmp_path / "kcat")).read("merged").collect()}
+    assert len(got) == 20
+    assert got[5] == "v5" and got[15] == "NEW15"
