@@ -143,13 +143,9 @@ def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_ann_lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN search via the LSH buckets — the lookup half of the LSH path
-    (mirrors q_ivf_search): each query (vec_id < N_QUERIES) probes ONLY
-    the candidates hashed to its own bucket (equi-join on bucket — cost
-    O(N/256) per query instead of O(N)), then ranks them by cosine.
-    Queries whose bucket holds no candidates return no rows — the recall
-    trade LSH makes; tune with multi-probe / more tables at scale."""
+def _lsh_qc(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Bucketed (query, candidate) split shared by the single-probe and
+    multi-probe LSH search paths."""
     e = _emb(spark, sf_dir)
     b = _ann_buckets(e)
     eb = e.join(b, "vec_id")
@@ -161,7 +157,56 @@ def q_ann_lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"),
         F.col("nrm").alias("cn"), F.col("bucket").alias("cb"),
     )
+    return q, c
+
+
+def q_ann_lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN search via the LSH buckets — the lookup half of the LSH path
+    (mirrors q_ivf_search): each query (vec_id < N_QUERIES) probes ONLY
+    the candidates hashed to its own bucket (equi-join on bucket — cost
+    O(N/256) per query instead of O(N)), then ranks them by cosine.
+    Queries whose bucket holds no candidates return no rows — the recall
+    trade single-probe LSH makes; ``q_ann_lsh_multiprobe`` is the tuned
+    variant (own bucket + Hamming-1 neighbors)."""
+    q, c = _lsh_qc(spark, sf_dir)
     sims = q.join(c, q.qb == c.cb).select(
+        "query_id",
+        "cand_id",
+        F.round(
+            _fold_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("query_id", "cand_id", "rk", "sim")
+    )
+
+
+def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH search: each query probes its own bucket PLUS the
+    N_PLANES Hamming-1 neighbor buckets (one sign bit flipped) — the
+    standard recall lever that avoids building more hash tables. Still a
+    pure equi-join on bucket id (the probe list explodes the QUERY side
+    9×, never the candidates), so per-query cost is O(9·N/256) instead
+    of O(N); ``q_ann_recall`` measures the recall lift vs single-probe.
+    A candidate hashes to exactly one bucket and probe buckets are
+    distinct, so no pair dedup is needed."""
+    q, c = _lsh_qc(spark, sf_dir)
+    probes = q.select(
+        "query_id", "qv", "qn",
+        F.explode(
+            F.array(
+                F.col("qb"),
+                *[
+                    F.col("qb").bitwiseXOR(F.lit(1 << i)).cast("long")
+                    for i in range(N_PLANES)
+                ],
+            )
+        ).alias("pb"),
+    )
+    sims = probes.join(c, probes.pb == c.cb).select(
         "query_id",
         "cand_id",
         F.round(
@@ -641,6 +686,9 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = q_ann_lsh_search(spark, sf_dir).select(
         "query_id", F.col("cand_id").alias("neighbor_id")
     )
+    lsh_mp = q_ann_lsh_multiprobe(spark, sf_dir).select(
+        "query_id", F.col("cand_id").alias("neighbor_id")
+    )
 
     def row(method: str, approx: DataFrame, truth: DataFrame) -> DataFrame:
         hits = approx.join(
@@ -654,7 +702,11 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_hits") / F.col("n_expected"), 4).alias("recall"),
         )
 
-    return row("pq_top5", pq, e5).unionByName(row("lsh_top3", lsh, e3))
+    return (
+        row("pq_top5", pq, e5)
+        .unionByName(row("lsh_top3", lsh, e3))
+        .unionByName(row("lsh_mp_top3", lsh_mp, e3))
+    )
 
 
 QUERIES = {
@@ -662,6 +714,7 @@ QUERIES = {
     "embed_near_pairs": q_embed_near_pairs,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_lsh_search": q_ann_lsh_search,
+    "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
     "ivf_assign": q_ivf_assign,
     "ivf_search": q_ivf_search,
     "embed_stats": q_embed_stats,
@@ -991,10 +1044,25 @@ ORACLES["pq_search"] = _PQ_CTE + """
     QUALIFY rank <= 5
 """
 
+# multi-probe oracle: same bucketing, the query side expands to its own
+# bucket + the N_PLANES Hamming-1 buckets before the candidate equi-join
+ORACLES["ann_lsh_multiprobe"] = ORACLES["ann_lsh_search"].replace(
+    "sims AS (",
+    f"""probes AS (
+            SELECT query_id, qv, qn,
+                   unnest(list_prepend(qb,
+                       list_transform(generate_series(0, {N_PLANES - 1}),
+                                      i -> xor(qb, (1::BIGINT << i))))) AS pb
+            FROM q
+        ),
+        sims AS (""",
+).replace("FROM q JOIN cand ON qb = cb", "FROM probes JOIN cand ON pb = cb")
+
 ORACLES["ann_recall"] = f"""
     WITH exact AS ({ORACLES["cosine_topk"]}),
     pq AS ({ORACLES["pq_search"]}),
-    lsh AS ({ORACLES["ann_lsh_search"]})
+    lsh AS ({ORACLES["ann_lsh_search"]}),
+    lsh_mp AS ({ORACLES["ann_lsh_multiprobe"]})
     SELECT 'pq_top5' AS method,
            (SELECT count(*) FROM pq JOIN exact USING (query_id, neighbor_id))::BIGINT AS n_hits,
            (SELECT count(*) FROM exact)::BIGINT AS n_expected,
@@ -1007,5 +1075,13 @@ ORACLES["ann_recall"] = f"""
            (SELECT count(*) FROM exact WHERE rank <= 3)::BIGINT,
            round((SELECT count(*) FROM lsh JOIN exact e ON lsh.query_id = e.query_id
                     AND lsh.cand_id = e.neighbor_id WHERE e.rank <= 3)
+                 / (SELECT count(*) FROM exact WHERE rank <= 3)::DOUBLE, 4)
+    UNION ALL
+    SELECT 'lsh_mp_top3',
+           (SELECT count(*) FROM lsh_mp JOIN exact e ON lsh_mp.query_id = e.query_id
+              AND lsh_mp.cand_id = e.neighbor_id WHERE e.rank <= 3)::BIGINT,
+           (SELECT count(*) FROM exact WHERE rank <= 3)::BIGINT,
+           round((SELECT count(*) FROM lsh_mp JOIN exact e ON lsh_mp.query_id = e.query_id
+                    AND lsh_mp.cand_id = e.neighbor_id WHERE e.rank <= 3)
                  / (SELECT count(*) FROM exact WHERE rank <= 3)::DOUBLE, 4)
 """
