@@ -191,6 +191,133 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_MERGES = 6
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training — the first ``BPE_MERGES``
+    merge rules over the corpus (the Sennrich et al. algorithm every
+    subword tokenizer build runs before pretraining).
+
+    Scale shape (the part that matters at 100 TB): the corpus is touched
+    ONCE, by the word-frequency aggregate (partial+final hash agg on the
+    token); every merge round then runs over the VOCABULARY table
+    (weighted by word count), which is dictionary-sized. Per round: one
+    explode of adjacent symbol pairs + one sum agg + a single-row
+    top-1 collect (the winning pair — kmeans-style tiny driver state),
+    then a map-side fold rewrites each word's symbol array (left-to-right
+    non-overlapping merge, the reference semantics). Nothing word-sized
+    ever reaches the driver. Oracle: the same rounds unrolled as DuckDB
+    CTEs with list_reduce folds — exact integer counts, deterministic
+    (count DESC, left ASC, right ASC) tie-break."""
+    d = table(spark, sf_dir, "documents", spread=True)
+    words = (
+        d.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .withColumn(
+            "syms", F.filter(F.split(F.col("w"), ""), lambda s: s != "")
+        )
+    )
+    out_rows = []
+    for rank in range(BPE_MERGES):
+        pairs = words.filter(F.size("syms") >= 2).select(
+            "n",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("syms") - 1),
+                    lambda i: F.struct(
+                        F.element_at("syms", i).alias("l"),
+                        F.element_at("syms", i + 1).alias("r"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("n").alias("c"))
+            .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, c = top[0]["l"], top[0]["r"], int(top[0]["c"])
+        out_rows.append((rank + 1, l, r, c))
+        merged = F.lit(l + r)
+        words = words.withColumn(
+            "syms",
+            F.aggregate(
+                "syms",
+                F.array().cast("array<string>"),
+                lambda acc, s: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(l))
+                    & (s == F.lit(r)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1), F.array(merged)
+                    ),
+                ).otherwise(F.concat(acc, F.array(s))),
+            ),
+        ).localCheckpoint()  # truncate the per-round expression lineage
+    return spark.createDataFrame(
+        out_rows, "merge_rank long, lhs string, rhs string, pair_count long"
+    )
+
+
+MIX_TARGET = {"de": 15, "en": 40, "es": 15, "fr": 15, "zh": 15}  # % shares
+MIX_BUDGET_PCT = 60  # total sample budget as % of the corpus
+
+
+def q_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data MIXING: rebalance the corpus to a target language
+    composition (the Pile/Dolma-style mixture step every pretraining
+    pipeline runs before tokenization). Per-stratum acceptance rate =
+    min(100%, stratum_budget / stratum_count) with
+    stratum_budget = (corpus_total · budget%) · target_share% — all
+    integer arithmetic so the oracle is exact; membership is the same
+    deterministic hash-mod draw as ``q_stratified_sample`` (reproducible
+    across engines and retries, no RNG state). Cost at 100 TB: one
+    count-by-lang agg (dictionary-sized result), a broadcast of the rate
+    table, and a map-side filter — the corpus never shuffles."""
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    total = d.agg(F.count("*").alias("total"))
+    tgt = spark.createDataFrame(
+        sorted(MIX_TARGET.items()), "lang string, share int"
+    )
+    rates = (
+        counts.crossJoin(F.broadcast(total))
+        .join(F.broadcast(tgt), "lang")
+        .select(
+            "lang",
+            "n_docs",
+            F.least(
+                F.lit(100),
+                F.expr(
+                    f"(total * {MIX_BUDGET_PCT} DIV 100) * share DIV 100 "
+                    "* 100 DIV n_docs"
+                ),
+            ).cast("long").alias("rate_pct"),
+        )
+    )
+    keep = (
+        hex32(F.concat(F.lit("mix|"), F.col("doc_id").cast("string"))) % 100
+        < F.col("rate_pct")
+    )
+    sampled = (
+        d.select("doc_id", "lang")
+        .join(F.broadcast(rates), "lang")
+        .filter(keep)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_sampled"))
+    )
+    return rates.join(sampled, "lang", "left").select(
+        "lang", "n_docs", "rate_pct",
+        F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+    )
+
+
 def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing any
     5-word n-gram with the held-out eval set (docs with doc_id % 20 == 0
@@ -895,6 +1022,7 @@ QUERIES = {
     "salted_wordcount": q_salted_wordcount,
     "curation_funnel": q_curation_funnel,
     "stratified_sample": q_stratified_sample,
+    "mix_sample": q_mix_sample,
     "decontam": q_decontam,
     "repetition": q_repetition,
     "pii_scrub": q_pii_scrub,
@@ -1005,6 +1133,26 @@ ORACLES = {
         SELECT d.doc_id, d.lang, d.source
         FROM documents d JOIN rates r ON d.lang = r.lang
         WHERE {DUCK_HEX32.format(x="'smp|' || d.doc_id::VARCHAR")} % 100 < r.rate
+    """,
+    "mix_sample": f"""
+        WITH tgt(lang, share) AS (VALUES {", ".join(f"('{k}', {v})" for k, v in sorted(MIX_TARGET.items()))}),
+        counts AS (SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang),
+        tot AS (SELECT count(*)::BIGINT AS total FROM documents),
+        rates AS (
+            SELECT c.lang, c.n_docs,
+                   least(100, (tot.total * {MIX_BUDGET_PCT} // 100) * t.share // 100
+                              * 100 // c.n_docs)::BIGINT AS rate_pct
+            FROM counts c, tot, tgt t WHERE t.lang = c.lang
+        ),
+        sampled AS (
+            SELECT d.lang, count(*)::BIGINT AS n_sampled
+            FROM documents d JOIN rates r ON d.lang = r.lang
+            WHERE {DUCK_HEX32.format(x="'mix|' || d.doc_id::VARCHAR")} % 100 < r.rate_pct
+            GROUP BY d.lang
+        )
+        SELECT r.lang, r.n_docs, r.rate_pct,
+               coalesce(s.n_sampled, 0)::BIGINT AS n_sampled
+        FROM rates r LEFT JOIN sampled s ON s.lang = r.lang
     """,
     "decontam": f"""
         WITH g0 AS (
@@ -1329,3 +1477,48 @@ ORACLES["postings"] = f"""
     FROM tf GROUP BY tok
     ORDER BY df DESC, tok ASC LIMIT 20
 """
+
+
+def _bpe_oracle_sql() -> str:
+    """DuckDB oracle for q_bpe_merges: the same merge rounds unrolled as
+    CTEs — word frequencies once, then per round a pair-count aggregate,
+    the deterministic top-1 pair, and a list_reduce fold that rewrites
+    every word's symbol list (left-to-right non-overlapping merge)."""
+    ctes = [f"""w0 AS (
+        SELECT w, count(*)::BIGINT AS n,
+               list_filter(string_split(w, ''), c -> c <> '') AS syms
+        FROM (SELECT unnest({_TOKS}) AS w FROM documents) GROUP BY w
+    )"""]
+    selects = []
+    for t in range(BPE_MERGES):
+        ctes.append(f"""p{t} AS (
+            SELECT l, r, c FROM (
+                SELECT syms[i] AS l, syms[i + 1] AS r, sum(n)::BIGINT AS c
+                FROM (SELECT n, syms, unnest(generate_series(1, len(syms) - 1)) AS i
+                      FROM w{t} WHERE len(syms) >= 2)
+                GROUP BY 1, 2
+            ) ORDER BY c DESC, l ASC, r ASC LIMIT 1
+        )""")
+        selects.append(
+            f"SELECT {t + 1}::BIGINT AS merge_rank, l AS lhs, r AS rhs, "
+            f"c AS pair_count FROM p{t}"
+        )
+        if t < BPE_MERGES - 1:
+            ctes.append(f"""w{t + 1} AS (
+                SELECT w, n,
+                       list_reduce(
+                           list_prepend([]::VARCHAR[],
+                                        list_transform(syms, s -> [s])),
+                           (acc, x) -> CASE
+                               WHEN len(acc) > 0 AND acc[-1] = p.l AND x[1] = p.r
+                               THEN list_append(acc[1:len(acc) - 1], p.l || p.r)
+                               ELSE list_concat(acc, x) END
+                       ) AS syms
+                FROM w{t}, p{t} p
+            )""")
+    return ("WITH " + ",\n".join(ctes) + "\n"
+            + "\nUNION ALL\n".join(selects) + "\nORDER BY merge_rank")
+
+
+QUERIES["bpe_merges"] = q_bpe_merges
+ORACLES["bpe_merges"] = _bpe_oracle_sql()

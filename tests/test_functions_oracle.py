@@ -30,6 +30,9 @@ SPOT = [
     "dedup_clusters",
     "dedup_survivors",
     "stratified_sample",
+    "mix_sample",
+    "bpe_merges",
+    "ann_lsh_multiprobe",
     "decontam",
     "repetition",
     "pii_scrub",
