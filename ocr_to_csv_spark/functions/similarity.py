@@ -297,6 +297,61 @@ def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search with nprobe=2: each query probes its TWO nearest
+    centroids' member lists instead of one — the standard IVF recall
+    lever (FAISS ``nprobe``), costing 2·O(N/n_centroids) per query.
+    Only the 10-row query side explodes to (query, probe-centroid)
+    pairs; the candidate assignment stays exactly one centroid per
+    vector, so the probe is still a pure equi-join on centroid id."""
+    e = _emb(spark, sf_dir)
+    assign = q_ivf_assign(spark, sf_dir).select("vec_id", "centroid")
+
+    cent = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid"), F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    qside = e.filter(
+        (F.col("vec_id") >= N_CENTROIDS) & (F.col("vec_id") < 15)
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    qc = qside.crossJoin(F.broadcast(cent)).select(
+        "query_id", "qv", "qn", "centroid",
+        F.round(
+            _fold_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4
+        ).alias("csim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("centroid"))
+    probes = (
+        qc.withColumn("pn", F.row_number().over(wq))
+        .filter(F.col("pn") <= 2)
+        .select("query_id", "qv", "qn", F.col("centroid").alias("qc"))
+    )
+    cands = (
+        e.filter(F.col("vec_id") >= 15)
+        .join(assign, "vec_id")
+        .select(
+            F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"),
+            F.col("nrm").alias("cn"), F.col("centroid").alias("cc"),
+        )
+    )
+    sims = probes.join(cands, probes.qc == cands.cc).select(
+        "query_id",
+        "cand_id",
+        F.round(
+            _fold_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("query_id", "cand_id", "rk", "sim")
+    )
+
+
 def cosine_topk_fast(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
     """PRODUCTION cosine top-k kernel: one numpy matmul per Arrow batch.
 
@@ -717,6 +772,7 @@ QUERIES = {
     "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
     "ivf_assign": q_ivf_assign,
     "ivf_search": q_ivf_search,
+    "ivf_multiprobe": q_ivf_multiprobe,
     "embed_stats": q_embed_stats,
     "kmeans": q_kmeans,
     "semdedup": q_semdedup,
@@ -921,6 +977,50 @@ ORACLES = {
             SELECT e.vec_id AS query_id, e.v AS qv, e.nrm AS qn, a.centroid AS qc
             FROM e JOIN assign a ON a.vec_id = e.vec_id
             WHERE e.vec_id >= {N_CENTROIDS} AND e.vec_id < 15
+        ),
+        cand AS (
+            SELECT e.vec_id AS cand_id, e.v AS cv, e.nrm AS cn, a.centroid AS cc
+            FROM e JOIN assign a ON a.vec_id = e.vec_id
+            WHERE e.vec_id >= 15
+        ),
+        sims AS (
+            SELECT query_id, cand_id,
+                   round({_DOT.format(a="qv", b="cv")} / (qn * cn), 4) AS sim
+            FROM q JOIN cand ON qc = cc
+        )
+        SELECT query_id, cand_id, rk, sim FROM (
+            SELECT query_id, cand_id, sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, cand_id ASC) AS rk
+            FROM sims
+        ) WHERE rk <= 3
+    """,
+    "ivf_multiprobe": f"""{_E_CTE}
+        , csims AS (
+            SELECT r.vec_id AS vec_id, c.vec_id AS centroid,
+                   round({_DOT.format(a="r.v", b="c.v")} / (r.nrm * c.nrm), 4) AS sim
+            FROM e r, e c
+            WHERE r.vec_id >= {N_CENTROIDS} AND c.vec_id < {N_CENTROIDS}
+        ),
+        assign AS (
+            SELECT vec_id, centroid FROM (
+                SELECT vec_id, centroid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY sim DESC, centroid ASC) AS rn_
+                FROM csims
+            ) WHERE rn_ = 1
+        ),
+        q AS (
+            SELECT cs.vec_id AS query_id, e.v AS qv, e.nrm AS qn,
+                   cs.centroid AS qc
+            FROM (
+                SELECT vec_id, centroid FROM (
+                    SELECT vec_id, centroid,
+                           row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY sim DESC, centroid ASC) AS pn
+                    FROM csims WHERE vec_id < 15
+                ) WHERE pn <= 2
+            ) cs JOIN e ON e.vec_id = cs.vec_id
         ),
         cand AS (
             SELECT e.vec_id AS cand_id, e.v AS cv, e.nrm AS cn, a.centroid AS cc

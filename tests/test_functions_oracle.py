@@ -33,6 +33,7 @@ SPOT = [
     "mix_sample",
     "bpe_merges",
     "ann_lsh_multiprobe",
+    "ivf_multiprobe",
     "decontam",
     "repetition",
     "pii_scrub",
