@@ -764,6 +764,105 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SQ_LEVELS = 255
+
+
+def _sq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, dim, code, recon): int8-range scalar quantization of every
+    embedding dimension against the corpus-wide per-dimension min/max.
+
+    All math is integer-exact: vectors are first snapped to the PQ_SCALE
+    integer grid (the pq_encode idiom), the 64-row (dim, min, range) stats
+    table is computed by one tiny groupBy and broadcast back, and the code
+    is ``floor((q - mn) * 255 / range)`` — numerator and denominator are
+    exact int64 well inside 2^53, so the double division floors
+    identically in Spark and DuckDB. ``recon`` is the dequantized value
+    scaled by 255 (``mn*255 + code*range``), also exact int64, so ADC
+    search never touches floats. At 100 TB the stats pass is one partial
+    agg to 64 rows and the encode pass is map-side; codes are 1 byte/dim
+    (8x smaller than float32), which is the point."""
+    e = table(spark, sf_dir, "embeddings", spread=True)
+    qv = F.transform("embedding", lambda x: F.round(x * PQ_SCALE).cast("long"))
+    rows = e.select("vec_id", qv.alias("v")).select(
+        "vec_id", F.posexplode("v").alias("dim", "q")
+    )
+    rng = (
+        rows.groupBy("dim")
+        .agg(F.min("q").alias("mn"), F.max("q").alias("mx"))
+        .select(
+            "dim", "mn",
+            F.greatest(F.col("mx") - F.col("mn"), F.lit(1)).alias("rg"),
+        )
+    )
+    j = rows.join(F.broadcast(rng), "dim")
+    code = F.least(
+        F.lit(SQ_LEVELS),
+        F.floor((F.col("q") - F.col("mn")) * SQ_LEVELS / F.col("rg")),
+    ).cast("int")
+    return j.select(
+        "vec_id", "dim", code.alias("code"),
+        (F.col("mn") * SQ_LEVELS + code.cast("long") * F.col("rg")).alias("recon"),
+    )
+
+
+def q_sq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantization encode: one int8-range code per dimension
+    (exploded (vec_id, dim, code) rows so the oracle compares every code
+    bit-exactly). Production stores the packed 64-byte array; see
+    _sq_codes for the scale design."""
+    return _sq_codes(spark, sf_dir).select(
+        "vec_id", "dim", F.col("code").cast("long").alias("code")
+    )
+
+
+def q_sq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ asymmetric-distance top-k search: queries keep their full
+    integer-grid vectors (scaled by 255), candidates keep only their
+    dequantized-code reconstructions, and the per-pair distance is an
+    exact int64 squared-L2 fold. The 10-query side is broadcast; the
+    candidate side is one scan of the code table — per-pair work is a
+    64-term integer fold with nothing wider than (query, cand, dist)
+    crossing the top-k shuffle. The standard memory/recall middle ground
+    between full-precision cosine and PQ (8x smaller vectors, far better
+    recall than 4-byte PQ codes)."""
+    recon = _sq_codes(spark, sf_dir)
+    cand = (
+        recon.filter(F.col("vec_id") >= N_QUERIES)
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "recon"))),
+                lambda s: s["recon"],
+            ).alias("rv")
+        )
+        .select(F.col("vec_id").alias("neighbor_id"), "rv")
+    )
+    e = table(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.transform(
+            "embedding",
+            lambda x: F.round(x * PQ_SCALE).cast("long") * SQ_LEVELS,
+        ).alias("qv"),
+    )
+    diff = lambda q, r, i: F.element_at(q, i) - F.element_at(r, i)
+    dist = F.aggregate(
+        F.sequence(F.lit(1), F.lit(DIM)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + diff(F.col("qv"), F.col("rv"), i) * diff(F.col("qv"), F.col("rv"), i),
+    )
+    sims = cand.crossJoin(F.broadcast(qs)).select(
+        "query_id", "neighbor_id", dist.alias("sq_dist")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("sq_dist"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "sq_dist")
+    )
+
+
 QUERIES = {
     "cosine_topk": q_cosine_topk,
     "embed_near_pairs": q_embed_near_pairs,
@@ -778,6 +877,8 @@ QUERIES = {
     "semdedup": q_semdedup,
     "pq_encode": q_pq_encode,
     "pq_search": q_pq_search,
+    "sq_encode": q_sq_encode,
+    "sq_search": q_sq_search,
     "ann_recall": q_ann_recall,
 }
 
@@ -1184,4 +1285,56 @@ ORACLES["ann_recall"] = f"""
            round((SELECT count(*) FROM lsh_mp JOIN exact e ON lsh_mp.query_id = e.query_id
                     AND lsh_mp.cand_id = e.neighbor_id WHERE e.rank <= 3)
                  / (SELECT count(*) FROM exact WHERE rank <= 3)::DOUBLE, 4)
+"""
+
+_SQ_CTE = """
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> round(x * 1000)::BIGINT) AS v
+        FROM embeddings
+    ),
+    vrows AS (
+        SELECT vec_id, k - 1 AS dim, v[k] AS q
+        FROM (SELECT vec_id, v, unnest(generate_series(1, 64)) AS k FROM v)
+    ),
+    rng AS (
+        SELECT dim, min(q) AS mn, greatest(max(q) - min(q), 1) AS rg
+        FROM vrows GROUP BY dim
+    ),
+    codes AS (
+        SELECT vec_id, vrows.dim AS dim,
+               least(255, floor((q - mn) * 255 / rg))::BIGINT AS code,
+               mn * 255 + least(255, floor((q - mn) * 255 / rg))::BIGINT * rg AS recon
+        FROM vrows JOIN rng ON vrows.dim = rng.dim
+    )
+"""
+
+ORACLES["sq_encode"] = _SQ_CTE + """
+    SELECT vec_id, dim, code FROM codes
+"""
+
+ORACLES["sq_search"] = _SQ_CTE + """
+    , cand AS (
+        SELECT vec_id AS neighbor_id, list(recon ORDER BY dim) AS rv
+        FROM codes WHERE vec_id >= 10 GROUP BY vec_id
+    ),
+    qs AS (
+        SELECT vec_id AS query_id,
+               list_transform(embedding, x -> round(x * 1000)::BIGINT * 255) AS qv
+        FROM embeddings WHERE vec_id < 10
+    ),
+    sims AS (
+        SELECT query_id, neighbor_id,
+               list_reduce(list_prepend(0::BIGINT,
+                   list_transform(generate_series(1, 64),
+                       i -> (qv[i] - rv[i]) * (qv[i] - rv[i]))),
+                   (a, b) -> a + b) AS sq_dist
+        FROM cand, qs
+    )
+    SELECT query_id, neighbor_id, rank, sq_dist FROM (
+        SELECT query_id, neighbor_id, sq_dist,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sq_dist, neighbor_id) AS rank
+        FROM sims
+    ) WHERE rank <= 5
 """
