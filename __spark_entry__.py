@@ -15,7 +15,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ocr_to_csv_spark.functions import dedup, relational, similarity, textops
+from ocr_to_csv_spark.functions import curation, dedup, relational, similarity, textops
 
 CORPUS_DOCS = 40
 CORPUS_SEED = 42
@@ -258,6 +258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(textops.QUERIES)
     out.update(dedup.QUERIES)
     out.update(similarity.QUERIES)
+    out.update(curation.QUERIES)
     out.update(
         {
             "extract_spans": q_extract_spans,
@@ -278,6 +279,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(textops.ORACLES)
     out.update(dedup.ORACLES)
     out.update(similarity.ORACLES)
+    out.update(curation.ORACLES)
     # flagship oracles: the deterministic golden fixtures (absolute path —
     # generated on demand so DuckDB can read them even if queries() ran in
     # another process)

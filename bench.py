@@ -47,7 +47,13 @@ def _corpus(n_docs: int, seed: int = 42) -> str:
 
 def main() -> None:
     from ocr_to_csv_spark.extraction import pipeline
-    from ocr_to_csv_spark.functions import dedup, relational, similarity, textops
+    from ocr_to_csv_spark.functions import (
+        curation,
+        dedup,
+        relational,
+        similarity,
+        textops,
+    )
     from ocr_to_csv_spark.session import get_spark, sf_dir
 
     sf = sf_dir()
@@ -99,6 +105,8 @@ def main() -> None:
         "simhash": dedup.q_simhash,
         "cosine_topk": similarity.q_cosine_topk,
         "cosine_topk_fast": similarity.cosine_topk_fast,
+        "cdc_chunks": curation.q_cdc_chunks,
+        "dsir_weights": curation.q_dsir_weights,
     }
     for name, fn in headline.items():
         best = float("inf")

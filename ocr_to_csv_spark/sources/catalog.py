@@ -1,9 +1,10 @@
 """Format-abstracted table catalog.
 
 The north_rule targets Iceberg tables; this sandbox has no Iceberg
-runtime, so the catalog speaks parquet with the SAME call shapes the
-Iceberg implementation uses — swapping the format is a ctor argument,
-not a code change:
+runtime, so the catalog speaks Spark's native file formats (parquet by
+default, plus ORC for columnar interchange and JSON-lines / CSV for the
+ingest edge) with the SAME call shapes the Iceberg implementation uses —
+swapping the format is a ctor argument, not a code change:
 
 | Catalog op | parquet (sandbox) | Iceberg (production) |
 |---|---|---|
@@ -26,15 +27,33 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 
+# data-file suffix and default reader/writer options per storage format
+_FORMATS = {
+    "parquet": (".parquet", {}, {}),
+    "orc": (".orc", {}, {}),
+    # json = JSON-lines (one object per line) — the interchange format of
+    # most public text-corpus releases; columnar pruning does not apply,
+    # so production keeps these at the ingest edge and converts to
+    # parquet/Iceberg immediately
+    "json": (".json", {}, {}),
+    # csv: header row on both sides; pass an explicit ``schema`` to read()
+    # for type fidelity (CSV has no embedded types)
+    "csv": (".csv", {"header": "true"}, {"header": "true"}),
+}
+
+
 class Catalog:
     def __init__(self, spark: SparkSession, base_dir: str, fmt: str = "parquet"):
-        if fmt != "parquet":
+        if fmt not in _FORMATS:
             raise NotImplementedError(
-                "only parquet is available in this environment; the Iceberg "
-                "mapping is documented in the module docstring"
+                f"unsupported catalog format {fmt!r} (available: "
+                f"{sorted(_FORMATS)}); the Iceberg mapping is documented "
+                "in the module docstring"
             )
         self.spark = spark
         self.base_dir = base_dir
+        self.fmt = fmt
+        self.ext, self._ropts, self._wopts = _FORMATS[fmt]
         os.makedirs(base_dir, exist_ok=True)
 
     def path(self, name: str) -> str:
@@ -43,20 +62,25 @@ class Catalog:
     def exists(self, name: str) -> bool:
         p = self.path(name)
         return os.path.exists(p) and any(
-            f.endswith(".parquet") for _, _, fs in os.walk(p) for f in fs
+            f.endswith(self.ext) for _, _, fs in os.walk(p) for f in fs
         )
 
     def read(self, name: str, schema: str | None = None) -> DataFrame:
-        r = self.spark.read
+        r = self.spark.read.format(self.fmt).options(**self._ropts)
         if schema:
             r = r.schema(schema)
-        return r.parquet(self.path(name))
+        elif self.fmt == "csv":
+            r = r.option("inferSchema", "true")
+        return r.load(self.path(name))
+
+    def _save(self, writer, path: str) -> None:
+        writer.format(self.fmt).options(**self._wopts).save(path)
 
     def overwrite(self, df: DataFrame, name: str, partition_by: list[str] | None = None) -> None:
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
-        w.parquet(self.path(name))
+        self._save(w, self.path(name))
 
     def overwrite_partitions(self, df: DataFrame, name: str, partition_by: list[str]) -> None:
         """Replace only the partitions present in df (idempotent per-bucket
@@ -67,7 +91,10 @@ class Catalog:
         prev = self.spark.conf.get(key, None)
         self.spark.conf.set(key, "dynamic")
         try:
-            df.write.mode("overwrite").partitionBy(*partition_by).parquet(self.path(name))
+            self._save(
+                df.write.mode("overwrite").partitionBy(*partition_by),
+                self.path(name),
+            )
         finally:
             if prev is None:
                 self.spark.conf.unset(key)
@@ -75,7 +102,7 @@ class Catalog:
                 self.spark.conf.set(key, prev)
 
     def append(self, df: DataFrame, name: str) -> None:
-        df.write.mode("append").parquet(self.path(name))
+        self._save(df.write.mode("append"), self.path(name))
 
     def write_clustered(
         self, df: DataFrame, name: str, cluster_by: list[str], n_files: int | None = None
@@ -90,7 +117,7 @@ class Catalog:
         from Spark's distributed sampling; no driver materialization."""
         n = n_files or int(self.spark.conf.get("spark.sql.shuffle.partitions"))
         out = df.repartitionByRange(n, *cluster_by).sortWithinPartitions(*cluster_by)
-        out.write.mode("overwrite").parquet(self.path(name))
+        self._save(out.write.mode("overwrite"), self.path(name))
 
     def write_zordered(
         self,
@@ -157,7 +184,7 @@ class Catalog:
             .sortWithinPartitions("__z")
             .drop("__rx", "__ry", "__z")
         )
-        out.write.mode("overwrite").parquet(self.path(name))
+        self._save(out.write.mode("overwrite"), self.path(name))
 
     def merge_distinct(
         self,
@@ -229,7 +256,7 @@ class Catalog:
         snapshot isolation; plain parquet needs the swap)."""
         target = self.path(name)
         scratch = f"{target}.__swap_{uuid.uuid4().hex[:8]}"
-        df.write.mode("overwrite").parquet(scratch)
+        self._save(df.write.mode("overwrite"), scratch)
         backup = f"{target}.__old_{uuid.uuid4().hex[:8]}"
         if os.path.exists(target):
             os.rename(target, backup)
@@ -262,7 +289,7 @@ class Catalog:
         files_before, total = 0, 0
         for root, _, fs in os.walk(target):
             for f in fs:
-                if f.endswith(".parquet"):
+                if f.endswith(self.ext):
                     files_before += 1
                     total += os.path.getsize(os.path.join(root, f))
         n = max(1, -(-total // target_file_bytes))  # ceil
@@ -278,7 +305,7 @@ class Catalog:
             1
             for _, _, fs in os.walk(target)
             for f in fs
-            if f.endswith(".parquet")
+            if f.endswith(self.ext)
         )
         return {
             "files_before": files_before,

@@ -218,3 +218,29 @@ def test_write_zordered_guards(spark, tmp_path):
     strkey = spark.createDataFrame([("a", 1.0, 1)], "x string, y double, v int")
     with pytest.raises(ValueError, match="not numeric"):
         cat.write_zordered(strkey, "z", "x", "y")
+
+
+def test_catalog_formats_roundtrip(spark, tmp_path):
+    """Every supported storage format round-trips values and types
+    (csv via explicit schema — no embedded types), and merge_upsert
+    works identically regardless of format."""
+    import pytest
+
+    rows = [(1, "a", 1.5), (2, "b", -3.25)]
+    ddl = "id bigint, v string, x double"
+    df = spark.createDataFrame(rows, ddl)
+    for fmt in ("parquet", "orc", "json", "csv"):
+        cat = Catalog(spark, str(tmp_path / fmt), fmt=fmt)
+        cat.overwrite(df, "t")
+        assert cat.exists("t"), fmt
+        got = cat.read("t", schema=ddl)
+        assert {tuple(r) for r in got.collect()} == set(rows), fmt
+        assert got.schema.simpleString() == df.schema.simpleString(), fmt
+        up = spark.createDataFrame([(2, "B2", 9.0), (3, "c", 0.0)], ddl)
+        cat.merge_upsert(up, "t", keys=["id"])
+        merged = {
+            tuple(r) for r in cat.read("t", schema=ddl).collect()
+        }
+        assert merged == {(1, "a", 1.5), (2, "B2", 9.0), (3, "c", 0.0)}, fmt
+    with pytest.raises(NotImplementedError):
+        Catalog(spark, str(tmp_path / "nope"), fmt="avro-nope")

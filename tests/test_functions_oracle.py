@@ -70,6 +70,13 @@ SPOT = [
     "fuzzy_match",
     "postings",
     "window_pct",
+    "sq_encode",
+    "sq_search",
+    "cooccurrence",
+    "dsir_weights",
+    "cdc_chunks",
+    "cdc_dedup",
+    "bfs_dist",
 ]
 
 
