@@ -14,7 +14,7 @@ Parity: md5 hex is identical across Spark and DuckDB; all float-free.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .util import DUCK_HEX32, hex32, table
@@ -586,4 +586,102 @@ ORACLES["triangles"] = f"""{_BUCKET_SQL}
         SELECT unnest([a, b, c]) AS doc_id FROM tri
     )
     GROUP BY doc_id
+"""
+
+
+JAC_T_NUM, JAC_T_DEN = 9, 10  # Jaccard threshold 0.9 as an exact rational
+
+
+def q_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered EXACT set-similarity self-join (the AllPairs /
+    PPJoin family — Bayardo et al. 2007, Xiao et al. 2008): all document
+    pairs whose token-set Jaccard >= 0.9, without ever forming all
+    pairs. Tokens get a global rarity order (document frequency asc);
+    each document exposes only its first ``n - ceil(t*n) + 1`` rarest
+    tokens (any pair at Jaccard >= t MUST share a prefix token — the
+    prefix-filter theorem), candidates come from an equi-join on those
+    prefix tokens, and survivors are verified exactly. Where MinHash/LSH
+    are probabilistic, this is exact with the same join-don't-crossjoin
+    shape; at 100 TB the candidate volume is governed by df of the
+    rarest prefix tokens (rare-token-first ordering is the point), and
+    the threshold test ``den*inter >= num*union`` is pure int64 — the
+    one float is the display rounding. The vocabulary rank window is
+    vocabulary-sized (a range-partitioned sort at scale); documents
+    never pass through a single partition."""
+    d = table(spark, sf_dir, "documents", spread=True)
+    sets = d.select(
+        "doc_id",
+        F.array_sort(F.array_distinct(
+            F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+        )).alias("toks"),
+    ).withColumn("n", F.size("toks"))
+    tf = sets.select("doc_id", "n", F.explode("toks").alias("tok"))
+    vocab = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    w_vocab = Window.orderBy(F.asc("df"), F.asc("tok"))
+    ranked = vocab.withColumn("r", F.row_number().over(w_vocab))
+    w_doc = Window.partitionBy("doc_id").orderBy(F.asc("r"))
+    # prefix length n - ceil(t*n) + 1, with ceil done in exact integers
+    pref_len = (
+        F.col("n")
+        - F.floor((JAC_T_NUM * F.col("n") + JAC_T_DEN - 1) / JAC_T_DEN)
+        + 1
+    )
+    pre = (
+        tf.join(F.broadcast(ranked), "tok")
+        .withColumn("pos", F.row_number().over(w_doc))
+        .filter(F.col("pos") <= pref_len)
+        .select("doc_id", "tok")
+    )
+    cand = (
+        pre.alias("a")
+        .join(pre.alias("b"), "tok")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"),
+        F.col("n").alias("na"),
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"),
+        F.col("n").alias("nb"),
+    )
+    inter = F.size(F.array_intersect("ta", "tb")).cast("long")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("inter", inter)
+        .withColumn("uni", (F.col("na") + F.col("nb") - F.col("inter")).cast("long"))
+        .filter(JAC_T_DEN * F.col("inter") >= JAC_T_NUM * F.col("uni"))
+        .select(
+            "doc_a", "doc_b", "inter", "uni",
+            F.round(F.col("inter").cast("double") / F.col("uni"), 4).alias("jac"),
+        )
+    )
+
+
+QUERIES["ppjoin_pairs"] = q_ppjoin_pairs
+
+ORACLES["ppjoin_pairs"] = f"""
+    WITH s AS (
+        SELECT doc_id, list_sort(list_distinct({DUCK_TOKS})) AS toks
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, len(toks) AS n, unnest(toks) AS tok FROM s
+    ),
+    p AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter,
+               any_value(a.n) AS na, any_value(b.n) AS nb
+        FROM tf a JOIN tf b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, inter::BIGINT AS inter,
+           (na + nb - inter)::BIGINT AS uni,
+           round(inter::DOUBLE / (na + nb - inter), 4) AS jac
+    FROM p
+    WHERE {JAC_T_DEN} * inter >= {JAC_T_NUM} * (na + nb - inter)
 """

@@ -1425,3 +1425,276 @@ ORACLES["window_pct"] = """
     QUALIFY row_number() OVER (PARTITION BY c_mktsegment
                                ORDER BY cents DESC, c_custkey) <= 30
 """
+
+
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) over parts: the points not dominated
+    on (minimize price, maximize size). The distributed plan is the
+    classic two-phase skyline: (1) a PARTITION-LOCAL prefilter — within
+    each Spark partition, sort by price and keep rows whose size exceeds
+    the running max (dropping a row here is always safe: its dominator
+    sits in the same partition) — then (2) the exact pass over the tiny
+    survivor union (local skylines are logarithmic-sized on non-adversarial
+    data), whose single-partition window touches only survivors, never
+    the input. Equal-price points first collapse to their max size in an
+    ordinary keyed aggregate, so dominance reduces to "strictly cheaper
+    with size >= mine" and both window passes share one predicate."""
+    p = table(spark, sf_dir, "part")
+    pts = (
+        p.groupBy("p_retailprice")
+        .agg(F.max("p_size").alias("size"))
+        .select(
+            F.col("p_retailprice").alias("price"),
+            F.col("size").cast("long").alias("size"),
+        )
+    )
+    keep = lambda c: c.isNull() | (c < F.col("size"))
+    w_local = (
+        Window.partitionBy(F.spark_partition_id())
+        .orderBy(F.asc("price"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    survivors = (
+        pts.withColumn("pm", F.max("size").over(w_local))
+        .filter(keep(F.col("pm")))
+        .drop("pm")
+    )
+    w_global = Window.orderBy(F.asc("price")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        survivors.withColumn("pm", F.max("size").over(w_global))
+        .filter(keep(F.col("pm")))
+        .drop("pm")
+    )
+
+
+QUERIES["skyline"] = q_skyline
+
+ORACLES["skyline"] = """
+    WITH pts AS (
+        SELECT p_retailprice AS price, max(p_size)::BIGINT AS size
+        FROM part GROUP BY 1
+    )
+    SELECT price, size FROM pts a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM pts b WHERE b.price < a.price AND b.size >= a.size
+    )
+"""
+
+
+QSK_NB = 128  # sketch buckets per group
+
+
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable equi-width quantile sketch per event type, AUDITED
+    against the exact quantile (the hll_distinct/heavy_hitters pattern:
+    the sketch is the 100 TB path, the exact computation is the
+    small-scale truth it is scored against). Money moves as integer
+    cents, the bucket width is the exact integer ``(mx-mn) div 128 + 1``
+    from one tiny per-group stats aggregate broadcast back, so the
+    sketch build is map-side expressions + a (type, bucket) groupBy that
+    ships ≤128 rows per group whatever the input size — and, unlike a
+    sorted-array exact quantile, the buckets merge associatively across
+    ingest batches. Quantile estimate = upper edge of the first bucket
+    whose cumulative count reaches ceil(q*n); the reported err_cents is
+    bounded by one bucket width. Exact side reuses the q_percentiles
+    discrete formula (element ceil(q*n) of the sorted cents)."""
+    ev = table(spark, sf_dir, "events", spread=True)
+    base = ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("c")
+    )
+    stats = base.groupBy("event_type").agg(
+        F.min("c").alias("mn"), F.max("c").alias("mx"),
+        F.count("*").alias("n"),
+        F.sort_array(F.collect_list("c")).alias("vals"),
+    ).withColumn(
+        "w", ((F.col("mx") - F.col("mn")) / QSK_NB).cast("long") + 1
+    )
+    sk = stats.select("event_type", "mn", "w")
+    hist = (
+        base.join(F.broadcast(sk), "event_type")
+        .select(
+            "event_type",
+            F.least(
+                F.lit(QSK_NB - 1).cast("long"),
+                ((F.col("c") - F.col("mn")) / F.col("w")).cast("long"),
+            ).alias("bucket"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.count("*").alias("bn"))
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("cum", F.sum("bn").over(wcum))
+
+    def pick(num: int, den: int):
+        # first bucket whose cumulative count reaches ceil(num*n/den)
+        thr = F.expr(f"({num} * n + {den} - 1) div {den}")
+        return F.min(F.when(F.col("cum") >= thr, F.col("bucket")))
+
+    agg = (
+        cum.join(F.broadcast(stats.select("event_type", "n")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            pick(1, 2).alias("b50"),
+            pick(9, 10).alias("b90"),
+            pick(99, 100).alias("b99"),
+        )
+    )
+    est = lambda b: F.least(F.col("mx"), F.col("mn") + (F.col(b) + 1) * F.col("w"))
+    exact = lambda num, den: F.element_at(
+        F.col("vals"), F.expr(f"cast(({num} * n + {den} - 1) div {den} as int)")
+    )
+    wide = agg.join(stats, "event_type").select(
+        "event_type",
+        est("b50").alias("e50"), exact(1, 2).alias("x50"),
+        est("b90").alias("e90"), exact(9, 10).alias("x90"),
+        est("b99").alias("e99"), exact(99, 100).alias("x99"),
+        "w",
+    )
+    return wide.select(
+        "event_type", "w",
+        F.expr(
+            "stack(3, 0.5D, e50, x50, 0.9D, e90, x90, 0.99D, e99, x99) "
+            "as (p, est_cents, exact_cents)"
+        ),
+    ).withColumn("err_cents", F.col("est_cents") - F.col("exact_cents"))
+
+
+QUERIES["quantile_sketch"] = q_quantile_sketch
+
+ORACLES["quantile_sketch"] = f"""
+    WITH base AS (
+        SELECT event_type, round(value * 100)::BIGINT AS c FROM events
+    ),
+    stats AS (
+        SELECT event_type, min(c) AS mn, max(c) AS mx,
+               count(*)::BIGINT AS n, list_sort(list(c)) AS vals,
+               (max(c) - min(c)) // {QSK_NB} + 1 AS w
+        FROM base GROUP BY event_type
+    ),
+    hist AS (
+        SELECT base.event_type AS event_type,
+               least({QSK_NB - 1}, (c - mn) // w) AS bucket,
+               count(*) AS bn
+        FROM base JOIN stats ON base.event_type = stats.event_type
+        GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT event_type, bucket, sum(bn) OVER (
+            PARTITION BY event_type ORDER BY bucket
+            ROWS UNBOUNDED PRECEDING) AS cum
+        FROM hist
+    ),
+    agg AS (
+        SELECT c.event_type,
+               min(CASE WHEN cum >= (1*n + 1) // 2 THEN bucket END) AS b50,
+               min(CASE WHEN cum >= (9*n + 9) // 10 THEN bucket END) AS b90,
+               min(CASE WHEN cum >= (99*n + 99) // 100 THEN bucket END) AS b99
+        FROM cum c JOIN stats s ON c.event_type = s.event_type
+        GROUP BY 1
+    ),
+    wide AS (
+        SELECT s.event_type, w,
+               least(mx, mn + (b50 + 1) * w) AS e50,
+               vals[((1*n + 1) // 2)::INT] AS x50,
+               least(mx, mn + (b90 + 1) * w) AS e90,
+               vals[((9*n + 9) // 10)::INT] AS x90,
+               least(mx, mn + (b99 + 1) * w) AS e99,
+               vals[((99*n + 99) // 100)::INT] AS x99
+        FROM agg a JOIN stats s ON a.event_type = s.event_type
+    )
+    SELECT event_type, w, p, est_cents, exact_cents,
+           est_cents - exact_cents AS err_cents
+    FROM (
+        SELECT event_type, w, 0.5::DOUBLE AS p, e50 AS est_cents, x50 AS exact_cents FROM wide
+        UNION ALL
+        SELECT event_type, w, 0.9::DOUBLE, e90, x90 FROM wide
+        UNION ALL
+        SELECT event_type, w, 0.99::DOUBLE, e99, x99 FROM wide
+    )
+"""
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection per event type: median absolute
+    deviation (MAD) with a 3×MAD outlier rule — the standard robust
+    alternative to z-scores (one wild value shifts a mean/stddev but
+    not a median). Both medians use the exact discrete formula shared
+    with q_percentiles (element ceil(n/2) of the sorted values, integer
+    cents) so the oracle is bit-comparable; the deviation pass is a
+    broadcast join of the 5-row median table followed by map-side
+    |c - med|. Production swaps the sorted-array exact medians for
+    approx_percentile sketches — the outlier count join shape is
+    unchanged."""
+    ev = table(spark, sf_dir, "events", spread=True)
+    base = ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("c")
+    )
+    med_idx = F.expr("cast((n + 1) div 2 as int)")
+    med = (
+        base.groupBy("event_type")
+        .agg(
+            F.sort_array(F.collect_list("c")).alias("vals"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "event_type", "n",
+            F.element_at(F.col("vals"), med_idx).alias("med"),
+        )
+    )
+    dev = base.join(F.broadcast(med), "event_type").select(
+        "event_type", "n", "med", F.abs(F.col("c") - F.col("med")).alias("d")
+    )
+    mad = (
+        dev.groupBy("event_type")
+        .agg(F.sort_array(F.collect_list("d")).alias("dv"))
+        .join(F.broadcast(med), "event_type")
+        .select(
+            "event_type",
+            F.element_at(F.col("dv"), med_idx).alias("mad"),
+        )
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.any_value(F.col("med")).alias("med_cents"),
+            F.any_value(F.col("mad")).alias("mad_cents"),
+            F.sum((F.col("d") > 3 * F.col("mad")).cast("long")).alias("n_outliers"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+QUERIES["mad_outliers"] = q_mad_outliers
+
+ORACLES["mad_outliers"] = """
+    WITH base AS (
+        SELECT event_type, round(value * 100)::BIGINT AS c FROM events
+    ),
+    med AS (
+        SELECT event_type, count(*)::BIGINT AS n,
+               (list_sort(list(c)))[((count(*) + 1) // 2)::INT] AS med
+        FROM base GROUP BY event_type
+    ),
+    dev AS (
+        SELECT base.event_type AS event_type, n, med, abs(c - med) AS d
+        FROM base JOIN med ON base.event_type = med.event_type
+    ),
+    mad AS (
+        SELECT event_type,
+               (list_sort(list(d)))[((count(*) + 1) // 2)::INT] AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT dev.event_type AS event_type,
+           any_value(med) AS med_cents, any_value(mad.mad) AS mad_cents,
+           sum(CASE WHEN d > 3 * mad.mad THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+           count(*)::BIGINT AS n
+    FROM dev JOIN mad ON dev.event_type = mad.event_type
+    GROUP BY 1
+"""

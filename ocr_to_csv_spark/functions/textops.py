@@ -1522,3 +1522,93 @@ def _bpe_oracle_sql() -> str:
 
 QUERIES["bpe_merges"] = q_bpe_merges
 ORACLES["bpe_merges"] = _bpe_oracle_sql()
+
+
+BM25_TOPN = 20
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval for the fixed TFIDF_TERMS query, in exact rational
+    arithmetic: with k1 = 6/5 and b = 3/4 the per-term score
+    ``idf * tf(k1+1) / (tf + k1(1-b+b*dl/avgdl))`` clears to
+    ``idf_fp * 44*tf*S / (20*tf*S + 6*S + 18*dl*N)`` where S = Σdl —
+    numerator and denominator are exact int64 (each < 2^53 so the two
+    IEEE ops per term are bit-deterministic in both engines), and idf is
+    the integer-scaled rational ``(N*1e6) div (df+1)`` (the classic
+    log-idf is swapped for a fixed-point rational so no libm call can
+    diverge between engines; same ranking monotonicity). Plan shape is
+    the tfidf_topk one — map-side tf expressions, ONE single-row
+    corpus-stats aggregate broadcast back, TakeOrderedAndProject top-k;
+    no explode, no per-term shuffle. The 100 TB story: one scan + one
+    tiny agg + one top-k."""
+    d = table(spark, sf_dir, "documents", spread=True)
+    toks = tokens(F.col("text"))
+
+    def tf(term):
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    base = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("dl"),
+        *[tf(t).cast("long").alias(f"tf_{t}") for t in TFIDF_TERMS],
+    )
+    stats = base.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("long")).alias(f"df_{t}")
+            for t in TFIDF_TERMS
+        ],
+    )
+    j = base.crossJoin(F.broadcast(stats))
+    score = None
+    for t in TFIDF_TERMS:
+        idf = F.expr(f"n_docs * 1000000L div (df_{t} + 1L)")
+        num = (F.lit(44) * F.col(f"tf_{t}") * F.col("sum_dl")).cast("double")
+        den = (
+            F.lit(20) * F.col(f"tf_{t}") * F.col("sum_dl")
+            + F.lit(6) * F.col("sum_dl")
+            + F.lit(18) * F.col("dl") * F.col("n_docs")
+        ).cast("double")
+        term = idf.cast("double") * num / den
+        score = term if score is None else score + term
+    return (
+        j.select(
+            "doc_id", "dl",
+            *[f"tf_{t}" for t in TFIDF_TERMS],
+            F.round(score, 4).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(BM25_TOPN)
+    )
+
+
+QUERIES["bm25_topk"] = q_bm25_topk
+
+ORACLES["bm25_topk"] = f"""
+    WITH base AS (
+        SELECT doc_id, len({_TOKS})::BIGINT AS dl,
+               {", ".join(f"len(list_filter({_TOKS}, x -> x = '{t}'))::BIGINT AS tf_{t}" for t in TFIDF_TERMS)}
+        FROM documents
+    ),
+    stats AS (
+        SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl,
+               {", ".join(f"sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END)::BIGINT AS df_{t}" for t in TFIDF_TERMS)}
+        FROM base
+    )
+    SELECT doc_id, dl, {", ".join(f"tf_{t}" for t in TFIDF_TERMS)},
+           round(
+               {" + ".join(
+                   f"((n_docs * 1000000 // (df_{t} + 1))::DOUBLE"
+                   f" * (44 * tf_{t} * sum_dl)::DOUBLE"
+                   f" / (20 * tf_{t} * sum_dl + 6 * sum_dl + 18 * dl * n_docs)::DOUBLE)"
+                   for t in TFIDF_TERMS)},
+               4) AS score
+    FROM base, stats
+    ORDER BY {" + ".join(
+        f"((n_docs * 1000000 // (df_{t} + 1))::DOUBLE"
+        f" * (44 * tf_{t} * sum_dl)::DOUBLE"
+        f" / (20 * tf_{t} * sum_dl + 6 * sum_dl + 18 * dl * n_docs)::DOUBLE)"
+        for t in TFIDF_TERMS)} DESC, doc_id ASC
+    LIMIT {BM25_TOPN}
+"""

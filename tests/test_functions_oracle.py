@@ -77,6 +77,11 @@ SPOT = [
     "cdc_chunks",
     "cdc_dedup",
     "bfs_dist",
+    "skyline",
+    "ppjoin_pairs",
+    "bm25_topk",
+    "quantile_sketch",
+    "mad_outliers",
 ]
 
 
