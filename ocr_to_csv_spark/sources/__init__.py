@@ -2,3 +2,4 @@
 Iceberg in production — see catalog.py for the exact API mapping)."""
 
 from .catalog import Catalog  # noqa: F401
+from .snapshots import SnapshotCatalog  # noqa: F401

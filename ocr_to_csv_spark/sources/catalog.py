@@ -186,6 +186,43 @@ class Catalog:
         )
         self._save(out.write.mode("overwrite"), self.path(name))
 
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        name: str,
+        keys: list[str],
+        n_buckets: int,
+        sort: bool = True,
+    ) -> None:
+        """Hash-bucketed table write — the Iceberg ``bucket(N, key)``
+        partition transform (the module docstring's lineage-bucket row).
+        Two tables bucketed on the same keys with the same N are
+        co-located: a join or aggregation on those keys needs NO shuffle
+        exchange on either side — at 100 TB that deletes the single
+        biggest cost of the doc_id-keyed joins (spans ⋈ media, state ⋈
+        catalog). ``sort=True`` also sorts within buckets so SortMergeJoin
+        skips its sort. Bucketing metadata lives in the session catalog
+        (``saveAsTable``; Spark cannot express bucketing path-only), with
+        the data files under this catalog's directory."""
+        if self.fmt != "parquet":
+            raise NotImplementedError(
+                "bucketed writes are parquet-only in this sandbox"
+            )
+        w = (
+            df.write.mode("overwrite")
+            .format(self.fmt)
+            .option("path", self.path(name))
+            .bucketBy(n_buckets, *keys)
+        )
+        if sort:
+            w = w.sortBy(*keys)
+        w.saveAsTable(name)
+
+    def read_bucketed(self, name: str) -> DataFrame:
+        """Read a bucketed table THROUGH the session catalog — a plain
+        path read would lose the bucket spec and reintroduce shuffles."""
+        return self.spark.table(name)
+
     def merge_distinct(
         self,
         df: DataFrame,

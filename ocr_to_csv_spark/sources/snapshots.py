@@ -1,0 +1,236 @@
+"""Snapshot-versioned table catalog: the Iceberg metadata layer, shaped.
+
+``Catalog`` (catalog.py) maps each table to one mutable directory and
+needs a scratch-write + atomic-rename swap to survive read-your-own-
+target MERGEs. This module implements the thing Iceberg actually does
+instead: **immutable data files + a tiny versioned metadata log**, which
+buys snapshot isolation, time travel, rollback and safe concurrent
+readers with no swap tricks at all.
+
+On-disk layout per table (all under the catalog base dir)::
+
+    <name>/metadata/v<N>.json        one manifest per snapshot (append-only)
+    <name>/metadata/version-hint.text  current snapshot pointer (atomic rename)
+    <name>/data/<commit-uuid>/part-*.parquet   immutable data dirs
+
+A manifest lists the *data directories* visible in that snapshot —
+Iceberg tracks individual files through manifest lists; directory
+granularity is the sandbox simplification (each commit's files land in
+exactly one fresh directory, so dir == file-set) and the protocol is
+otherwise the same:
+
+- **commit** = write data to a brand-new directory nobody references,
+  write manifest ``v<N+1>.json``, then atomically repoint
+  ``version-hint.text`` (tmp file + ``os.rename``). A reader that
+  resolved the hint a microsecond earlier keeps planning against the old
+  manifest's files, which are immutable — snapshot isolation without
+  locks. On a real object store the rename becomes the Iceberg catalog's
+  compare-and-swap on the metadata pointer.
+- **append** = new snapshot referencing parent dirs + the new dir.
+- **overwrite / merge** = new snapshot referencing only the new dir(s);
+  the old data stays on disk, reachable by time travel, until
+  ``expire_snapshots`` garbage-collects it.
+- **rollback** = a NEW snapshot whose dir list equals the old
+  snapshot's (history is never rewritten, matching Iceberg's
+  ``rollback_to_snapshot`` procedure).
+
+Scale notes: the metadata log is O(snapshots) tiny JSON files — the
+driver never touches data; reads plan ``spark.read.parquet(dir, ...)``
+over the snapshot's dirs so Catalyst sees one multi-path scan
+(partition pruning / pushdown apply normally); MERGE reads the parent
+snapshot and writes a full new data dir, i.e. a copy-on-write MERGE
+(Iceberg CoW mode — the right default for bulk pipelines; MoR delete
+files are an optimization this sandbox doesn't need).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotCatalog:
+    def __init__(self, spark: SparkSession, base_dir: str):
+        self.spark = spark
+        self.base_dir = base_dir
+        os.makedirs(base_dir, exist_ok=True)
+
+    # ---------- paths ----------
+    def _meta_dir(self, name: str) -> str:
+        return os.path.join(self.base_dir, name, "metadata")
+
+    def _data_dir(self, name: str) -> str:
+        return os.path.join(self.base_dir, name, "data")
+
+    def _hint_path(self, name: str) -> str:
+        return os.path.join(self._meta_dir(name), "version-hint.text")
+
+    def _manifest_path(self, name: str, sid: int) -> str:
+        return os.path.join(self._meta_dir(name), f"v{sid}.json")
+
+    # ---------- metadata ----------
+    def exists(self, name: str) -> bool:
+        return os.path.exists(self._hint_path(name))
+
+    def current_snapshot_id(self, name: str) -> int | None:
+        try:
+            with open(self._hint_path(name)) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def _load_manifest(self, name: str, sid: int) -> dict:
+        p = self._manifest_path(name, sid)
+        if not os.path.exists(p):
+            raise ValueError(
+                f"table '{name}' has no snapshot {sid} (expired or never "
+                f"existed); available: {[s['snapshot_id'] for s in self.history(name)]}"
+            )
+        with open(p) as f:
+            return json.load(f)
+
+    def history(self, name: str) -> list[dict]:
+        """All retained snapshots, oldest first (Iceberg ``table.history()``)."""
+        md = self._meta_dir(name)
+        if not os.path.isdir(md):
+            return []
+        sids = sorted(
+            int(f[1:-5])
+            for f in os.listdir(md)
+            if f.startswith("v") and f.endswith(".json")
+        )
+        return [self._load_manifest(name, s) for s in sids]
+
+    def _commit(self, name: str, operation: str, data_dirs: list[str],
+                added_files: int) -> int:
+        """Write manifest v<N+1> then atomically repoint the hint."""
+        os.makedirs(self._meta_dir(name), exist_ok=True)
+        parent = self.current_snapshot_id(name)
+        sid = (parent or 0) + 1
+        manifest = {
+            "snapshot_id": sid,
+            "parent_id": parent,
+            "operation": operation,
+            "timestamp": time.time(),
+            "data_dirs": sorted(data_dirs),
+            "summary": {"added_data_files": added_files},
+        }
+        mp = self._manifest_path(name, sid)
+        if os.path.exists(mp):  # lost a commit race: another writer took sid
+            raise RuntimeError(
+                f"concurrent commit detected on '{name}' at v{sid}; retry"
+            )
+        tmp = mp + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        os.rename(tmp, mp)
+        htmp = self._hint_path(name) + ".tmp"
+        with open(htmp, "w") as f:
+            f.write(str(sid))
+        os.rename(htmp, self._hint_path(name))
+        return sid
+
+    def _write_new_dir(self, df: DataFrame, name: str) -> tuple[str, int]:
+        """Materialize df into a fresh immutable data dir; return
+        (relative dir name, parquet file count)."""
+        rel = uuid.uuid4().hex[:12]
+        full = os.path.join(self._data_dir(name), rel)
+        df.write.mode("error").parquet(full)
+        n = sum(1 for f in os.listdir(full) if f.endswith(".parquet"))
+        return rel, n
+
+    # ---------- reads ----------
+    def read(self, name: str, snapshot_id: int | None = None) -> DataFrame:
+        """Read the current snapshot, or time-travel to ``snapshot_id``
+        (Iceberg ``VERSION AS OF``). The returned DataFrame stays valid
+        across later commits: it plans against immutable files."""
+        sid = snapshot_id or self.current_snapshot_id(name)
+        if sid is None:
+            raise ValueError(f"unknown table '{name}'")
+        man = self._load_manifest(name, sid)
+        dirs = [os.path.join(self._data_dir(name), d) for d in man["data_dirs"]]
+        if not dirs:
+            raise ValueError(f"snapshot {sid} of '{name}' is empty")
+        return self.spark.read.parquet(*dirs)
+
+    # ---------- writes ----------
+    def overwrite(self, df: DataFrame, name: str) -> int:
+        rel, n = self._write_new_dir(df, name)
+        return self._commit(name, "overwrite", [rel], n)
+
+    def append(self, df: DataFrame, name: str) -> int:
+        rel, n = self._write_new_dir(df, name)
+        parent = self.current_snapshot_id(name)
+        dirs = (
+            self._load_manifest(name, parent)["data_dirs"] if parent else []
+        )
+        return self._commit(name, "append", dirs + [rel], n)
+
+    def merge_upsert(self, df: DataFrame, name: str, keys: list[str]) -> int:
+        """Copy-on-write MERGE: incoming rows replace same-key rows
+        (ties and idempotence semantics identical to
+        ``Catalog.merge_upsert``). Reads the parent snapshot while
+        writing the child — safe because data files are immutable; no
+        scratch-swap needed, and the pre-merge state stays time-travel
+        readable until expiry."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        others = [c for c in df.columns if c not in keys]
+        incoming = df.withColumn("__src", F.lit(1))
+        if self.exists(name):
+            merged = (
+                self.read(name).withColumn("__src", F.lit(0))
+                .unionByName(incoming)
+            )
+        else:
+            merged = incoming
+        w = Window.partitionBy(*keys).orderBy(
+            F.desc("__src"), *[F.desc(c) for c in others]
+        )
+        merged = (
+            merged.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__src")
+        )
+        rel, n = self._write_new_dir(merged, name)
+        return self._commit(name, "merge", [rel], n)
+
+    def rollback(self, name: str, snapshot_id: int) -> int:
+        """Restore an old snapshot's state as a NEW snapshot (history is
+        append-only; nothing is deleted)."""
+        man = self._load_manifest(name, snapshot_id)
+        return self._commit(
+            name, f"rollback-to-{snapshot_id}", man["data_dirs"], 0
+        )
+
+    # ---------- maintenance ----------
+    def expire_snapshots(self, name: str, keep_last: int = 1) -> dict:
+        """Garbage-collect: drop all but the newest ``keep_last``
+        manifests and delete data dirs no retained snapshot references
+        (Iceberg ``expire_snapshots``). Time travel to an expired
+        snapshot then raises a clear error."""
+        hist = self.history(name)
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        keep = hist[-keep_last:]
+        drop = hist[:-keep_last]
+        live = {d for m in keep for d in m["data_dirs"]}
+        removed_dirs = 0
+        dd = self._data_dir(name)
+        for d in (os.listdir(dd) if os.path.isdir(dd) else []):
+            if d not in live:
+                shutil.rmtree(os.path.join(dd, d))
+                removed_dirs += 1
+        for m in drop:
+            os.remove(self._manifest_path(name, m["snapshot_id"]))
+        return {
+            "expired_snapshots": len(drop),
+            "removed_data_dirs": removed_dirs,
+            "retained_snapshots": len(keep),
+        }

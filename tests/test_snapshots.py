@@ -1,0 +1,139 @@
+"""SnapshotCatalog (sources/snapshots.py): Iceberg-shaped snapshot log —
+time travel, snapshot isolation, rollback, expiry — and bucketed
+co-located joins (Catalog.write_bucketed)."""
+
+import pytest
+
+from ocr_to_csv_spark.sources import Catalog, SnapshotCatalog
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_time_travel_and_history(spark, tmp_path):
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    v1 = cat.overwrite(
+        spark.createDataFrame([(1, "a")], "id int, v string"), "t"
+    )
+    v2 = cat.append(
+        spark.createDataFrame([(2, "b")], "id int, v string"), "t"
+    )
+    v3 = cat.overwrite(
+        spark.createDataFrame([(9, "z")], "id int, v string"), "t"
+    )
+    assert (v1, v2, v3) == (1, 2, 3)
+    assert _rows(cat.read("t")) == {(9, "z")}
+    assert _rows(cat.read("t", snapshot_id=v2)) == {(1, "a"), (2, "b")}
+    assert _rows(cat.read("t", snapshot_id=v1)) == {(1, "a")}
+    ops = [m["operation"] for m in cat.history("t")]
+    assert ops == ["overwrite", "append", "overwrite"]
+    assert [m["parent_id"] for m in cat.history("t")] == [None, 1, 2]
+
+
+def test_snapshot_isolation_reader_survives_commits(spark, tmp_path):
+    """A DataFrame planned against snapshot N keeps returning N's rows
+    after later overwrites — the property the mutable Catalog needs a
+    scratch-swap to fake."""
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    cat.overwrite(spark.range(0, 100).selectExpr("id", "id*2 AS y"), "t")
+    old = cat.read("t")  # plan now, consume later
+    cat.overwrite(spark.range(0, 5).selectExpr("id", "id AS y"), "t")
+    cat.merge_upsert(
+        spark.createDataFrame([(3, 99)], "id bigint, y bigint"), "t", ["id"]
+    )
+    assert old.count() == 100  # still the old files
+    assert cat.read("t").count() == 5
+
+
+def test_merge_upsert_cow_keeps_parent_readable(spark, tmp_path):
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    base = spark.createDataFrame(
+        [("a", 1, "x"), ("b", 2, "y")], "k string, v int, tag string"
+    )
+    v1 = cat.merge_upsert(base, "t", keys=["k"])
+    upd = spark.createDataFrame([("a", 9, "x2")], "k string, v int, tag string")
+    cat.merge_upsert(upd, "t", keys=["k"])
+    assert {r["k"]: (r["v"], r["tag"]) for r in cat.read("t").collect()} == {
+        "a": (9, "x2"),
+        "b": (2, "y"),
+    }
+    # pre-merge state is still one time-travel away
+    assert _rows(cat.read("t", snapshot_id=v1)) == {("a", 1, "x"), ("b", 2, "y")}
+    # idempotent re-delivery: same logical state, new snapshot
+    cat.merge_upsert(upd, "t", keys=["k"])
+    assert {r["k"]: r["v"] for r in cat.read("t").collect()} == {"a": 9, "b": 2}
+
+
+def test_rollback_is_append_only(spark, tmp_path):
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    cat.overwrite(spark.createDataFrame([(1,)], "id int"), "t")
+    cat.overwrite(spark.createDataFrame([(2,)], "id int"), "t")
+    v3 = cat.rollback("t", 1)
+    assert v3 == 3 and _rows(cat.read("t")) == {(1,)}
+    # the rolled-back-over snapshot is STILL reachable (history intact)
+    assert _rows(cat.read("t", snapshot_id=2)) == {(2,)}
+    assert cat.history("t")[-1]["operation"] == "rollback-to-1"
+
+
+def test_expire_snapshots_gc(spark, tmp_path):
+    import os
+
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    cat.overwrite(spark.createDataFrame([(1,)], "id int"), "t")   # v1
+    cat.append(spark.createDataFrame([(2,)], "id int"), "t")      # v2 (reuses v1 dir)
+    cat.overwrite(spark.createDataFrame([(3,)], "id int"), "t")   # v3
+    stats = cat.expire_snapshots("t", keep_last=1)
+    assert stats == {
+        "expired_snapshots": 2,
+        "removed_data_dirs": 2,
+        "retained_snapshots": 1,
+    }
+    # live data untouched; expired snapshot now errors clearly
+    assert _rows(cat.read("t")) == {(3,)}
+    with pytest.raises(ValueError, match="no snapshot 1"):
+        cat.read("t", snapshot_id=1)
+    # only the one live data dir remains on disk
+    assert len(os.listdir(cat._data_dir("t"))) == 1
+    # expiry never deletes dirs shared with retained snapshots
+    cat.append(spark.createDataFrame([(4,)], "id int"), "t")
+    cat.expire_snapshots("t", keep_last=2)  # keeps v3 and v4; v3's dir shared
+    assert _rows(cat.read("t")) == {(3,), (4,)}
+
+
+def test_unknown_table_and_bad_args(spark, tmp_path):
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    with pytest.raises(ValueError, match="unknown table"):
+        cat.read("nope")
+    cat.overwrite(spark.createDataFrame([(1,)], "id int"), "t")
+    with pytest.raises(ValueError, match="keep_last"):
+        cat.expire_snapshots("t", keep_last=0)
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the same key with the same N join with
+    ZERO shuffle exchanges — the co-location contract write_bucketed
+    exists for. Broadcast is disabled so the plan must be a
+    SortMergeJoin; bucketing makes both exchanges (and with sortBy, the
+    sorts) vanish."""
+    cat = Catalog(spark, str(tmp_path))
+    a = spark.range(0, 10_000).selectExpr("id AS k", "id * 2 AS va")
+    b = spark.range(0, 10_000).selectExpr("id AS k", "id * 3 AS vb")
+    cat.write_bucketed(a, "snap_bkt_a", ["k"], n_buckets=8)
+    cat.write_bucketed(b, "snap_bkt_b", ["k"], n_buckets=8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = cat.read_bucketed("snap_bkt_a").join(
+            cat.read_bucketed("snap_bkt_b"), "k"
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert j.count() == 10_000
+        got = j.filter("k = 7").collect()[0]
+        assert (got["va"], got["vb"]) == (14, 21)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS snap_bkt_a")
+        spark.sql("DROP TABLE IF EXISTS snap_bkt_b")
