@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from .util import (
     DUCK_HEX32,
     DUCK_HEX32B,
+    DUCK_TOKENS,
     duck_ngrams,
     hex32,
     hex32b,
@@ -1611,4 +1612,75 @@ ORACLES["bm25_topk"] = f"""
         f" / (20 * tf_{t} * sum_dl + 6 * sum_dl + 18 * dl * n_docs)::DOUBLE)"
         for t in TFIDF_TERMS)} DESC, doc_id ASC
     LIMIT {BM25_TOPN}
+"""
+
+
+QC_BUCKETS = 64          # hashed feature space (2^21 in production)
+QC_BIAS = -1200          # fixed intercept, integer
+
+
+def _qc_weight(bucket):
+    """Deterministic per-bucket weight in [-500, 500] — a Knuth
+    multiplicative scramble of the bucket id. Production loads trained
+    fastText/logreg weights as a broadcast array indexed by the same
+    hashed bucket; a closed-form weight keeps the oracle able to
+    recompute the model without a side-channel weights file. int64
+    throughout (max |b*2654435761| ≈ 1.7e11 — no overflow)."""
+    return (bucket * F.lit(2654435761).cast("long")) % 1001 - 500
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering — the CCNet/GPT-3-style hashed
+    linear classifier, as inference over the corpus: each token hashes
+    into QC_BUCKETS feature buckets (hashing trick — Weinberger et al.
+    2009), the document score is the integer sum of bucket weights plus
+    a bias, and keep = score > 0. Pure map-side: one `transform` +
+    `aggregate` fold per row (no explode, no shuffle except the display
+    sort), int64-exact so Spark and the oracle agree bit-for-bit. At
+    100 TB this is the classifier-filter stage of a curation funnel:
+    embarrassingly parallel, weights broadcast once per executor, and
+    the same shape serves any linear model (quality, toxicity,
+    language) by swapping the weight array. Complements the heuristic
+    `quality_score` (rule-based) with the learned-model path the
+    reference-scale pipelines actually deploy."""
+    d = table(spark, sf_dir, "documents", spread=True)
+    toks = tokens(F.col("text"))
+    w = lambda t: _qc_weight(hex32(t) % QC_BUCKETS)
+    score = F.aggregate(
+        F.transform(toks, w),
+        F.lit(QC_BIAS).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.size(toks).cast("long").alias("n_toks"),
+            score.alias("score"),
+        )
+        .withColumn("keep", F.col("score") > 0)
+    )
+
+
+_QC_W = (
+    f"(((({DUCK_HEX32.format(x='t')}) % {QC_BUCKETS}) * 2654435761) "
+    f"% 1001 - 500)"
+)
+
+QUERIES["quality_classifier"] = q_quality_classifier
+
+ORACLES["quality_classifier"] = f"""
+    WITH s AS (
+        SELECT doc_id,
+               {DUCK_TOKENS.format(x="text")} AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           len(toks)::BIGINT AS n_toks,
+           ({QC_BIAS} + coalesce(
+               list_sum(list_transform(toks, t -> {_QC_W})), 0
+           ))::BIGINT AS score,
+           ({QC_BIAS} + coalesce(
+               list_sum(list_transform(toks, t -> {_QC_W})), 0
+           )) > 0 AS keep
+    FROM s
 """

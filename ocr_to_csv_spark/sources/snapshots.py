@@ -107,7 +107,7 @@ class SnapshotCatalog:
         return [self._load_manifest(name, s) for s in sids]
 
     def _commit(self, name: str, operation: str, data_dirs: list[str],
-                added_files: int) -> int:
+                added_files: int, summary: dict | None = None) -> int:
         """Write manifest v<N+1> then atomically repoint the hint."""
         os.makedirs(self._meta_dir(name), exist_ok=True)
         parent = self.current_snapshot_id(name)
@@ -118,7 +118,7 @@ class SnapshotCatalog:
             "operation": operation,
             "timestamp": time.time(),
             "data_dirs": sorted(data_dirs),
-            "summary": {"added_data_files": added_files},
+            "summary": {"added_data_files": added_files, **(summary or {})},
         }
         mp = self._manifest_path(name, sid)
         if os.path.exists(mp):  # lost a commit race: another writer took sid
@@ -163,13 +163,26 @@ class SnapshotCatalog:
         rel, n = self._write_new_dir(df, name)
         return self._commit(name, "overwrite", [rel], n)
 
-    def append(self, df: DataFrame, name: str) -> int:
+    def append(self, df: DataFrame, name: str, summary: dict | None = None) -> int:
+        """Append as a new snapshot. ``summary`` lands in the manifest's
+        summary block — the hook streaming sinks use to record their
+        micro-batch id for exactly-once commit dedup (Iceberg records
+        ``spark.app.id``/epoch the same way)."""
         rel, n = self._write_new_dir(df, name)
         parent = self.current_snapshot_id(name)
         dirs = (
             self._load_manifest(name, parent)["data_dirs"] if parent else []
         )
-        return self._commit(name, "append", dirs + [rel], n)
+        return self._commit(name, "append", dirs + [rel], n, summary)
+
+    def committed_summaries(self, name: str, key: str) -> set:
+        """All values of a summary field across retained snapshots —
+        O(snapshots) driver-side JSON, never touches data."""
+        return {
+            m["summary"][key]
+            for m in self.history(name)
+            if key in m["summary"]
+        }
 
     def merge_upsert(self, df: DataFrame, name: str, keys: list[str]) -> int:
         """Copy-on-write MERGE: incoming rows replace same-key rows

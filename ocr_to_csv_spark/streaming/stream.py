@@ -101,3 +101,49 @@ def stream_upsert(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_snapshot_append(
+    spark,
+    stream_dir: str,
+    schema: str,
+    catalog_base: str,
+    name: str,
+    checkpoint_dir: str,
+    run_id: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Exactly-once streaming append onto a ``SnapshotCatalog`` table —
+    the Iceberg streaming-sink commit protocol. ``foreachBatch`` is
+    at-least-once (a crashed epoch re-delivers its batch, and a restart
+    from a lost checkpoint restarts batch numbering at 0), so the sink
+    records ``run_id:batch_id`` in each snapshot's summary and SKIPS
+    commit keys it has already seen: re-delivery becomes a no-op at the
+    metadata layer, with no reliance on data-level dedup. ``run_id``
+    namespaces batch ids across logically distinct streams into the same
+    table (Iceberg uses the streaming query id the same way); reusing a
+    run_id asserts "same source, same partitioning of the input into
+    batches" — which is exactly what a checkpoint-restore re-delivery
+    is. The dedup scan reads O(snapshots) manifest JSON on the driver,
+    never data."""
+    from ..sources.snapshots import SnapshotCatalog
+
+    cat = SnapshotCatalog(spark, catalog_base)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(stream_dir)
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        key = f"{run_id}:{batch_id}"
+        if key in cat.committed_summaries(name, "commit_key"):
+            return  # re-delivered epoch: already durable, skip
+        cat.append(batch_df, name, summary={"commit_key": key})
+
+    q = (
+        src.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -82,6 +82,7 @@ SPOT = [
     "bm25_topk",
     "quantile_sketch",
     "mad_outliers",
+    "quality_classifier",
 ]
 
 

@@ -137,3 +137,51 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS snap_bkt_a")
         spark.sql("DROP TABLE IF EXISTS snap_bkt_b")
+
+
+def test_stream_snapshot_append_exactly_once(spark, tmp_path):
+    """At-least-once foreachBatch + commit-key dedup in the snapshot
+    summary = exactly-once table state: a full re-delivery (fresh
+    checkpoint, same run_id) appends NOTHING; new data appends once."""
+    from ocr_to_csv_spark.streaming.stream import stream_snapshot_append
+
+    import glob
+    import shutil
+
+    src = tmp_path / "stream"
+    src.mkdir()
+    ddl = "id bigint, v string"
+
+    def stage(rows, tag):
+        tmp = str(tmp_path / f"stage_{tag}")
+        spark.createDataFrame(rows, ddl).coalesce(1).write.parquet(tmp)
+        part = glob.glob(tmp + "/part-*.parquet")[0]
+        shutil.copy(part, str(src / f"{tag}.parquet"))
+
+    stage([(1, "a"), (2, "b")], "f1")
+    stage([(3, "c")], "f2")
+    cat = SnapshotCatalog(spark, str(tmp_path / "cat"))
+
+    def run(ckpt):
+        stream_snapshot_append(
+            spark, str(src), ddl, str(tmp_path / "cat"), "t",
+            str(tmp_path / ckpt), run_id="r1", max_files_per_trigger=1,
+        )
+
+    run("ckpt1")
+    assert _rows(cat.read("t")) == {(1, "a"), (2, "b"), (3, "c")}
+    n_snaps = len(cat.history("t"))
+    assert n_snaps >= 2  # one commit per micro-batch
+
+    # lost checkpoint -> full re-delivery of every batch: all skipped
+    run("ckpt2")
+    assert _rows(cat.read("t")) == {(1, "a"), (2, "b"), (3, "c")}
+    assert len(cat.history("t")) == n_snaps
+
+    # new file, ORIGINAL checkpoint: exactly the delta lands
+    stage([(4, "d")], "f3")
+    run("ckpt1")
+    assert _rows(cat.read("t")) == {(1, "a"), (2, "b"), (3, "c"), (4, "d")}
+    assert len(cat.history("t")) == n_snaps + 1
+    keys = cat.committed_summaries("t", "commit_key")
+    assert all(k.startswith("r1:") for k in keys) and len(keys) == n_snaps + 1
