@@ -1684,3 +1684,82 @@ ORACLES["quality_classifier"] = f"""
            )) > 0 AS keep
     FROM s
 """
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search over a POSITIONAL inverted index — the
+    retrieval operator BM25/postings can't express (bag-of-words loses
+    adjacency). The phrase is the corpus's own most frequent bigram
+    (count desc, lexicographic tie-break), so the query is fully
+    self-contained and the oracle recomputes it. Plan: (1) one bigram
+    count pass → a ONE-ROW phrase table, broadcast; (2) the positional
+    token index is filtered to the two phrase words via that broadcast —
+    at 100 TB this is the point: the candidate postings shrink to
+    df(w1)+df(w2) rows BEFORE any join; (3) adjacency = equi-join on
+    (doc_id, pos+1 = pos), i.e. a keyed join between two word-sized
+    posting lists, never a self-join of the full index. Positions are
+    1-based to match the SQL side."""
+    d = table(spark, sf_dir, "documents", spread=True)
+    toks = tokens(F.col("text"))
+    tf = d.select(
+        "doc_id", F.posexplode(toks).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    top = (
+        d.select(F.explode(ngrams(F.col("text"), 2)).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bg"))
+        .limit(1)
+        .select(
+            F.col("bg").alias("phrase"),
+            F.split(F.col("bg"), " ").getItem(0).alias("w1"),
+            F.split(F.col("bg"), " ").getItem(1).alias("w2"),
+        )
+    )
+    a = tf.join(F.broadcast(top), tf.tok == F.col("w1")).select(
+        "doc_id", F.col("pos").alias("p1"), "phrase"
+    )
+    b = tf.join(F.broadcast(top.select("w2")), tf.tok == F.col("w2")).select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("p2")
+    )
+    m = a.join(
+        b, (a.doc_id == b.doc_b) & (b.p2 == a.p1 + 1)
+    )
+    return m.groupBy("doc_id", "phrase").agg(
+        F.count("*").alias("hits"), F.min("p1").alias("first_pos")
+    )
+
+
+QUERIES["phrase_search"] = q_phrase_search
+
+_PS_TOKS = DUCK_TOKENS.format(x="text")
+
+ORACLES["phrase_search"] = f"""
+    WITH s AS (
+        SELECT doc_id, {_PS_TOKS} AS toks FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks))) AS i
+        FROM s
+    ),
+    tf AS (SELECT doc_id, i AS pos, toks[i] AS tok FROM pos),
+    bg AS (
+        SELECT toks[i] || ' ' || toks[i + 1] AS bg
+        FROM pos WHERE i < len(toks)
+    ),
+    top AS (
+        SELECT bg AS phrase,
+               string_split(bg, ' ')[1] AS w1,
+               string_split(bg, ' ')[2] AS w2
+        FROM bg GROUP BY bg
+        ORDER BY count(*) DESC, bg ASC LIMIT 1
+    )
+    SELECT a.doc_id, top.phrase,
+           count(*)::BIGINT AS hits, min(a.pos)::BIGINT AS first_pos
+    FROM tf a
+    JOIN top ON a.tok = top.w1
+    JOIN tf b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+            AND b.tok = top.w2
+    GROUP BY a.doc_id, top.phrase
+"""

@@ -83,6 +83,7 @@ SPOT = [
     "quantile_sketch",
     "mad_outliers",
     "quality_classifier",
+    "phrase_search",
 ]
 
 

@@ -185,3 +185,26 @@ def test_stream_snapshot_append_exactly_once(spark, tmp_path):
     assert len(cat.history("t")) == n_snaps + 1
     keys = cat.committed_summaries("t", "commit_key")
     assert all(k.startswith("r1:") for k in keys) and len(keys) == n_snaps + 1
+
+
+def test_concurrent_commit_race_detected(spark, tmp_path):
+    """Two writers computing the same next snapshot id: the second
+    manifest write must fail loudly (the sandbox analogue of losing the
+    Iceberg catalog compare-and-swap), leaving the first commit intact."""
+    import json
+    import os
+
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    df = spark.createDataFrame([(1,)], "id int")
+    cat.overwrite(df, "t")
+    # a racing writer already published v2 (hint not yet repointed)
+    mp = cat._manifest_path("t", 2)
+    with open(mp, "w") as f:
+        json.dump({"snapshot_id": 2, "parent_id": 1, "operation": "append",
+                   "timestamp": 0, "data_dirs": [], "summary": {}}, f)
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        cat.append(df, "t")
+    # loser left no metadata damage: hint still points at v1
+    assert cat.current_snapshot_id("t") == 1
+    os.remove(mp)
+    assert cat.append(df, "t") == 2  # retry succeeds after the race
