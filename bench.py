@@ -107,6 +107,9 @@ def main() -> None:
         "cosine_topk_fast": similarity.cosine_topk_fast,
         "cdc_chunks": curation.q_cdc_chunks,
         "dsir_weights": curation.q_dsir_weights,
+        "quality_classifier": textops.q_quality_classifier,
+        "bm25_topk": textops.q_bm25_topk,
+        "lsh_incremental": dedup.q_lsh_incremental,
     }
     for name, fn in headline.items():
         best = float("inf")

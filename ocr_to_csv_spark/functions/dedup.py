@@ -685,3 +685,40 @@ ORACLES["ppjoin_pairs"] = f"""
     FROM p
     WHERE {JAC_T_DEN} * inter >= {JAC_T_NUM} * (na + nb - inter)
 """
+
+
+def q_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-vs-index near-dup — the production shape of LSH dedup once
+    a corpus exists: each ingest increment (here: doc_id % 10 == 0, a
+    deterministic 10% 'daily crawl') is checked against the PRE-BUILT
+    band index of the base corpus, instead of recomputing all candidate
+    pairs. Only the delta's signatures are new work; the base side is an
+    equi-join probe into the stored (band, band_key) index table — at
+    10^12 docs that's O(|delta|) hashing plus a keyed join, not O(|corpus|)
+    anything. Pairs inside the delta are left to the next full-index
+    refresh (or a second tiny delta⋈delta join), matching how
+    incremental MinHash dedup is actually operated; composes with
+    ``SnapshotCatalog.read_incremental`` for picking up exactly the
+    newly-appended documents."""
+    b = _lsh_buckets(spark, sf_dir)
+    delta = b.filter(F.col("doc_id") % 10 == 0)
+    base = b.filter(F.col("doc_id") % 10 != 0)
+    return (
+        delta.alias("d")
+        .join(base.alias("x"), ["band", "band_key"])
+        .select(
+            F.col("d.doc_id").alias("new_doc"),
+            F.col("x.doc_id").alias("index_doc"),
+        )
+        .distinct()
+    )
+
+
+QUERIES["lsh_incremental"] = q_lsh_incremental
+
+ORACLES["lsh_incremental"] = f"""{_BUCKET_SQL}
+    SELECT DISTINCT d.doc_id AS new_doc, x.doc_id AS index_doc
+    FROM buckets d JOIN buckets x
+      ON d.band = x.band AND d.band_key = x.band_key
+    WHERE d.doc_id % 10 = 0 AND x.doc_id % 10 <> 0
+"""

@@ -158,6 +158,38 @@ class SnapshotCatalog:
             raise ValueError(f"snapshot {sid} of '{name}' is empty")
         return self.spark.read.parquet(*dirs)
 
+    def read_incremental(
+        self, name: str, from_snapshot: int, to_snapshot: int | None = None
+    ) -> DataFrame:
+        """Incremental scan: ONLY the data added after ``from_snapshot``
+        up to ``to_snapshot`` (default: current) — Iceberg's
+        ``incremental read`` / CDC-append pattern. A downstream batch job
+        (dedup refresh, index build, metrics rollup) processes each new
+        snapshot's delta instead of rescanning the table: at 10¹² docs
+        this is the difference between touching a day's crawl and
+        touching the corpus. Dir-granularity manifests make the delta
+        exact set difference; appends qualify, while an intervening
+        overwrite/merge (which REPLACES dirs) raises rather than silently
+        returning rewritten-as-new data."""
+        to_sid = to_snapshot or self.current_snapshot_id(name)
+        if to_sid is None:
+            raise ValueError(f"unknown table '{name}'")
+        man_from = self._load_manifest(name, from_snapshot)
+        man_to = self._load_manifest(name, to_sid)
+        base, cur = set(man_from["data_dirs"]), set(man_to["data_dirs"])
+        if not base <= cur:
+            raise ValueError(
+                f"snapshots {from_snapshot}..{to_sid} of '{name}' are not "
+                "append-only (an overwrite/merge replaced data in between); "
+                "incremental read would mis-report rewritten rows as new"
+            )
+        delta = sorted(cur - base)
+        if not delta:
+            schema = self.read(name, snapshot_id=to_sid).schema
+            return self.spark.createDataFrame([], schema)
+        dirs = [os.path.join(self._data_dir(name), d) for d in delta]
+        return self.spark.read.parquet(*dirs)
+
     # ---------- writes ----------
     def overwrite(self, df: DataFrame, name: str) -> int:
         rel, n = self._write_new_dir(df, name)

@@ -84,6 +84,7 @@ SPOT = [
     "mad_outliers",
     "quality_classifier",
     "phrase_search",
+    "lsh_incremental",
 ]
 
 

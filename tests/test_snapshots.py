@@ -208,3 +208,26 @@ def test_concurrent_commit_race_detected(spark, tmp_path):
     assert cat.current_snapshot_id("t") == 1
     os.remove(mp)
     assert cat.append(df, "t") == 2  # retry succeeds after the race
+
+
+def test_read_incremental_appends_only(spark, tmp_path):
+    """Incremental scan returns exactly the rows added between two
+    snapshots; a non-append-only range (overwrite in between) refuses
+    rather than mis-reporting rewritten rows as new."""
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    v1 = cat.overwrite(spark.createDataFrame([(1,)], "id int"), "t")
+    v2 = cat.append(spark.createDataFrame([(2,), (3,)], "id int"), "t")
+    v3 = cat.append(spark.createDataFrame([(4,)], "id int"), "t")
+    assert _rows(cat.read_incremental("t", v1, v2)) == {(2,), (3,)}
+    assert _rows(cat.read_incremental("t", v1)) == {(2,), (3,), (4,)}
+    assert _rows(cat.read_incremental("t", v2, v3)) == {(4,)}
+    # empty delta: same snapshot twice -> zero rows, correct schema
+    inc = cat.read_incremental("t", v3, v3)
+    assert inc.count() == 0 and inc.schema == cat.read("t").schema
+    # an overwrite breaks append-only lineage: loud refusal
+    v4 = cat.overwrite(spark.createDataFrame([(9,)], "id int"), "t")
+    with pytest.raises(ValueError, match="not\\s+append-only"):
+        cat.read_incremental("t", v1, v4)
+    # but ranges on the new lineage work again
+    v5 = cat.append(spark.createDataFrame([(10,)], "id int"), "t")
+    assert _rows(cat.read_incremental("t", v4, v5)) == {(10,)}
