@@ -107,17 +107,26 @@ class SnapshotCatalog:
         return [self._load_manifest(name, s) for s in sids]
 
     def _commit(self, name: str, operation: str, data_dirs: list[str],
-                added_files: int, summary: dict | None = None) -> int:
-        """Write manifest v<N+1> then atomically repoint the hint."""
+                added_files: int, summary: dict | None = None,
+                partition_by: list[str] | None = None,
+                schema_json: str | None = None) -> int:
+        """Write manifest v<N+1> then atomically repoint the hint. The
+        table schema travels in the manifest (as Iceberg's does) so an
+        empty snapshot — e.g. an empty partitioned commit, which writes
+        NO parquet files — still reads back with the right columns."""
         os.makedirs(self._meta_dir(name), exist_ok=True)
         parent = self.current_snapshot_id(name)
         sid = (parent or 0) + 1
+        if schema_json is None and parent:
+            schema_json = self._load_manifest(name, parent).get("schema_json")
         manifest = {
             "snapshot_id": sid,
             "parent_id": parent,
             "operation": operation,
             "timestamp": time.time(),
             "data_dirs": sorted(data_dirs),
+            "partition_by": partition_by or [],
+            "schema_json": schema_json,
             "summary": {"added_data_files": added_files, **(summary or {})},
         }
         mp = self._manifest_path(name, sid)
@@ -135,14 +144,83 @@ class SnapshotCatalog:
         os.rename(htmp, self._hint_path(name))
         return sid
 
-    def _write_new_dir(self, df: DataFrame, name: str) -> tuple[str, int]:
+    def _write_new_dir(
+        self, df: DataFrame, name: str, partition_by: list[str] | None = None
+    ) -> tuple[str, int]:
         """Materialize df into a fresh immutable data dir; return
         (relative dir name, parquet file count)."""
         rel = uuid.uuid4().hex[:12]
         full = os.path.join(self._data_dir(name), rel)
-        df.write.mode("error").parquet(full)
-        n = sum(1 for f in os.listdir(full) if f.endswith(".parquet"))
+        w = df.write.mode("error")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(full)
+        n = sum(
+            1
+            for _, _, fs in os.walk(full)
+            for f in fs
+            if f.endswith(".parquet")
+        )
         return rel, n
+
+    def _parent_partition_by(
+        self, name: str, partition_by: list[str] | None
+    ) -> list[str]:
+        """Resolve the commit's partition spec: inherit the parent
+        snapshot's when not given; refuse a CHANGED spec (Iceberg's
+        partition-spec evolution is a separate versioned operation —
+        silently mixing layouts would break pruning on older dirs)."""
+        parent = self.current_snapshot_id(name)
+        inherited = (
+            self._load_manifest(name, parent).get("partition_by", [])
+            if parent
+            else []
+        )
+        if partition_by is None:
+            return inherited
+        if parent and list(partition_by) != inherited:
+            raise ValueError(
+                f"table '{name}' is partitioned by {inherited}; appending "
+                f"with partition_by={list(partition_by)} would mix layouts"
+            )
+        return list(partition_by)
+
+    def _scan(self, name: str, man: dict) -> DataFrame:
+        """Plan a scan over a manifest's dirs. Unpartitioned: one
+        multi-path parquet read. Partitioned: one read PER dir unioned
+        (Spark refuses mixed roots over hive-style layouts); partition
+        filters push into EVERY branch scan (verified in tests), so
+        pruning survives the union. Dirs with zero parquet files (empty
+        partitioned commits) are skipped; an all-empty snapshot falls
+        back to the manifest schema."""
+        dirs = [
+            os.path.join(self._data_dir(name), d)
+            for d in man["data_dirs"]
+            if any(
+                f.endswith(".parquet")
+                for _, _, fs in os.walk(
+                    os.path.join(self._data_dir(name), d)
+                )
+                for f in fs
+            )
+        ]
+        if not dirs:
+            if man.get("schema_json"):
+                from pyspark.sql.types import StructType
+
+                return self.spark.createDataFrame(
+                    [], StructType.fromJson(json.loads(man["schema_json"]))
+                )
+            raise ValueError(
+                f"snapshot {man['snapshot_id']} of '{name}' is empty"
+            )
+        if not man.get("partition_by"):
+            return self.spark.read.parquet(*dirs)
+        out = None
+        for d in dirs:
+            part = self.spark.read.parquet(d)
+            out = part if out is None else out.unionByName(part)
+        return out
 
     # ---------- reads ----------
     def read(self, name: str, snapshot_id: int | None = None) -> DataFrame:
@@ -152,11 +230,7 @@ class SnapshotCatalog:
         sid = snapshot_id or self.current_snapshot_id(name)
         if sid is None:
             raise ValueError(f"unknown table '{name}'")
-        man = self._load_manifest(name, sid)
-        dirs = [os.path.join(self._data_dir(name), d) for d in man["data_dirs"]]
-        if not dirs:
-            raise ValueError(f"snapshot {sid} of '{name}' is empty")
-        return self.spark.read.parquet(*dirs)
+        return self._scan(name, self._load_manifest(name, sid))
 
     def read_incremental(
         self, name: str, from_snapshot: int, to_snapshot: int | None = None
@@ -187,25 +261,54 @@ class SnapshotCatalog:
         if not delta:
             schema = self.read(name, snapshot_id=to_sid).schema
             return self.spark.createDataFrame([], schema)
-        dirs = [os.path.join(self._data_dir(name), d) for d in delta]
-        return self.spark.read.parquet(*dirs)
+        return self._scan(
+            name,
+            {
+                "snapshot_id": to_sid,
+                "data_dirs": delta,
+                "partition_by": man_to.get("partition_by", []),
+            },
+        )
 
     # ---------- writes ----------
-    def overwrite(self, df: DataFrame, name: str) -> int:
-        rel, n = self._write_new_dir(df, name)
-        return self._commit(name, "overwrite", [rel], n)
+    def overwrite(
+        self, df: DataFrame, name: str, partition_by: list[str] | None = None
+    ) -> int:
+        """Overwrite as a new snapshot; an explicit ``partition_by``
+        (re)defines the table's hive-style partition layout (the Iceberg
+        identity partition transform — new spec allowed here because
+        overwrite replaces every data dir)."""
+        pb = list(partition_by) if partition_by is not None else (
+            self._parent_partition_by(name, None)
+        )
+        rel, n = self._write_new_dir(df, name, pb)
+        return self._commit(
+            name, "overwrite", [rel], n, partition_by=pb,
+            schema_json=df.schema.json(),
+        )
 
-    def append(self, df: DataFrame, name: str, summary: dict | None = None) -> int:
+    def append(
+        self,
+        df: DataFrame,
+        name: str,
+        summary: dict | None = None,
+        partition_by: list[str] | None = None,
+    ) -> int:
         """Append as a new snapshot. ``summary`` lands in the manifest's
         summary block — the hook streaming sinks use to record their
         micro-batch id for exactly-once commit dedup (Iceberg records
-        ``spark.app.id``/epoch the same way)."""
-        rel, n = self._write_new_dir(df, name)
+        ``spark.app.id``/epoch the same way). Partition spec is inherited
+        from the parent snapshot; passing a different one raises."""
+        pb = self._parent_partition_by(name, partition_by)
+        rel, n = self._write_new_dir(df, name, pb)
         parent = self.current_snapshot_id(name)
         dirs = (
             self._load_manifest(name, parent)["data_dirs"] if parent else []
         )
-        return self._commit(name, "append", dirs + [rel], n, summary)
+        return self._commit(
+            name, "append", dirs + [rel], n, summary, partition_by=pb,
+            schema_json=df.schema.json(),
+        )
 
     def committed_summaries(self, name: str, key: str) -> set:
         """All values of a summary field across retained snapshots —
@@ -243,15 +346,20 @@ class SnapshotCatalog:
             .filter(F.col("__rn") == 1)
             .drop("__rn", "__src")
         )
-        rel, n = self._write_new_dir(merged, name)
-        return self._commit(name, "merge", [rel], n)
+        pb = self._parent_partition_by(name, None)
+        rel, n = self._write_new_dir(merged, name, pb)
+        return self._commit(
+            name, "merge", [rel], n, partition_by=pb,
+            schema_json=merged.schema.json(),
+        )
 
     def rollback(self, name: str, snapshot_id: int) -> int:
         """Restore an old snapshot's state as a NEW snapshot (history is
         append-only; nothing is deleted)."""
         man = self._load_manifest(name, snapshot_id)
         return self._commit(
-            name, f"rollback-to-{snapshot_id}", man["data_dirs"], 0
+            name, f"rollback-to-{snapshot_id}", man["data_dirs"], 0,
+            partition_by=man.get("partition_by", []),
         )
 
     # ---------- maintenance ----------

@@ -231,3 +231,64 @@ def test_read_incremental_appends_only(spark, tmp_path):
     # but ranges on the new lineage work again
     v5 = cat.append(spark.createDataFrame([(10,)], "id int"), "t")
     assert _rows(cat.read_incremental("t", v4, v5)) == {(10,)}
+
+
+def test_partitioned_snapshots_prune_and_guard_spec(spark, tmp_path):
+    """Partitioned snapshot tables: appends inherit the partition spec,
+    a CHANGED spec on append raises, reads prune — the partition filter
+    pushes into EVERY per-dir scan of the unioned plan — and time travel
+    / incremental scans keep working on the partitioned layout."""
+    import re
+
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    v1 = cat.overwrite(
+        spark.range(0, 400).selectExpr("id", "id % 4 AS bucket"),
+        "t", partition_by=["bucket"],
+    )
+    v2 = cat.append(spark.range(400, 600).selectExpr("id", "id % 4 AS bucket"), "t")
+    assert cat.read("t").count() == 600
+    assert cat.read("t", snapshot_id=v1).count() == 400
+    assert _rows(cat.read_incremental("t", v1, v2).select("id")) == {
+        (i,) for i in range(400, 600)
+    }
+    # pruning: every branch scan carries the pushed partition filter
+    sel = cat.read("t").filter("bucket = 2")
+    plan = sel._jdf.queryExecution().executedPlan().toString()
+    pf = re.findall(r"PartitionFilters: \[[^\]]*bucket[^\]]*= 2[^\]]*\]", plan)
+    assert len(pf) == 2, plan  # one pruned scan per snapshot data dir
+    assert sel.count() == 150
+    # spec guard: appending with a different layout is refused
+    with pytest.raises(ValueError, match="mix layouts"):
+        cat.append(
+            spark.range(0, 5).selectExpr("id", "id % 4 AS bucket"),
+            "t", partition_by=["id"],
+        )
+    # merge + rollback carry the spec forward
+    cat.merge_upsert(
+        spark.createDataFrame([(7, 99)], "id bigint, bucket bigint"), "t", ["id"]
+    )
+    assert cat.history("t")[-1]["partition_by"] == ["bucket"]
+    cat.rollback("t", v1)
+    assert cat.history("t")[-1]["partition_by"] == ["bucket"]
+    assert cat.read("t").count() == 400
+
+
+def test_empty_partitioned_commit_reads_back_with_schema(spark, tmp_path):
+    """An empty partitioned commit writes ZERO parquet files; the schema
+    recorded in the manifest (Iceberg-style) makes it readable anyway,
+    and later appends work normally. Null partition values round-trip
+    through the hive default partition."""
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    cat.overwrite(
+        spark.createDataFrame([], "id bigint, shard bigint"),
+        "t", partition_by=["shard"],
+    )
+    e = cat.read("t")
+    assert e.count() == 0 and set(e.columns) == {"id", "shard"}
+    cat.append(spark.range(0, 20).selectExpr("id", "id % 2 AS shard"), "t")
+    assert cat.read("t").count() == 20
+    cat.overwrite(
+        spark.createDataFrame([(1, None)], "id bigint, shard bigint"),
+        "n", partition_by=["shard"],
+    )
+    assert _rows(cat.read("n")) == {(1, None)}
