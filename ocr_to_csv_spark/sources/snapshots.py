@@ -185,6 +185,39 @@ class SnapshotCatalog:
             )
         return list(partition_by)
 
+    def _evolved_schema_json(self, name: str, df: DataFrame) -> str:
+        """ADD-ONLY schema evolution (Iceberg add-column): the new
+        snapshot's schema is the parent schema plus any new columns in
+        ``df`` (appends may also OMIT existing columns — readers
+        null-fill from the manifest schema). Type changes and renames
+        raise; they need Iceberg's id-based column resolution, which
+        name-keyed parquet cannot fake safely."""
+        from pyspark.sql.types import StructType
+
+        parent = self.current_snapshot_id(name)
+        pj = (
+            self._load_manifest(name, parent).get("schema_json")
+            if parent
+            else None
+        )
+        if not pj:
+            return df.schema.json()
+        ps = StructType.fromJson(json.loads(pj))
+        known = {f.name: f for f in ps.fields}
+        out = list(ps.fields)
+        for f in df.schema.fields:
+            if f.name in known:
+                if f.dataType != known[f.name].dataType:
+                    raise ValueError(
+                        f"table '{name}': column '{f.name}' type change "
+                        f"{known[f.name].dataType.simpleString()} -> "
+                        f"{f.dataType.simpleString()} is not supported "
+                        "(add-only schema evolution)"
+                    )
+            else:
+                out.append(f)
+        return StructType(out).json()
+
     def _scan(self, name: str, man: dict) -> DataFrame:
         """Plan a scan over a manifest's dirs. Unpartitioned: one
         multi-path parquet read. Partitioned: one read PER dir unioned
@@ -215,12 +248,35 @@ class SnapshotCatalog:
                 f"snapshot {man['snapshot_id']} of '{name}' is empty"
             )
         if not man.get("partition_by"):
-            return self.spark.read.parquet(*dirs)
-        out = None
-        for d in dirs:
-            part = self.spark.read.parquet(d)
-            out = part if out is None else out.unionByName(part)
-        return out
+            r = self.spark.read
+            if len(dirs) > 1:
+                # dirs may carry different (evolved) schemas
+                r = r.option("mergeSchema", "true")
+            out = r.parquet(*dirs)
+        else:
+            out = None
+            for d in dirs:
+                part = self.spark.read.parquet(d)
+                out = (
+                    part
+                    if out is None
+                    else out.unionByName(part, allowMissingColumns=True)
+                )
+        return self._align(out, man)
+
+    def _align(self, df: DataFrame, man: dict) -> DataFrame:
+        """Project to the manifest schema: null-fill columns a data dir
+        predates (add-only evolution), fix the column order."""
+        if not man.get("schema_json"):
+            return df
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        target = StructType.fromJson(json.loads(man["schema_json"]))
+        for f in target.fields:
+            if f.name not in df.columns:
+                df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+        return df.select(*[f.name for f in target.fields])
 
     # ---------- reads ----------
     def read(self, name: str, snapshot_id: int | None = None) -> DataFrame:
@@ -307,7 +363,7 @@ class SnapshotCatalog:
         )
         return self._commit(
             name, "append", dirs + [rel], n, summary, partition_by=pb,
-            schema_json=df.schema.json(),
+            schema_json=self._evolved_schema_json(name, df),
         )
 
     def committed_summaries(self, name: str, key: str) -> set:
@@ -334,7 +390,7 @@ class SnapshotCatalog:
         if self.exists(name):
             merged = (
                 self.read(name).withColumn("__src", F.lit(0))
-                .unionByName(incoming)
+                .unionByName(incoming, allowMissingColumns=True)
             )
         else:
             merged = incoming

@@ -292,3 +292,44 @@ def test_empty_partitioned_commit_reads_back_with_schema(spark, tmp_path):
         "n", partition_by=["shard"],
     )
     assert _rows(cat.read("n")) == {(1, None)}
+
+
+def test_schema_evolution_add_only(spark, tmp_path):
+    """Add-column appends: old dirs null-fill the new column; appends may
+    omit existing columns (null-filled too); time travel shows each
+    snapshot's own schema; type changes raise."""
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    v1 = cat.overwrite(
+        spark.createDataFrame([(1, "a")], "id bigint, v string"), "t"
+    )
+    # evolve: new column 'lang'
+    v2 = cat.append(
+        spark.createDataFrame([(2, "b", "en")], "id bigint, v string, lang string"),
+        "t",
+    )
+    cur = cat.read("t")
+    assert cur.columns == ["id", "v", "lang"]
+    assert _rows(cur) == {(1, "a", None), (2, "b", "en")}
+    # old snapshot keeps its own (pre-evolution) schema
+    assert cat.read("t", snapshot_id=v1).columns == ["id", "v"]
+    # append OMITTING existing columns null-fills them
+    cat.append(spark.createDataFrame([(3,)], "id bigint"), "t")
+    assert _rows(cat.read("t")) == {
+        (1, "a", None), (2, "b", "en"), (3, None, None)
+    }
+    # incremental scan over evolved range aligns to the newest schema
+    assert _rows(cat.read_incremental("t", v1)) == {
+        (2, "b", "en"), (3, None, None)
+    }
+    # type change refused
+    with pytest.raises(ValueError, match="type change"):
+        cat.append(spark.createDataFrame([("x", "y")], "id string, v string"), "t")
+    # merge_upsert with a new column evolves too
+    cat.merge_upsert(
+        spark.createDataFrame(
+            [(1, "a2", "de", 9)], "id bigint, v string, lang string, score bigint"
+        ),
+        "t", keys=["id"],
+    )
+    got = {r["id"]: (r["v"], r["lang"], r["score"]) for r in cat.read("t").collect()}
+    assert got == {1: ("a2", "de", 9), 2: ("b", "en", None), 3: (None, None, None)}
