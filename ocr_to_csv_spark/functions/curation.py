@@ -391,3 +391,111 @@ def _bfs_sql() -> str:
 
 
 ORACLES["bfs_dist"] = _bfs_sql()
+
+
+# -------------------------------------------------------------------- sssp_dist
+
+SSSP_ROUNDS = 4
+SSSP_INF = 999_999
+
+
+def _link_edges(spark: SparkSession, sf_dir: str):
+    """The synthesized doc→doc link graph (same modular edge set as
+    pagerank/bfs_dist) with deterministic integer weights
+    ``(src + dst) % 9 + 1`` — closed-form so the oracle recomputes them;
+    production reads a real weighted edge table."""
+    d = table(spark, sf_dir, "documents", spread=True)
+    n = d.count()
+    nodes = d.select(F.col("doc_id").cast("long").alias("id"))
+    i = F.col("id")
+    e1 = nodes.filter(i % 3 != 0).select(i.alias("src"), ((i * 2 + 1) % n).alias("dst"))
+    e2 = nodes.filter(i % 2 == 0).select(i.alias("src"), ((i * 7 + 3) % n).alias("dst"))
+    e3 = nodes.filter(i % 6 == 1).select(i.alias("src"), ((i + n // 2) % n).alias("dst"))
+    edges = e1.unionByName(e2).unionByName(e3)
+    return nodes, edges.withColumn(
+        "w", (F.col("src") + F.col("dst")) % 9 + 1
+    )
+
+
+def q_sssp_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source WEIGHTED shortest paths — Bellman-Ford relaxation
+    rounds, the weighted companion to ``bfs_dist`` (sources: doc_id %
+    11 == 0; distances exact for paths of ≤ SSSP_ROUNDS hops, the
+    GraphX/Pregel sssp idiom). Each superstep is one keyed equi-join
+    (edges ⋈ dist on src) + one min-aggregate by dst + a left join back
+    to the node universe: the frontier state stays node-sized and
+    distributed, nothing collects, and the join keys are stable across
+    supersteps so a real cluster co-partitions them once. Integer
+    weights keep both engines bit-exact; unreached reports -1."""
+    nodes, edges = _link_edges(spark, sf_dir)
+    i = F.col("id")
+    dist = nodes.select(
+        "id",
+        F.when(i % 11 == 0, F.lit(0))
+        .otherwise(F.lit(SSSP_INF))
+        .cast("long")
+        .alias("dist"),
+    )
+    for _ in range(SSSP_ROUNDS):
+        relax = (
+            edges.join(dist.withColumnRenamed("id", "src"), "src")
+            .select("dst", (F.col("dist") + F.col("w")).alias("cand"))
+            .groupBy("dst")
+            .agg(F.min("cand").alias("md"))
+        )
+        dist = dist.join(relax, dist.id == relax.dst, "left").select(
+            "id",
+            F.least(
+                F.col("dist"), F.coalesce("md", F.lit(SSSP_INF))
+            ).alias("dist"),
+        )
+    return dist.select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("dist") >= SSSP_INF, F.lit(-1))
+        .otherwise(F.col("dist"))
+        .cast("long")
+        .alias("dist"),
+    )
+
+
+QUERIES["sssp_dist"] = q_sssp_dist
+
+
+def _sssp_sql() -> str:
+    steps = []
+    prev = "d0"
+    for r in range(1, SSSP_ROUNDS + 1):
+        steps.append(f"""
+    d{r} AS (
+        SELECT p.id, least(p.dist, coalesce(m.md, {SSSP_INF})) AS dist
+        FROM {prev} p LEFT JOIN (
+            SELECT e.dst AS id, min(s.dist + e.w) AS md
+            FROM edges e JOIN {prev} s ON s.id = e.src
+            GROUP BY e.dst
+        ) m ON m.id = p.id
+    )""")
+        prev = f"d{r}"
+    return f"""
+    WITH nodes AS (SELECT doc_id::BIGINT AS id FROM documents),
+    nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+    e0 AS (
+        SELECT id AS src, (id*2+1) % (SELECT n FROM nn) AS dst
+        FROM nodes WHERE id % 3 <> 0
+        UNION ALL
+        SELECT id, (id*7+3) % (SELECT n FROM nn) FROM nodes WHERE id % 2 = 0
+        UNION ALL
+        SELECT id, (id + (SELECT n FROM nn) // 2) % (SELECT n FROM nn)
+        FROM nodes WHERE id % 6 = 1
+    ),
+    edges AS (SELECT src, dst, (src + dst) % 9 + 1 AS w FROM e0),
+    d0 AS (
+        SELECT id, CASE WHEN id % 11 = 0 THEN 0 ELSE {SSSP_INF} END AS dist
+        FROM nodes
+    ),{",".join(steps)[1:]}
+    SELECT id AS doc_id,
+           (CASE WHEN dist >= {SSSP_INF} THEN -1 ELSE dist END)::BIGINT AS dist
+    FROM {prev}
+"""
+
+
+ORACLES["sssp_dist"] = _sssp_sql()

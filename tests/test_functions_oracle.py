@@ -85,6 +85,7 @@ SPOT = [
     "quality_classifier",
     "phrase_search",
     "lsh_incremental",
+    "sssp_dist",
 ]
 
 
