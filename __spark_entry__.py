@@ -15,7 +15,14 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ocr_to_csv_spark.functions import curation, dedup, relational, similarity, textops
+from ocr_to_csv_spark.functions import (
+    curation,
+    curation4,
+    dedup,
+    relational,
+    similarity,
+    textops,
+)
 
 CORPUS_DOCS = 40
 CORPUS_SEED = 42
@@ -259,6 +266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(dedup.QUERIES)
     out.update(similarity.QUERIES)
     out.update(curation.QUERIES)
+    out.update(curation4.QUERIES)
     out.update(
         {
             "extract_spans": q_extract_spans,
@@ -280,6 +288,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(dedup.ORACLES)
     out.update(similarity.ORACLES)
     out.update(curation.ORACLES)
+    out.update(curation4.ORACLES)
     # flagship oracles: the deterministic golden fixtures (absolute path —
     # generated on demand so DuckDB can read them even if queries() ran in
     # another process)

@@ -546,15 +546,16 @@ def _split_scan(data: bytes, pos: int) -> list[bytes]:
     return _split_scan_at(data, pos)[0]
 
 
-def _decode_segment(
-    seg: bytes,
-    n_mcus: int,
+def _decode_segments(
+    segments: list[bytes],
+    restart_interval: int,
+    n_total: int,
     scan_comps: list[dict],
     huff_dc: dict[int, list[int]],
     huff_ac: dict[int, list[int]],
-    pred: dict[int, int],
 ) -> tuple[list[int], list[int], list[int], list[int]]:
-    """Decode ``n_mcus`` MCUs from one pre-unstuffed entropy segment.
+    """Decode ``n_total`` MCUs across the pre-unstuffed restart segments
+    (a single segment when ``restart_interval`` is 0).
 
     Returns sparse LUMA coefficients as four flat parallel lists
     ``(mcu_idx, block_idx, zigzag_k, value)`` — one entry per nonzero
@@ -562,90 +563,107 @@ def _decode_segment(
     vectorized assignment. Chroma blocks are entropy-decoded to advance
     the stream and discarded. The bit reader is INLINED as local
     variables (acc masked to 64 bits): attribute access + function calls
-    per symbol are the decode hot path in pure Python."""
-    acc = 0
-    nbits = 0
-    wi = 0
-    # 32-bit word feed: one list index per fill instead of slicing +
-    # int.from_bytes; trailing 0xFF guard words give the spec 1-bit pad
-    # (reads can overrun the data by <64 bits at scan end)
-    pad = (-len(seg)) % 4
-    words = np.frombuffer(
-        seg + b"\xff" * (pad + 16), dtype=">u4"
-    ).tolist()
+    per symbol are the decode hot path in pure Python. All restart
+    segments decode inside this one call — restart intervals are a few
+    MCUs, so per-segment function + output-list setup used to cost ~20%
+    of the entropy decode."""
     M64 = 0xFFFFFFFFFFFFFFFF
     out_m: list[int] = []
     out_b: list[int] = []
     out_k: list[int] = []
     out_v: list[int] = []
-    for m in range(n_mcus):
-        for ci, c in enumerate(scan_comps):
-            dct = huff_dc[c["dc"]]
-            act = huff_ac[c["ac"]]
-            cid = c["id"]
-            keep = ci == 0  # luma only; chroma decoded just to advance
-            for b in range(c["hs"] * c["vs"]):
-                # DC symbol
-                if nbits < 16:
-                    acc = ((acc << 32) | words[wi]) & M64
-                    wi += 1
-                    nbits += 32
-                entry = dct[(acc >> (nbits - 16)) & 0xFFFF]
-                if entry == 0:
-                    raise ValueError("bad Huffman code")
-                nbits -= entry >> 8
-                size = entry & 0xFF
-                if size:
-                    if nbits < size:
-                        acc = ((acc << 32) | words[wi]) & M64
-                        wi += 1
-                        nbits += 32
-                    nbits -= size
-                    v = (acc >> nbits) & ((1 << size) - 1)
-                    diff = v if v >= (1 << (size - 1)) else v - (1 << size) + 1
-                else:
-                    diff = 0
-                pred[cid] += diff
-                if keep:
-                    out_m.append(m)
-                    out_b.append(b)
-                    out_k.append(0)
-                    out_v.append(pred[cid])
-                k = 1
-                while k < 64:
+    done = 0
+    seg_i = 0
+    while done < n_total:
+        if seg_i >= len(segments):
+            raise ValueError("missing restart segment")
+        seg = segments[seg_i]
+        seg_i += 1
+        n_mcus = (
+            min(restart_interval, n_total - done)
+            if restart_interval
+            else n_total
+        )
+        pred = {c["id"]: 0 for c in scan_comps}
+        acc = 0
+        nbits = 0
+        wi = 0
+        # 32-bit word feed: one list index per fill instead of slicing +
+        # int.from_bytes; trailing 0xFF guard words give the spec 1-bit
+        # pad (reads can overrun the data by <64 bits at scan end)
+        pad = (-len(seg)) % 4
+        words = np.frombuffer(
+            seg + b"\xff" * (pad + 16), dtype=">u4"
+        ).tolist()
+        for m in range(done, done + n_mcus):
+            for ci, c in enumerate(scan_comps):
+                dct = huff_dc[c["dc"]]
+                act = huff_ac[c["ac"]]
+                cid = c["id"]
+                keep = ci == 0  # luma only; chroma decoded just to advance
+                for b in range(c["hs"] * c["vs"]):
+                    # DC symbol
                     if nbits < 16:
                         acc = ((acc << 32) | words[wi]) & M64
                         wi += 1
                         nbits += 32
-                    entry = act[(acc >> (nbits - 16)) & 0xFFFF]
+                    entry = dct[(acc >> (nbits - 16)) & 0xFFFF]
                     if entry == 0:
                         raise ValueError("bad Huffman code")
                     nbits -= entry >> 8
-                    sym = entry & 0xFF
-                    if sym == 0x00:  # EOB
-                        break
-                    run = sym >> 4
-                    size = sym & 0x0F
-                    if size == 0:
-                        if run == 15:  # ZRL
-                            k += 16
-                            continue
-                        break
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC index overflow")
-                    if nbits < size:
-                        acc = ((acc << 32) | words[wi]) & M64
-                        wi += 1
-                        nbits += 32
-                    nbits -= size
-                    v = (acc >> nbits) & ((1 << size) - 1)
+                    size = entry & 0xFF
+                    if size:
+                        if nbits < size:
+                            acc = ((acc << 32) | words[wi]) & M64
+                            wi += 1
+                            nbits += 32
+                        nbits -= size
+                        v = (acc >> nbits) & ((1 << size) - 1)
+                        diff = v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+                    else:
+                        diff = 0
+                    pred[cid] += diff
                     if keep:
                         out_m.append(m)
                         out_b.append(b)
-                        out_k.append(k)
-                        out_v.append(v if v >= (1 << (size - 1)) else v - (1 << size) + 1)
-                    k += 1
+                        out_k.append(0)
+                        out_v.append(pred[cid])
+                    k = 1
+                    while k < 64:
+                        if nbits < 16:
+                            acc = ((acc << 32) | words[wi]) & M64
+                            wi += 1
+                            nbits += 32
+                        entry = act[(acc >> (nbits - 16)) & 0xFFFF]
+                        if entry == 0:
+                            raise ValueError("bad Huffman code")
+                        nbits -= entry >> 8
+                        sym = entry & 0xFF
+                        if sym == 0x00:  # EOB
+                            break
+                        run = sym >> 4
+                        size = sym & 0x0F
+                        if size == 0:
+                            if run == 15:  # ZRL
+                                k += 16
+                                continue
+                            break
+                        k += run
+                        if k > 63:
+                            raise ValueError("AC index overflow")
+                        if nbits < size:
+                            acc = ((acc << 32) | words[wi]) & M64
+                            wi += 1
+                            nbits += 32
+                        nbits -= size
+                        v = (acc >> nbits) & ((1 << size) - 1)
+                        if keep:
+                            out_m.append(m)
+                            out_b.append(b)
+                            out_k.append(k)
+                            out_v.append(v if v >= (1 << (size - 1)) else v - (1 << size) + 1)
+                        k += 1
+        done += n_mcus
     return out_m, out_b, out_k, out_v
 
 
@@ -757,32 +775,9 @@ def decode(data: bytes) -> np.ndarray:
     lw, lv = luma["hs"], luma["vs"]
 
     segments = _split_scan(data, scan_pos)
-    ms_l: list[int] = []
-    bs_l: list[int] = []
-    ks_l: list[int] = []
-    vs_l: list[int] = []
-    if restart_interval:
-        done = 0
-        seg_i = 0
-        while done < n_total:
-            if seg_i >= len(segments):
-                raise ValueError("missing restart segment")
-            n = min(restart_interval, n_total - done)
-            pred = {c["id"]: 0 for c in scan_comps}
-            pm, pb, pk, pv = _decode_segment(
-                segments[seg_i], n, scan_comps, huff_dc, huff_ac, pred
-            )
-            ms_l.extend(m + done for m in pm)
-            bs_l.extend(pb)
-            ks_l.extend(pk)
-            vs_l.extend(pv)
-            done += n
-            seg_i += 1
-    else:
-        pred = {c["id"]: 0 for c in scan_comps}
-        ms_l, bs_l, ks_l, vs_l = _decode_segment(
-            segments[0], n_total, scan_comps, huff_dc, huff_ac, pred
-        )
+    ms_l, bs_l, ks_l, vs_l = _decode_segments(
+        segments, restart_interval, n_total, scan_comps, huff_dc, huff_ac
+    )
 
     # ONE vectorized scatter of all sparse zigzag coefficients, then ONE
     # batched dequant + inverse-zigzag + IDCT over all luma blocks
@@ -805,7 +800,16 @@ def _idct_luma(
     qt_z = qt[ZIGZAG]
     blocks = np.zeros((nrows * ncols, 64))
     blocks[:, ZIGZAG] = Z * qt_z
-    pix = _C.T @ blocks.reshape(-1, 8, 8) @ _C  # batched matmul IDCT
+    # batched IDCT (C.T @ A) @ C as two FLAT GEMMs — numpy dispatches a
+    # stacked (n,8,8) matmul as n tiny GEMM calls; flattening to one
+    # (n*8, 8) @ (8, 8) product keeps BLAS in a single call. Bit-identical
+    # to the stacked form (same 8-length dot accumulation order).
+    A = blocks.reshape(-1, 8, 8)
+    n_blk = A.shape[0]
+    # C.T @ A per block == (A^T @ C)^T
+    t1 = (A.transpose(0, 2, 1).reshape(-1, 8) @ _C).reshape(n_blk, 8, 8)
+    t1 = np.ascontiguousarray(t1.transpose(0, 2, 1))
+    pix = (t1.reshape(-1, 8) @ _C).reshape(n_blk, 8, 8)
     img = (
         pix.reshape(nrows, ncols, 8, 8)
         .transpose(0, 2, 1, 3)

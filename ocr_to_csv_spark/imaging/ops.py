@@ -26,6 +26,9 @@ import numpy as np
 # BGR weights matching the common luma transform (the reference relied on
 # cv2.COLOR_BGR2GRAY); our corpus is grayscale so this is a passthrough.
 _BGR_WEIGHTS = np.array([0.114, 0.587, 0.299])
+_BIN_IDX = np.arange(256)
+_U8_255 = np.uint8(255)
+_U8_0 = np.uint8(0)
 
 
 def to_gray(img: np.ndarray) -> np.ndarray:
@@ -41,23 +44,25 @@ def otsu_threshold(gray: np.ndarray) -> int:
     Maximizes inter-class variance; ties resolve to the lowest threshold
     (same convention as OpenCV). Returns t; binarize with ``gray > t``.
     """
-    hist = np.bincount(gray.ravel(), minlength=256).astype(np.float64)
-    total = hist.sum()
+    hist = np.bincount(gray.ravel(), minlength=256)
+    total = int(hist.sum())
     if total == 0:
         return 0
     omega = np.cumsum(hist) / total                     # class-0 mass
-    mu = np.cumsum(hist * np.arange(256)) / total       # cumulative mean
+    mu = np.cumsum(hist * _BIN_IDX) / total             # cumulative mean
     mu_t = mu[-1]
     denom = omega * (1.0 - omega)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        sigma_b = np.where(denom > 0, (mu_t * omega - mu) ** 2 / denom, 0.0)
+    # where denom == 0 the numerator is exactly 0 too (omega ∈ {0, 1} ⇒
+    # mu == mu_t·omega), so a tiny-denominator floor is exact and avoids
+    # the slow errstate context + where pass
+    sigma_b = (mu_t * omega - mu) ** 2 / np.maximum(denom, 1e-300)
     return int(np.argmax(sigma_b))
 
 
 def binarize_otsu(gray: np.ndarray) -> np.ndarray:
     """THRESH_BINARY|OTSU analogue: 255 where gray > t_otsu else 0."""
     t = otsu_threshold(gray)
-    return np.where(gray > t, 255, 0).astype(np.uint8)
+    return np.where(gray > t, _U8_255, _U8_0)  # uint8 out, one alloc
 
 
 def binarize_inv_fixed(gray: np.ndarray, thresh: int) -> np.ndarray:
@@ -173,8 +178,12 @@ def connected_components(mask: np.ndarray) -> list[tuple[int, int, int, int]]:
     pad = np.zeros((h, w + 2), dtype=np.int8)
     pad[:, 1:-1] = fg
     d = np.diff(pad, axis=1)
-    sy, sx = np.nonzero(d == 1)
-    _, ex = np.nonzero(d == -1)  # same row order as starts
+    # one nonzero pass for starts AND ends (they strictly alternate
+    # +1,-1 within each row, starting with +1)
+    ny, nx = np.nonzero(d)
+    pos = d[ny, nx] == 1
+    sy, sx = ny[pos], nx[pos]
+    ex = nx[~pos]  # same row order as starts
     row_ptr = np.searchsorted(sy, np.arange(h + 1))
 
     runs_by_row: list[list[tuple[int, int, int]]] = []
@@ -192,31 +201,41 @@ def connected_components(mask: np.ndarray) -> list[tuple[int, int, int, int]]:
         if (
             prev
             and b - a == prev_b - prev_a
-            and np.array_equal(sx[a:b], sx[prev_a:prev_b])
-            and np.array_equal(ex[a:b], ex[prev_a:prev_b])
+            and sx[a:b].tobytes() == sx[prev_a:prev_b].tobytes()
+            and ex[a:b].tobytes() == ex[prev_a:prev_b].tobytes()
         ):
             runs_by_row.append(prev)
             prev_a, prev_b = a, b
             continue
         cur: list[tuple[int, int, int]] = []
-        for x0, x1 in zip(sx[a:b], ex[a:b]):
+        j = 0  # two-pointer into prev (both run lists ascend in x)
+        np_prev = len(prev)
+        for x0, x1 in zip(sx[a:b].tolist(), ex[a:b].tolist()):
             rid = len(parent)
             parent.append(rid)
             # 8-connectivity: a prev-row run touches if intervals overlap
-            # when widened by one pixel on each side.
-            for px0, px1, prid in prev:
-                if px0 <= x1 and px1 + 1 >= x0:
-                    union(prid, rid)
-                elif px0 > x1:
-                    break
-            cur.append((int(x0), int(x1) - 1, rid))
+            # when widened by one pixel on each side. prev runs ending
+            # left of this run can never touch a later (farther-right)
+            # run either, so the left pointer advances monotonically —
+            # O(runs) per row pair instead of O(runs²).
+            while j < np_prev and prev[j][1] + 1 < x0:
+                j += 1
+            jj = j
+            while jj < np_prev and prev[jj][0] <= x1:
+                union(prev[jj][2], rid)
+                jj += 1
+            cur.append((x0, x1 - 1, rid))
         runs_by_row.append(cur)
         prev, prev_a, prev_b = cur, a, b
 
+    # resolve every run's root ONCE (identical-row reuse makes the same
+    # rid appear on hundreds of scanlines; per-appearance find() was the
+    # second hot spot of this function)
+    roots = [find(i) for i in range(len(parent))]
     boxes: dict[int, list[int]] = {}
     for y, runs in enumerate(runs_by_row):
         for x0, x1, rid in runs:
-            root = find(rid)
+            root = roots[rid]
             b2 = boxes.get(root)
             if b2 is None:
                 boxes[root] = [x0, y, x1, y]
