@@ -211,6 +211,17 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ever reaches the driver. Oracle: the same rounds unrolled as DuckDB
     CTEs with list_reduce folds — exact integer counts, deterministic
     (count DESC, left ASC, right ASC) tie-break."""
+    _, out_rows = _bpe_learn(spark, sf_dir)
+    return spark.createDataFrame(
+        out_rows, "merge_rank long, lhs string, rhs string, pair_count long"
+    )
+
+
+def _bpe_learn(spark: SparkSession, sf_dir: str):
+    """Shared BPE trainer: returns (vocabulary with ALL learned merges
+    applied to each word's symbol list, merge rows). The vocabulary
+    frame is dictionary-sized — it is the tokenizer artifact
+    ``q_bpe_encode`` broadcasts to encode the corpus."""
     d = table(spark, sf_dir, "documents", spread=True)
     words = (
         d.select(F.explode(tokens(F.col("text"))).alias("w"))
@@ -261,8 +272,58 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).otherwise(F.concat(acc, F.array(s))),
             ),
         ).localCheckpoint()  # truncate the per-round expression lineage
-    return spark.createDataFrame(
-        out_rows, "merge_rank long, lhs string, rhs string, pair_count long"
+    return words, out_rows
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION — the encode pass every pretraining
+    pipeline runs over the full corpus after training (``q_bpe_merges``
+    is the trainer). The corpus is touched once: tokens explode with
+    position, the encoded vocabulary (word → final subword pieces,
+    dictionary-sized) broadcasts in, and one per-doc aggregate emits the
+    piece count, the pieces-per-token ratio (single IEEE division) and
+    the md5 of the space-joined piece stream in document order — the
+    encoded-stream key that detokenization audits and dedup can chain
+    on. At 100 TB the broadcast becomes the top-V vocabulary with a
+    char-fallback default; the plan (scan → broadcast join → doc-keyed
+    agg) is unchanged."""
+    vocab, _ = _bpe_learn(spark, sf_dir)
+    enc = vocab.select(
+        "w",
+        F.size("syms").alias("n_sub"),
+        F.array_join("syms", " ").alias("piece_str"),
+    )
+    d = table(spark, sf_dir, "documents", spread=True)
+    tf = d.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "w")
+    )
+    per_tok = tf.join(F.broadcast(enc), "w")
+    return (
+        per_tok.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("n_sub").alias("n_pieces"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "piece_str"))
+                        ),
+                        lambda s: s["piece_str"],
+                    ),
+                )
+            ).alias("stream_md5"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_pieces").cast("long").alias("n_pieces"),
+            (F.col("n_pieces").cast("double") / F.col("n_tokens")).alias(
+                "pieces_per_token"
+            ),
+            "stream_md5",
+        )
     )
 
 
@@ -1480,11 +1541,13 @@ ORACLES["postings"] = f"""
 """
 
 
-def _bpe_oracle_sql() -> str:
-    """DuckDB oracle for q_bpe_merges: the same merge rounds unrolled as
-    CTEs — word frequencies once, then per round a pair-count aggregate,
-    the deterministic top-1 pair, and a list_reduce fold that rewrites
-    every word's symbol list (left-to-right non-overlapping merge)."""
+def _bpe_ctes(n_folds: int) -> tuple[list[str], list[str]]:
+    """Shared CTE generator for the BPE oracles: word frequencies once,
+    then per round a pair-count aggregate, the deterministic top-1 pair,
+    and a list_reduce fold that rewrites every word's symbol list
+    (left-to-right non-overlapping merge). ``n_folds`` controls how many
+    rounds get the fold applied (the trainer oracle skips the last —
+    nothing reads it; the encoder oracle folds every round)."""
     ctes = [f"""w0 AS (
         SELECT w, count(*)::BIGINT AS n,
                list_filter(string_split(w, ''), c -> c <> '') AS syms
@@ -1504,7 +1567,7 @@ def _bpe_oracle_sql() -> str:
             f"SELECT {t + 1}::BIGINT AS merge_rank, l AS lhs, r AS rhs, "
             f"c AS pair_count FROM p{t}"
         )
-        if t < BPE_MERGES - 1:
+        if t < n_folds:
             ctes.append(f"""w{t + 1} AS (
                 SELECT w, n,
                        list_reduce(
@@ -1517,12 +1580,44 @@ def _bpe_oracle_sql() -> str:
                        ) AS syms
                 FROM w{t}, p{t} p
             )""")
+    return ctes, selects
+
+
+def _bpe_oracle_sql() -> str:
+    """DuckDB oracle for q_bpe_merges (same unrolled rounds)."""
+    ctes, selects = _bpe_ctes(BPE_MERGES - 1)
     return ("WITH " + ",\n".join(ctes) + "\n"
             + "\nUNION ALL\n".join(selects) + "\nORDER BY merge_rank")
 
 
+def _bpe_encode_oracle_sql() -> str:
+    """DuckDB oracle for q_bpe_encode: learn the same merges (all folds
+    applied), then encode every document against the final vocabulary."""
+    ctes, _ = _bpe_ctes(BPE_MERGES)
+    ctes.append(f"""tf AS (
+        SELECT doc_id, unnest(toks) AS w,
+               unnest(generate_series(1, len(toks))) AS pos
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    )""")
+    ctes.append(f"""enc AS (
+        SELECT w, len(syms)::BIGINT AS n_sub,
+               array_to_string(syms, ' ') AS piece_str
+        FROM w{BPE_MERGES}
+    )""")
+    return ("WITH " + ",\n".join(ctes) + """
+    SELECT doc_id, count(*)::BIGINT AS n_tokens,
+           sum(n_sub)::BIGINT AS n_pieces,
+           sum(n_sub)::DOUBLE / count(*) AS pieces_per_token,
+           md5(string_agg(piece_str, ' ' ORDER BY pos)) AS stream_md5
+    FROM tf JOIN enc USING (w)
+    GROUP BY doc_id
+    """)
+
+
 QUERIES["bpe_merges"] = q_bpe_merges
 ORACLES["bpe_merges"] = _bpe_oracle_sql()
+QUERIES["bpe_encode"] = q_bpe_encode
+ORACLES["bpe_encode"] = _bpe_encode_oracle_sql()
 
 
 BM25_TOPN = 20
