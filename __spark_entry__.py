@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from ocr_to_csv_spark.functions import (
     curation,
     curation4,
+    curation5,
     dedup,
     relational,
     similarity,
@@ -267,6 +268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(similarity.QUERIES)
     out.update(curation.QUERIES)
     out.update(curation4.QUERIES)
+    out.update(curation5.QUERIES)
     out.update(
         {
             "extract_spans": q_extract_spans,
@@ -289,6 +291,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(similarity.ORACLES)
     out.update(curation.ORACLES)
     out.update(curation4.ORACLES)
+    out.update(curation5.ORACLES)
     # flagship oracles: the deterministic golden fixtures (absolute path —
     # generated on demand so DuckDB can read them even if queries() ran in
     # another process)
