@@ -419,6 +419,54 @@ class SnapshotCatalog:
         )
 
     # ---------- maintenance ----------
+    def compact(self, name: str, target_files: int = 1) -> dict:
+        """Small-file compaction (Iceberg ``rewrite_data_files``): rewrite
+        the current snapshot's row set into one fresh data dir with
+        ``target_files`` parquet files and commit it as a ``replace``
+        snapshot. Every append leaves its own dir behind; after a few
+        thousand micro-batches the scan plans thousands of splits of a
+        few KB each — at 10¹² docs this is the canonical Iceberg
+        maintenance job, run on a schedule, and it MUST be a new snapshot
+        (never an in-place rewrite) so concurrent readers keep their
+        planned files and time travel still sees the fragmented history
+        until expiry. Partitioned tables repartition on the partition
+        columns so each hive dir collapses to one file; ``replace`` is
+        data-neutral, so ``read_incremental`` across it refuses (by the
+        same append-only guard) instead of re-reporting rewritten rows
+        as new."""
+        sid = self.current_snapshot_id(name)
+        if sid is None:
+            raise ValueError(f"unknown table '{name}'")
+        if target_files < 1:
+            raise ValueError("target_files must be >= 1")
+        man = self._load_manifest(name, sid)
+        dd = self._data_dir(name)
+        files_before = sum(
+            1
+            for d in man["data_dirs"]
+            for _, _, fs in os.walk(os.path.join(dd, d))
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        cur = self._scan(name, man)
+        pb = man.get("partition_by", [])
+        if pb:
+            cur = cur.repartition(target_files, *pb)
+        else:
+            cur = cur.repartition(target_files)
+        rel, n = self._write_new_dir(cur, name, pb)
+        new_sid = self._commit(
+            name, "replace", [rel], n,
+            summary={"compacted_from": sid, "files_before": files_before},
+            partition_by=pb, schema_json=man.get("schema_json"),
+        )
+        return {
+            "snapshot_id": new_sid,
+            "dirs_before": len(man["data_dirs"]),
+            "files_before": files_before,
+            "files_after": n,
+        }
+
     def expire_snapshots(self, name: str, keep_last: int = 1) -> dict:
         """Garbage-collect: drop all but the newest ``keep_last``
         manifests and delete data dirs no retained snapshot references

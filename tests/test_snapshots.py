@@ -333,3 +333,69 @@ def test_schema_evolution_add_only(spark, tmp_path):
     )
     got = {r["id"]: (r["v"], r["lang"], r["score"]) for r in cat.read("t").collect()}
     assert got == {1: ("a2", "de", 9), 2: ("b", "en", None), 3: (None, None, None)}
+
+
+def test_compact_rewrites_small_files_as_new_snapshot(spark, tmp_path):
+    """Compaction collapses the append litter into one file, preserves
+    the exact row set and schema, keeps the fragmented history
+    time-travel readable, and read_incremental refuses to cross the
+    replace (then works again for appends on top of it)."""
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    base = cat.overwrite(
+        spark.range(0, 10).selectExpr("id", "id * 2 AS y"), "t"
+    )
+    for i in range(4):  # micro-batch litter: one dir per append
+        cat.append(
+            spark.range(10 + i, 11 + i).selectExpr("id", "id * 2 AS y"), "t"
+        )
+    pre = cat.current_snapshot_id("t")
+    before = _rows(cat.read("t"))
+    info = cat.compact("t")
+    assert info["dirs_before"] == 5
+    assert info["files_before"] > info["files_after"] == 1
+    assert _rows(cat.read("t")) == before
+    assert cat.read("t").schema == cat.read("t", snapshot_id=pre).schema
+    # history intact: pre-compaction snapshots still readable
+    assert _rows(cat.read("t", snapshot_id=base)) == {
+        (i, 2 * i) for i in range(10)
+    }
+    assert cat.history("t")[-1]["operation"] == "replace"
+    # replace is not append-only: incremental across it must refuse
+    with pytest.raises(ValueError, match="not.*append-only"):
+        cat.read_incremental("t", from_snapshot=pre)
+    # but incremental after the compaction works
+    cat.append(spark.createDataFrame([(99, 198)], "id bigint, y bigint"), "t")
+    delta = _rows(cat.read_incremental("t", from_snapshot=info["snapshot_id"]))
+    assert delta == {(99, 198)}
+
+
+def test_compact_partitioned_keeps_pruning_and_layout(spark, tmp_path):
+    """Partitioned compaction collapses each hive partition dir to one
+    file and the partition filter still prunes to a single dir scan."""
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    df = spark.range(0, 40).selectExpr("id", "cast(id % 4 as int) AS p")
+    cat.overwrite(df, "t", partition_by=["p"])
+    for i in range(3):
+        cat.append(
+            spark.range(100 + i, 101 + i).selectExpr(
+                "id", "cast(id % 4 as int) AS p"
+            ),
+            "t",
+        )
+    before = _rows(cat.read("t"))
+    info = cat.compact("t", target_files=4)
+    assert _rows(cat.read("t")) == before
+    assert cat.history("t")[-1]["partition_by"] == ["p"]
+    got = _rows(cat.read("t").filter("p = 1"))
+    assert got and all(r[1] == 1 for r in got)
+    plan = cat.read("t").filter("p = 1")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+
+def test_compact_bad_args(spark, tmp_path):
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    with pytest.raises(ValueError, match="unknown table"):
+        cat.compact("missing")
+    cat.overwrite(spark.range(3).selectExpr("id"), "t")
+    with pytest.raises(ValueError, match="target_files"):
+        cat.compact("t", target_files=0)
