@@ -49,6 +49,7 @@ def main() -> None:
     from ocr_to_csv_spark.extraction import pipeline
     from ocr_to_csv_spark.functions import (
         curation,
+        curation5,
         dedup,
         relational,
         similarity,
@@ -110,6 +111,8 @@ def main() -> None:
         "quality_classifier": textops.q_quality_classifier,
         "bm25_topk": textops.q_bm25_topk,
         "lsh_incremental": dedup.q_lsh_incremental,
+        "line_dedup": curation5.q_line_dedup,
+        "pack_sequences": curation5.q_pack_sequences,
     }
     for name, fn in headline.items():
         best = float("inf")
