@@ -419,7 +419,10 @@ class SnapshotCatalog:
         )
 
     # ---------- maintenance ----------
-    def compact(self, name: str, target_files: int = 1) -> dict:
+    def compact(
+        self, name: str, target_files: int = 1,
+        sort_by: list[str] | None = None,
+    ) -> dict:
         """Small-file compaction (Iceberg ``rewrite_data_files``): rewrite
         the current snapshot's row set into one fresh data dir with
         ``target_files`` parquet files and commit it as a ``replace``
@@ -433,7 +436,15 @@ class SnapshotCatalog:
         columns so each hive dir collapses to one file; ``replace`` is
         data-neutral, so ``read_incremental`` across it refuses (by the
         same append-only guard) instead of re-reporting rewritten rows
-        as new."""
+        as new.
+
+        ``sort_by`` makes it Iceberg's sort-order rewrite
+        (``rewrite_data_files(strategy => 'sort')``): unpartitioned
+        tables are range-partitioned on the keys then sorted within
+        each file, so files cover DISJOINT key ranges and min/max
+        footer pruning skips whole files; partitioned tables sort
+        within each hive dir's file (ranges are already split by the
+        partition column)."""
         sid = self.current_snapshot_id(name)
         if sid is None:
             raise ValueError(f"unknown table '{name}'")
@@ -452,12 +463,22 @@ class SnapshotCatalog:
         pb = man.get("partition_by", [])
         if pb:
             cur = cur.repartition(target_files, *pb)
+            if sort_by:
+                cur = cur.sortWithinPartitions(*pb, *sort_by)
+        elif sort_by:
+            cur = cur.repartitionByRange(
+                target_files, *sort_by
+            ).sortWithinPartitions(*sort_by)
         else:
             cur = cur.repartition(target_files)
         rel, n = self._write_new_dir(cur, name, pb)
         new_sid = self._commit(
             name, "replace", [rel], n,
-            summary={"compacted_from": sid, "files_before": files_before},
+            summary={
+                "compacted_from": sid,
+                "files_before": files_before,
+                "sort_by": list(sort_by or []),
+            },
             partition_by=pb, schema_json=man.get("schema_json"),
         )
         return {

@@ -399,3 +399,40 @@ def test_compact_bad_args(spark, tmp_path):
     cat.overwrite(spark.range(3).selectExpr("id"), "t")
     with pytest.raises(ValueError, match="target_files"):
         cat.compact("t", target_files=0)
+
+
+def test_compact_sort_by_restores_disjoint_file_ranges(spark, tmp_path):
+    """Sort-order compaction (rewrite_data_files strategy => 'sort'):
+    scrambled appends compact into files covering pairwise-disjoint key
+    ranges, so min/max footer pruning works; rows unchanged."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    # appends arrive in key-scrambled order (hash of id), as ingest does
+    full = spark.range(0, 4000).selectExpr("id", "id * 7 AS y")
+    for i in range(4):
+        cat.append(full.where(f"pmod(hash(id), 4) = {i}"), "t")
+    before = _rows(cat.read("t"))
+    info = cat.compact("t", target_files=8, sort_by=["id"])
+    assert info["files_after"] >= 2  # multiple files, else vacuous
+    assert _rows(cat.read("t")) == before
+    man = cat.history("t")[-1]
+    assert man["summary"]["sort_by"] == ["id"]
+    data_root = os.path.join(str(tmp_path), "t", "data", man["data_dirs"][0])
+    ranges = []
+    for root, _, fs in os.walk(data_root):
+        for f in fs:
+            if f.endswith(".parquet"):
+                md = pq.read_metadata(os.path.join(root, f))
+                los, his = [], []
+                for rg in range(md.num_row_groups):
+                    col = md.row_group(rg).column(0)
+                    los.append(col.statistics.min)
+                    his.append(col.statistics.max)
+                ranges.append((min(los), max(his)))
+    assert len(ranges) == info["files_after"]
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2
