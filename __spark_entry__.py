@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ocr_to_csv_spark.functions import (
+    analytics,
     curation,
     curation4,
     curation5,
@@ -269,6 +270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(curation.QUERIES)
     out.update(curation4.QUERIES)
     out.update(curation5.QUERIES)
+    out.update(analytics.QUERIES)
     out.update(
         {
             "extract_spans": q_extract_spans,
@@ -292,6 +294,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(curation.ORACLES)
     out.update(curation4.ORACLES)
     out.update(curation5.ORACLES)
+    out.update(analytics.ORACLES)
     # flagship oracles: the deterministic golden fixtures (absolute path —
     # generated on demand so DuckDB can read them even if queries() ran in
     # another process)
