@@ -39,8 +39,12 @@ driver never touches data; reads plan ``spark.read.parquet(dir, ...)``
 over the snapshot's dirs so Catalyst sees one multi-path scan
 (partition pruning / pushdown apply normally); MERGE reads the parent
 snapshot and writes a full new data dir, i.e. a copy-on-write MERGE
-(Iceberg CoW mode — the right default for bulk pipelines; MoR delete
-files are an optimization this sandbox doesn't need).
+(Iceberg CoW mode — the right default for bulk pipelines). DELETEs are
+merge-on-read (Iceberg v2): ``delete_where``/``delete_keys`` commit
+equality-delete files under ``<name>/deletes/`` instead of rewriting
+data; reads anti-join each data dir against the delete files sequenced
+after it (``dir_seqs`` in the manifest are Iceberg's data sequence
+numbers), and ``compact`` folds deletes in and clears them.
 """
 
 from __future__ import annotations
@@ -66,6 +70,9 @@ class SnapshotCatalog:
 
     def _data_dir(self, name: str) -> str:
         return os.path.join(self.base_dir, name, "data")
+
+    def _delete_dir(self, name: str) -> str:
+        return os.path.join(self.base_dir, name, "deletes")
 
     def _hint_path(self, name: str) -> str:
         return os.path.join(self._meta_dir(name), "version-hint.text")
@@ -109,7 +116,8 @@ class SnapshotCatalog:
     def _commit(self, name: str, operation: str, data_dirs: list[str],
                 added_files: int, summary: dict | None = None,
                 partition_by: list[str] | None = None,
-                schema_json: str | None = None) -> int:
+                schema_json: str | None = None,
+                extra: dict | None = None) -> int:
         """Write manifest v<N+1> then atomically repoint the hint. The
         table schema travels in the manifest (as Iceberg's does) so an
         empty snapshot — e.g. an empty partitioned commit, which writes
@@ -128,6 +136,7 @@ class SnapshotCatalog:
             "partition_by": partition_by or [],
             "schema_json": schema_json,
             "summary": {"added_data_files": added_files, **(summary or {})},
+            **(extra or {}),
         }
         mp = self._manifest_path(name, sid)
         if os.path.exists(mp):  # lost a commit race: another writer took sid
@@ -145,12 +154,13 @@ class SnapshotCatalog:
         return sid
 
     def _write_new_dir(
-        self, df: DataFrame, name: str, partition_by: list[str] | None = None
+        self, df: DataFrame, name: str, partition_by: list[str] | None = None,
+        root: str | None = None,
     ) -> tuple[str, int]:
         """Materialize df into a fresh immutable data dir; return
         (relative dir name, parquet file count)."""
         rel = uuid.uuid4().hex[:12]
-        full = os.path.join(self._data_dir(name), rel)
+        full = os.path.join(root or self._data_dir(name), rel)
         w = df.write.mode("error")
         if partition_by:
             w = w.partitionBy(*partition_by)
@@ -278,15 +288,59 @@ class SnapshotCatalog:
                 df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
         return df.select(*[f.name for f in target.fields])
 
+    # ---------- merge-on-read deletes ----------
+    def _delete_plan(self, man: dict):
+        """Group a manifest's data dirs by the set of delete files that
+        apply to them. A delete file applies only to data dirs committed
+        at a LOWER sequence number (Iceberg v2 sequence-number
+        semantics), so a key re-appended AFTER its delete is visible
+        again; between compactions the distinct applicable-sets are few
+        (typically "all old dirs" and "dirs appended since"), so the
+        read plan stays one scan + one anti-join per group."""
+        dels = man.get("delete_files") or []
+        seqs = man.get("dir_seqs") or {}
+        groups: dict[tuple, list[str]] = {}
+        for d in man["data_dirs"]:
+            seq = seqs.get(d, 0)
+            applicable = tuple(
+                i for i, e in enumerate(dels) if e["seq"] > seq
+            )
+            groups.setdefault(applicable, []).append(d)
+        return dels, groups
+
+    def _apply_deletes(self, df: DataFrame, name: str, entries: list[dict]):
+        """Anti-join against each equality-delete file's key rows. The
+        delete files are tombstone-sized (keys only); at scale Spark
+        broadcasts them, so the data never reshuffles for a delete."""
+        for e in entries:
+            keys = self.spark.read.parquet(
+                os.path.join(self._delete_dir(name), e["dir"])
+            )
+            df = df.join(keys, on=list(e["keys"]), how="left_anti")
+        return df
+
     # ---------- reads ----------
     def read(self, name: str, snapshot_id: int | None = None) -> DataFrame:
         """Read the current snapshot, or time-travel to ``snapshot_id``
         (Iceberg ``VERSION AS OF``). The returned DataFrame stays valid
-        across later commits: it plans against immutable files."""
+        across later commits: it plans against immutable files.
+        Equality-delete files (merge-on-read DELETEs) are applied here,
+        per data dir's sequence number."""
         sid = snapshot_id or self.current_snapshot_id(name)
         if sid is None:
             raise ValueError(f"unknown table '{name}'")
-        return self._scan(name, self._load_manifest(name, sid))
+        man = self._load_manifest(name, sid)
+        dels, groups = self._delete_plan(man)
+        if not dels or not man["data_dirs"]:
+            return self._scan(name, man)
+        out = None
+        for applicable, dirs in sorted(groups.items()):
+            sub = self._scan(name, {**man, "data_dirs": dirs})
+            sub = self._apply_deletes(
+                sub, name, [dels[i] for i in applicable]
+            )
+            out = sub if out is None else out.unionByName(sub)
+        return out
 
     def read_incremental(
         self, name: str, from_snapshot: int, to_snapshot: int | None = None
@@ -313,6 +367,16 @@ class SnapshotCatalog:
                 "append-only (an overwrite/merge replaced data in between); "
                 "incremental read would mis-report rewritten rows as new"
             )
+        if (man_from.get("delete_files") or []) != (
+            man_to.get("delete_files") or []
+        ):
+            raise ValueError(
+                f"snapshots {from_snapshot}..{to_sid} of '{name}' are not "
+                "append-only (a merge-on-read DELETE committed in "
+                "between); an append-only incremental read cannot "
+                "represent row removals — consume the delete files as "
+                "CDC tombstones instead"
+            )
         delta = sorted(cur - base)
         if not delta:
             schema = self.read(name, snapshot_id=to_sid).schema
@@ -338,9 +402,11 @@ class SnapshotCatalog:
             self._parent_partition_by(name, None)
         )
         rel, n = self._write_new_dir(df, name, pb)
+        sid = (self.current_snapshot_id(name) or 0) + 1
         return self._commit(
             name, "overwrite", [rel], n, partition_by=pb,
             schema_json=df.schema.json(),
+            extra={"dir_seqs": {rel: sid}, "delete_files": []},
         )
 
     def append(
@@ -358,12 +424,17 @@ class SnapshotCatalog:
         pb = self._parent_partition_by(name, partition_by)
         rel, n = self._write_new_dir(df, name, pb)
         parent = self.current_snapshot_id(name)
-        dirs = (
-            self._load_manifest(name, parent)["data_dirs"] if parent else []
-        )
+        pman = self._load_manifest(name, parent) if parent else {}
+        dirs = pman.get("data_dirs", [])
+        seqs = dict(pman.get("dir_seqs") or {})
+        seqs[rel] = (parent or 0) + 1
         return self._commit(
             name, "append", dirs + [rel], n, summary, partition_by=pb,
             schema_json=self._evolved_schema_json(name, df),
+            extra={
+                "dir_seqs": seqs,
+                "delete_files": pman.get("delete_files") or [],
+            },
         )
 
     def committed_summaries(self, name: str, key: str) -> set:
@@ -404,10 +475,58 @@ class SnapshotCatalog:
         )
         pb = self._parent_partition_by(name, None)
         rel, n = self._write_new_dir(merged, name, pb)
+        sid = (self.current_snapshot_id(name) or 0) + 1
         return self._commit(
             name, "merge", [rel], n, partition_by=pb,
             schema_json=merged.schema.json(),
+            extra={"dir_seqs": {rel: sid}, "delete_files": []},
         )
+
+    def delete_keys(
+        self, keys_df: DataFrame, name: str, keys: list[str]
+    ) -> int:
+        """Merge-on-read DELETE (Iceberg v2 equality-delete file): write
+        the key rows as a tombstone file and commit — the data files are
+        NOT rewritten. Reads anti-join each data dir against the delete
+        files sequenced after it; ``compact`` later folds the deletes in
+        and drops them. This is the CDC-ingest shape: at 10^12 docs a
+        takedown/expiry batch touches tombstone-sized data instead of
+        rewriting the corpus, and re-appending a deleted key AFTER the
+        delete makes it visible again (sequence-number semantics)."""
+        sid = self.current_snapshot_id(name)
+        if sid is None:
+            raise ValueError(f"unknown table '{name}'")
+        man = self._load_manifest(name, sid)
+        cols = set(keys_df.columns)
+        missing = [k for k in keys if k not in cols]
+        if missing:
+            raise ValueError(f"delete keys {missing} not in keys_df")
+        tomb = keys_df.select(*keys).distinct()
+        rel, n = self._write_new_dir(
+            tomb, name, root=self._delete_dir(name)
+        )
+        dels = list(man.get("delete_files") or [])
+        dels.append({"dir": rel, "seq": sid + 1, "keys": list(keys)})
+        return self._commit(
+            name, "delete", man["data_dirs"], 0,
+            summary={"added_delete_files": n},
+            partition_by=man.get("partition_by", []),
+            schema_json=man.get("schema_json"),
+            extra={
+                "dir_seqs": man.get("dir_seqs") or {},
+                "delete_files": dels,
+            },
+        )
+
+    def delete_where(
+        self, name: str, predicate: str, equality_keys: list[str]
+    ) -> int:
+        """``DELETE FROM name WHERE predicate`` in merge-on-read mode:
+        resolve the matching rows' equality keys from the current
+        snapshot (one filtered scan), then commit them as an
+        equality-delete file via ``delete_keys``."""
+        keys_df = self.read(name).where(predicate).select(*equality_keys)
+        return self.delete_keys(keys_df, name, equality_keys)
 
     def rollback(self, name: str, snapshot_id: int) -> int:
         """Restore an old snapshot's state as a NEW snapshot (history is
@@ -416,6 +535,10 @@ class SnapshotCatalog:
         return self._commit(
             name, f"rollback-to-{snapshot_id}", man["data_dirs"], 0,
             partition_by=man.get("partition_by", []),
+            extra={
+                "dir_seqs": man.get("dir_seqs") or {},
+                "delete_files": man.get("delete_files") or [],
+            },
         )
 
     # ---------- maintenance ----------
@@ -459,7 +582,7 @@ class SnapshotCatalog:
             for f in fs
             if f.endswith(".parquet")
         )
-        cur = self._scan(name, man)
+        cur = self.read(name, snapshot_id=sid)  # applies delete files
         pb = man.get("partition_by", [])
         if pb:
             cur = cur.repartition(target_files, *pb)
@@ -478,8 +601,10 @@ class SnapshotCatalog:
                 "compacted_from": sid,
                 "files_before": files_before,
                 "sort_by": list(sort_by or []),
+                "applied_delete_files": len(man.get("delete_files") or []),
             },
             partition_by=pb, schema_json=man.get("schema_json"),
+            extra={"dir_seqs": {rel: sid + 1}, "delete_files": []},
         )
         return {
             "snapshot_id": new_sid,
@@ -504,6 +629,14 @@ class SnapshotCatalog:
         for d in (os.listdir(dd) if os.path.isdir(dd) else []):
             if d not in live:
                 shutil.rmtree(os.path.join(dd, d))
+                removed_dirs += 1
+        live_del = {
+            e["dir"] for m in keep for e in m.get("delete_files") or []
+        }
+        ddel = self._delete_dir(name)
+        for d in (os.listdir(ddel) if os.path.isdir(ddel) else []):
+            if d not in live_del:
+                shutil.rmtree(os.path.join(ddel, d))
                 removed_dirs += 1
         for m in drop:
             os.remove(self._manifest_path(name, m["snapshot_id"]))

@@ -436,3 +436,108 @@ def test_compact_sort_by_restores_disjoint_file_ranges(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 < lo2
+
+
+# ---------- merge-on-read equality deletes (Iceberg v2) ----------
+
+
+def test_mor_delete_hides_rows_without_rewriting_data(spark, tmp_path):
+    """delete_where commits an equality-delete file: reads exclude the
+    keys, the data dirs are untouched, time travel still sees them."""
+    import os
+
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    v1 = cat.overwrite(
+        spark.range(0, 100).selectExpr("id", "id * 2 AS y"), "t"
+    )
+    before_dirs = sorted(os.listdir(os.path.join(str(tmp_path), "t", "data")))
+    v2 = cat.delete_where("t", "id % 10 = 3", ["id"])
+    assert sorted(
+        os.listdir(os.path.join(str(tmp_path), "t", "data"))
+    ) == before_dirs  # no data rewrite
+    got = _rows(cat.read("t"))
+    assert len(got) == 90 and all(r[0] % 10 != 3 for r in got)
+    assert len(_rows(cat.read("t", snapshot_id=v1))) == 100  # time travel
+    man = cat.history("t")[-1]
+    assert man["operation"] == "delete"
+    assert len(man["delete_files"]) == 1
+    assert man["delete_files"][0]["seq"] == v2
+
+
+def test_mor_delete_sequence_reappend_is_visible(spark, tmp_path):
+    """Sequence-number semantics: a key re-appended AFTER its delete is
+    visible (the delete only applies to dirs with a lower sequence)."""
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    cat.overwrite(
+        spark.createDataFrame([(1, "old"), (2, "keep")], "id int, v string"),
+        "t",
+    )
+    cat.delete_where("t", "id = 1", ["id"])
+    assert _rows(cat.read("t")) == {(2, "keep")}
+    cat.append(spark.createDataFrame([(1, "new")], "id int, v string"), "t")
+    assert _rows(cat.read("t")) == {(2, "keep"), (1, "new")}
+
+
+def test_mor_delete_stacking_and_compact_folds_them_in(spark, tmp_path):
+    """Two stacked deletes both apply; compact applies + clears the
+    delete files and the row set is unchanged by the rewrite."""
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    cat.overwrite(spark.range(0, 50).selectExpr("id", "id * 3 AS y"), "t")
+    cat.delete_where("t", "id < 10", ["id"])
+    cat.delete_keys(
+        spark.createDataFrame([(40,), (41,)], "id bigint"), "t", ["id"]
+    )
+    want = {(i, i * 3) for i in range(10, 50) if i not in (40, 41)}
+    assert _rows(cat.read("t")) == want
+    info = cat.compact("t", target_files=2)
+    assert _rows(cat.read("t")) == want
+    man = cat.history("t")[-1]
+    assert man["delete_files"] == []
+    assert man["summary"]["applied_delete_files"] == 2
+    assert info["files_after"] == 2
+
+
+def test_mor_delete_blocks_incremental_and_gc_reclaims_tombstones(
+    spark, tmp_path
+):
+    """read_incremental refuses to cross a delete commit (append-only
+    guard); expire_snapshots GCs delete files no retained snapshot
+    references."""
+    import os
+
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    v1 = cat.overwrite(spark.range(0, 20).selectExpr("id"), "t")
+    cat.delete_where("t", "id = 0", ["id"])
+    cat.append(spark.range(100, 110).selectExpr("id"), "t")
+    with pytest.raises(ValueError, match="DELETE"):
+        cat.read_incremental("t", v1)
+    cat.compact("t")
+    assert os.listdir(os.path.join(str(tmp_path), "t", "deletes"))
+    cat.expire_snapshots("t", keep_last=1)
+    assert not os.listdir(os.path.join(str(tmp_path), "t", "deletes"))
+    assert _rows(cat.read("t")) == {(i,) for i in range(1, 20)} | {
+        (i,) for i in range(100, 110)
+    }
+
+
+def test_mor_delete_on_partitioned_table(spark, tmp_path):
+    """Deletes compose with hive-partitioned tables: partition columns
+    keep pruning, deleted keys vanish from every partition branch."""
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    cat.overwrite(
+        spark.range(0, 40).selectExpr("id", "pmod(id, 4) AS p"),
+        "t",
+        partition_by=["p"],
+    )
+    cat.delete_where("t", "id < 8", ["id"])
+    got = cat.read("t").where("p = 1")
+    assert _rows(got) == {(i, 1) for i in range(8, 40) if i % 4 == 1}
+
+
+def test_mor_delete_bad_keys_raise(spark, tmp_path):
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    cat.overwrite(spark.range(3).selectExpr("id"), "t")
+    with pytest.raises(ValueError, match="not in keys_df"):
+        cat.delete_keys(spark.range(1).selectExpr("id AS other"), "t", ["id"])
+    with pytest.raises(ValueError, match="unknown table"):
+        cat.delete_where("nope", "id = 1", ["id"])
