@@ -113,6 +113,52 @@ class SnapshotCatalog:
         )
         return [self._load_manifest(name, s) for s in sids]
 
+    # ---------- named refs (Iceberg tags) ----------
+    def _refs_path(self, name: str) -> str:
+        return os.path.join(self._meta_dir(name), "refs.json")
+
+    def refs(self, name: str) -> dict:
+        """Named refs: {tag_name: snapshot_id}. Tags are immutable named
+        snapshots (Iceberg ``refs`` of type tag) — audit marks like
+        'corpus-v5-release' that survive ``expire_snapshots``."""
+        try:
+            with open(self._refs_path(name)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+
+    def _write_refs(self, name: str, refs: dict) -> None:
+        tmp = self._refs_path(name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(refs, f, indent=1, sort_keys=True)
+        os.rename(tmp, self._refs_path(name))
+
+    def create_tag(
+        self, name: str, tag: str, snapshot_id: int | None = None
+    ) -> int:
+        """Tag a snapshot (default: current). Tagged snapshots are
+        pinned: expire_snapshots retains their manifests and data."""
+        sid = snapshot_id or self.current_snapshot_id(name)
+        if sid is None:
+            raise ValueError(f"unknown table '{name}'")
+        self._load_manifest(name, sid)  # must exist (not expired)
+        refs = self.refs(name)
+        if tag in refs:
+            raise ValueError(
+                f"tag '{tag}' already exists on '{name}' "
+                f"(at snapshot {refs[tag]}); drop_tag first"
+            )
+        refs[tag] = sid
+        self._write_refs(name, refs)
+        return sid
+
+    def drop_tag(self, name: str, tag: str) -> None:
+        refs = self.refs(name)
+        if tag not in refs:
+            raise ValueError(f"no tag '{tag}' on '{name}'")
+        del refs[tag]
+        self._write_refs(name, refs)
+
     def _commit(self, name: str, operation: str, data_dirs: list[str],
                 added_files: int, summary: dict | None = None,
                 partition_by: list[str] | None = None,
@@ -172,6 +218,175 @@ class SnapshotCatalog:
             if f.endswith(".parquet")
         )
         return rel, n
+
+    def _collect_file_stats(self, name: str, rel: str) -> dict:
+        """Per-file column min/max from the parquet footers — what
+        Iceberg's manifest writer records as ``lower_bounds`` /
+        ``upper_bounds`` so scan PLANNING can skip files without opening
+        them. Driver-side O(files) footer reads at commit time (the
+        manifest-writer job); only JSON-stable primitive stats (int,
+        float, str, bool) are kept — other types simply aren't pruned
+        on. Returns {relative_file_path: {col: [min, max]}}."""
+        import pyarrow.parquet as pq
+
+        root = os.path.join(self._data_dir(name), rel)
+        out: dict[str, dict] = {}
+        for cur, _, fs in os.walk(root):
+            for f in fs:
+                if not f.endswith(".parquet"):
+                    continue
+                p = os.path.join(cur, f)
+                md = pq.read_metadata(p)
+                cols: dict[str, list] = {}
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for ci in range(g.num_columns):
+                        c = g.column(ci)
+                        st = c.statistics
+                        if st is None or not st.has_min_max:
+                            cols[c.path_in_schema] = None  # unknown
+                            continue
+                        lo, hi = st.min, st.max
+                        if isinstance(lo, bytes):
+                            try:
+                                lo, hi = lo.decode(), hi.decode()
+                            except UnicodeDecodeError:
+                                cols[c.path_in_schema] = None
+                                continue
+                        if not isinstance(lo, (int, float, str, bool)):
+                            cols[c.path_in_schema] = None
+                            continue
+                        prev = cols.get(c.path_in_schema)
+                        if c.path_in_schema in cols and prev is None:
+                            continue
+                        if prev is None:
+                            cols[c.path_in_schema] = [lo, hi]
+                        else:
+                            cols[c.path_in_schema] = [
+                                min(prev[0], lo), max(prev[1], hi)
+                            ]
+                out[os.path.relpath(p, root)] = {
+                    k: v for k, v in cols.items() if v is not None
+                }
+        return out
+
+    def plan_files(
+        self,
+        name: str,
+        col: str,
+        lo=None,
+        hi=None,
+        snapshot_id: int | None = None,
+    ) -> dict:
+        """Planning-time file pruning from manifest stats (Iceberg's
+        scan planning): files whose recorded [min, max] for ``col``
+        cannot intersect [lo, hi] are skipped WITHOUT opening them —
+        the step parquet footer pruning cannot do, because footers
+        require touching every file. Files with no recorded stats for
+        the column are conservatively kept. Returns
+        {dir: [file, ...]} of candidate files plus counts."""
+        sid = snapshot_id or self.current_snapshot_id(name)
+        if sid is None:
+            raise ValueError(f"unknown table '{name}'")
+        man = self._load_manifest(name, sid)
+        stats = man.get("file_stats") or {}
+        selected: dict[str, list[str]] = {}
+        total = kept = 0
+        for d in man["data_dirs"]:
+            dstats = stats.get(d)
+            dpath = os.path.join(self._data_dir(name), d)
+            files = [
+                os.path.relpath(os.path.join(cur, f), dpath)
+                for cur, _, fs in os.walk(dpath)
+                for f in fs
+                if f.endswith(".parquet")
+            ]
+            total += len(files)
+            keep = []
+            for f in files:
+                mm = (dstats or {}).get(f, {}).get(col)
+                if mm is not None and (
+                    (hi is not None and mm[0] > hi)
+                    or (lo is not None and mm[1] < lo)
+                ):
+                    continue
+                keep.append(f)
+            kept += len(keep)
+            selected[d] = keep
+        return {"files": selected, "total_files": total, "kept_files": kept}
+
+    def read_where(
+        self,
+        name: str,
+        col: str,
+        lo=None,
+        hi=None,
+        snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Range-predicate read with manifest-stats file pruning: scan
+        only the files ``plan_files`` kept, then apply the residual
+        filter (pruning is conservative, never a substitute for it).
+        Composes with merge-on-read deletes — each data dir's surviving
+        files are still anti-joined against the delete files sequenced
+        after it. On a sort-order-compacted table this reads O(matching
+        files) of a 100 TB table and plans O(1) jobs."""
+        from pyspark.sql import functions as F
+
+        sid = snapshot_id or self.current_snapshot_id(name)
+        if sid is None:
+            raise ValueError(f"unknown table '{name}'")
+        man = self._load_manifest(name, sid)
+        plan = self.plan_files(name, col, lo, hi, snapshot_id=sid)
+        dels, groups = self._delete_plan(man)
+        out = None
+        for applicable, dirs in sorted(groups.items()):
+            paths = []
+            base = None
+            for d in dirs:
+                dpath = os.path.join(self._data_dir(name), d)
+                paths.extend(
+                    os.path.join(dpath, f) for f in plan["files"][d]
+                )
+                base = base or dpath
+            if not paths:
+                continue
+            if man.get("partition_by"):
+                # per-dir reads keep hive partition columns intact
+                sub = None
+                for d in dirs:
+                    dpath = os.path.join(self._data_dir(name), d)
+                    fs = [
+                        os.path.join(dpath, f) for f in plan["files"][d]
+                    ]
+                    if not fs:
+                        continue
+                    part = self.spark.read.option(
+                        "basePath", dpath
+                    ).parquet(*fs)
+                    sub = (
+                        part
+                        if sub is None
+                        else sub.unionByName(part, allowMissingColumns=True)
+                    )
+            else:
+                r = self.spark.read
+                if len(paths) > 1:
+                    r = r.option("mergeSchema", "true")
+                sub = r.parquet(*paths)
+            if sub is None:
+                continue
+            sub = self._align(sub, man)
+            sub = self._apply_deletes(
+                sub, name, [dels[i] for i in applicable]
+            )
+            out = sub if out is None else out.unionByName(sub)
+        if out is None:
+            return self.read(name, snapshot_id=sid).limit(0)
+        if lo is not None:
+            out = out.where(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            out = out.where(F.col(col) <= F.lit(hi))
+        return out
 
     def _parent_partition_by(
         self, name: str, partition_by: list[str] | None
@@ -320,12 +535,24 @@ class SnapshotCatalog:
         return df
 
     # ---------- reads ----------
-    def read(self, name: str, snapshot_id: int | None = None) -> DataFrame:
-        """Read the current snapshot, or time-travel to ``snapshot_id``
-        (Iceberg ``VERSION AS OF``). The returned DataFrame stays valid
-        across later commits: it plans against immutable files.
-        Equality-delete files (merge-on-read DELETEs) are applied here,
-        per data dir's sequence number."""
+    def read(
+        self,
+        name: str,
+        snapshot_id: int | None = None,
+        tag: str | None = None,
+    ) -> DataFrame:
+        """Read the current snapshot, time-travel to ``snapshot_id``
+        (Iceberg ``VERSION AS OF``), or to a named ``tag``. The returned
+        DataFrame stays valid across later commits: it plans against
+        immutable files. Equality-delete files (merge-on-read DELETEs)
+        are applied here, per data dir's sequence number."""
+        if tag is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass snapshot_id or tag, not both")
+            refs = self.refs(name)
+            if tag not in refs:
+                raise ValueError(f"no tag '{tag}' on '{name}'")
+            snapshot_id = refs[tag]
         sid = snapshot_id or self.current_snapshot_id(name)
         if sid is None:
             raise ValueError(f"unknown table '{name}'")
@@ -406,7 +633,11 @@ class SnapshotCatalog:
         return self._commit(
             name, "overwrite", [rel], n, partition_by=pb,
             schema_json=df.schema.json(),
-            extra={"dir_seqs": {rel: sid}, "delete_files": []},
+            extra={
+                "dir_seqs": {rel: sid},
+                "delete_files": [],
+                "file_stats": {rel: self._collect_file_stats(name, rel)},
+            },
         )
 
     def append(
@@ -434,6 +665,10 @@ class SnapshotCatalog:
             extra={
                 "dir_seqs": seqs,
                 "delete_files": pman.get("delete_files") or [],
+                "file_stats": {
+                    **(pman.get("file_stats") or {}),
+                    rel: self._collect_file_stats(name, rel),
+                },
             },
         )
 
@@ -479,7 +714,11 @@ class SnapshotCatalog:
         return self._commit(
             name, "merge", [rel], n, partition_by=pb,
             schema_json=merged.schema.json(),
-            extra={"dir_seqs": {rel: sid}, "delete_files": []},
+            extra={
+                "dir_seqs": {rel: sid},
+                "delete_files": [],
+                "file_stats": {rel: self._collect_file_stats(name, rel)},
+            },
         )
 
     def delete_keys(
@@ -515,6 +754,7 @@ class SnapshotCatalog:
             extra={
                 "dir_seqs": man.get("dir_seqs") or {},
                 "delete_files": dels,
+                "file_stats": man.get("file_stats") or {},
             },
         )
 
@@ -538,6 +778,7 @@ class SnapshotCatalog:
             extra={
                 "dir_seqs": man.get("dir_seqs") or {},
                 "delete_files": man.get("delete_files") or [],
+                "file_stats": man.get("file_stats") or {},
             },
         )
 
@@ -604,7 +845,11 @@ class SnapshotCatalog:
                 "applied_delete_files": len(man.get("delete_files") or []),
             },
             partition_by=pb, schema_json=man.get("schema_json"),
-            extra={"dir_seqs": {rel: sid + 1}, "delete_files": []},
+            extra={
+                "dir_seqs": {rel: sid + 1},
+                "delete_files": [],
+                "file_stats": {rel: self._collect_file_stats(name, rel)},
+            },
         )
         return {
             "snapshot_id": new_sid,
@@ -616,13 +861,21 @@ class SnapshotCatalog:
     def expire_snapshots(self, name: str, keep_last: int = 1) -> dict:
         """Garbage-collect: drop all but the newest ``keep_last``
         manifests and delete data dirs no retained snapshot references
-        (Iceberg ``expire_snapshots``). Time travel to an expired
-        snapshot then raises a clear error."""
+        (Iceberg ``expire_snapshots``). Tagged snapshots are pinned —
+        their manifests and data survive regardless of ``keep_last``.
+        Time travel to an expired snapshot then raises a clear error."""
         hist = self.history(name)
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
-        keep = hist[-keep_last:]
-        drop = hist[:-keep_last]
+        tagged = set(self.refs(name).values())
+        keep = hist[-keep_last:] + [
+            m for m in hist[:-keep_last] if m["snapshot_id"] in tagged
+        ]
+        drop = [
+            m
+            for m in hist[:-keep_last]
+            if m["snapshot_id"] not in tagged
+        ]
         live = {d for m in keep for d in m["data_dirs"]}
         removed_dirs = 0
         dd = self._data_dir(name)

@@ -541,3 +541,119 @@ def test_mor_delete_bad_keys_raise(spark, tmp_path):
         cat.delete_keys(spark.range(1).selectExpr("id AS other"), "t", ["id"])
     with pytest.raises(ValueError, match="unknown table"):
         cat.delete_where("nope", "id = 1", ["id"])
+
+
+# ---------- manifest file stats + planning-time pruning ----------
+
+
+def test_manifest_stats_prune_files_on_clustered_table(spark, tmp_path):
+    """After a sort-order compaction the manifest's per-file min/max
+    bounds let plan_files skip most files WITHOUT opening them, and
+    read_where over the pruned set equals the full-scan filter."""
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    full = spark.range(0, 8000).selectExpr("id", "id * 7 AS y")
+    for i in range(4):  # key-scrambled ingest
+        cat.append(full.where(f"pmod(hash(id), 4) = {i}"), "t")
+    cat.compact("t", target_files=8, sort_by=["id"])
+    plan = cat.plan_files("t", "id", lo=1000, hi=1999)
+    assert plan["total_files"] == 8
+    assert plan["kept_files"] <= 2  # disjoint ranges -> most files skipped
+    got = _rows(cat.read_where("t", "id", lo=1000, hi=1999))
+    want = _rows(cat.read("t").where("id BETWEEN 1000 AND 1999"))
+    assert got == want and len(got) == 1000
+
+
+def test_read_where_unclustered_is_conservative_and_correct(spark, tmp_path):
+    """On unclustered data every file overlaps the range: nothing is
+    pruned, the residual filter still yields exactly the right rows."""
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    df = spark.range(0, 1000).selectExpr(
+        "pmod(hash(id), 1000) AS k", "id AS v"
+    ).repartition(4)
+    cat.overwrite(df, "t")
+    plan = cat.plan_files("t", "k", lo=100, hi=200)
+    assert plan["kept_files"] == plan["total_files"]
+    got = _rows(cat.read_where("t", "k", lo=100, hi=200))
+    assert got == _rows(cat.read("t").where("k BETWEEN 100 AND 200"))
+
+
+def test_read_where_applies_mor_deletes(spark, tmp_path):
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    cat.overwrite(spark.range(0, 100).selectExpr("id", "id*2 AS y"), "t")
+    cat.compact("t", target_files=4, sort_by=["id"])
+    cat.delete_where("t", "id IN (10, 11)", ["id"])
+    got = _rows(cat.read_where("t", "id", lo=0, hi=20))
+    assert got == {(i, i * 2) for i in range(21) if i not in (10, 11)}
+
+
+def test_read_where_on_partitioned_table_keeps_partition_cols(
+    spark, tmp_path
+):
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    cat.overwrite(
+        spark.range(0, 200).selectExpr("id", "pmod(id, 2) AS p"),
+        "t",
+        partition_by=["p"],
+    )
+    got = cat.read_where("t", "id", lo=50, hi=60)
+    assert set(got.columns) == {"id", "p"}
+    assert _rows(got) == {(i, i % 2) for i in range(50, 61)}
+
+
+def test_manifest_stats_survive_string_and_skip_complex(spark, tmp_path):
+    """String bounds are recorded (utf-8 decoded); array columns are
+    skipped, not crashed on; string-range read_where is exact."""
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    df = spark.createDataFrame(
+        [("apple", [1, 2]), ("banana", [3]), ("cherry", [])],
+        "name string, xs array<int>",
+    )
+    cat.overwrite(df.repartition(1), "t")
+    man = cat.history("t")[-1]
+    stats = next(iter(man["file_stats"].values()))
+    fstats = next(iter(stats.values()))
+    assert fstats["name"] == ["apple", "cherry"]
+    assert "xs" not in fstats or fstats["xs"] is None
+    assert _rows(
+        cat.read_where("t", "name", lo="b", hi="c").select("name")
+    ) == {("banana",)}
+
+
+# ---------- named refs (tags) ----------
+
+
+def test_tags_read_and_pin_through_gc(spark, tmp_path):
+    """A tagged snapshot stays readable by name and survives
+    expire_snapshots; untagged history is GC'd; dropping the tag
+    releases it."""
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    v1 = cat.overwrite(spark.range(0, 5).selectExpr("id"), "t")
+    cat.create_tag("t", "release-1")
+    v2 = cat.overwrite(spark.range(10, 15).selectExpr("id"), "t")
+    v3 = cat.overwrite(spark.range(20, 25).selectExpr("id"), "t")
+    assert _rows(cat.read("t", tag="release-1")) == {(i,) for i in range(5)}
+    info = cat.expire_snapshots("t", keep_last=1)
+    assert info["expired_snapshots"] == 1  # only v2; v1 pinned by tag
+    assert _rows(cat.read("t", tag="release-1")) == {(i,) for i in range(5)}
+    assert _rows(cat.read("t")) == {(i,) for i in range(20, 25)}
+    with pytest.raises(ValueError, match="no snapshot"):
+        cat.read("t", snapshot_id=v2)
+    cat.drop_tag("t", "release-1")
+    cat.expire_snapshots("t", keep_last=1)
+    with pytest.raises(ValueError, match="no snapshot"):
+        cat.read("t", snapshot_id=v1)
+    assert v3 == 3
+
+
+def test_tag_errors(spark, tmp_path):
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    cat.overwrite(spark.range(3).selectExpr("id"), "t")
+    cat.create_tag("t", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        cat.create_tag("t", "x")
+    with pytest.raises(ValueError, match="no tag"):
+        cat.read("t", tag="y")
+    with pytest.raises(ValueError, match="not both"):
+        cat.read("t", snapshot_id=1, tag="x")
+    with pytest.raises(ValueError, match="no snapshot"):
+        cat.create_tag("t", "z", snapshot_id=99)
