@@ -338,28 +338,19 @@ class SnapshotCatalog:
         man = self._load_manifest(name, sid)
         plan = self.plan_files(name, col, lo, hi, snapshot_id=sid)
         dels, groups = self._delete_plan(man)
+        specs = man.get("dir_specs") or {}
+        default = man.get("partition_by") or []
         out = None
         for applicable, dirs in sorted(groups.items()):
-            paths = []
-            base = None
+            flat_paths = []
+            sub = None
             for d in dirs:
                 dpath = os.path.join(self._data_dir(name), d)
-                paths.extend(
-                    os.path.join(dpath, f) for f in plan["files"][d]
-                )
-                base = base or dpath
-            if not paths:
-                continue
-            if man.get("partition_by"):
-                # per-dir reads keep hive partition columns intact
-                sub = None
-                for d in dirs:
-                    dpath = os.path.join(self._data_dir(name), d)
-                    fs = [
-                        os.path.join(dpath, f) for f in plan["files"][d]
-                    ]
-                    if not fs:
-                        continue
+                fs = [os.path.join(dpath, f) for f in plan["files"][d]]
+                if not fs:
+                    continue
+                if specs.get(d, default):
+                    # per-dir basePath read keeps hive partition columns
                     part = self.spark.read.option(
                         "basePath", dpath
                     ).parquet(*fs)
@@ -368,11 +359,18 @@ class SnapshotCatalog:
                         if sub is None
                         else sub.unionByName(part, allowMissingColumns=True)
                     )
-            else:
+                else:
+                    flat_paths.extend(fs)
+            if flat_paths:
                 r = self.spark.read
-                if len(paths) > 1:
+                if len(flat_paths) > 1:
                     r = r.option("mergeSchema", "true")
-                sub = r.parquet(*paths)
+                part = r.parquet(*flat_paths)
+                sub = (
+                    part
+                    if sub is None
+                    else sub.unionByName(part, allowMissingColumns=True)
+                )
             if sub is None:
                 continue
             sub = self._align(sub, man)
@@ -389,12 +387,15 @@ class SnapshotCatalog:
         return out
 
     def _parent_partition_by(
-        self, name: str, partition_by: list[str] | None
+        self, name: str, partition_by: list[str] | None,
+        evolve: bool = False,
     ) -> list[str]:
         """Resolve the commit's partition spec: inherit the parent
-        snapshot's when not given; refuse a CHANGED spec (Iceberg's
-        partition-spec evolution is a separate versioned operation —
-        silently mixing layouts would break pruning on older dirs)."""
+        snapshot's when not given. A CHANGED spec requires an explicit
+        ``evolve_spec=True`` (Iceberg's partition-spec evolution):
+        old dirs keep the spec they were written with (recorded in the
+        manifest's ``dir_specs``), new writes use the new one — a silent
+        change is refused because it is usually a bug."""
         parent = self.current_snapshot_id(name)
         inherited = (
             self._load_manifest(name, parent).get("partition_by", [])
@@ -403,10 +404,12 @@ class SnapshotCatalog:
         )
         if partition_by is None:
             return inherited
-        if parent and list(partition_by) != inherited:
+        if parent and list(partition_by) != inherited and not evolve:
             raise ValueError(
                 f"table '{name}' is partitioned by {inherited}; appending "
-                f"with partition_by={list(partition_by)} would mix layouts"
+                f"with partition_by={list(partition_by)} changes the "
+                "partition spec — pass evolve_spec=True to evolve it "
+                "(old data dirs keep their original layout)"
             )
         return list(partition_by)
 
@@ -472,21 +475,33 @@ class SnapshotCatalog:
             raise ValueError(
                 f"snapshot {man['snapshot_id']} of '{name}' is empty"
             )
-        if not man.get("partition_by"):
+        # each dir is scanned under the spec it was WRITTEN with
+        # (Iceberg keeps the partition spec per data file): spec
+        # evolution never rewrites old dirs — hive-encoded dirs restore
+        # the partition column from the path, flat dirs carry it as a
+        # data column, and the union aligns both.
+        specs = man.get("dir_specs") or {}
+        default = man.get("partition_by") or []
+        flat = [
+            d
+            for d in dirs
+            if not specs.get(os.path.basename(d), default)
+        ]
+        hive = [d for d in dirs if d not in flat]
+        out = None
+        if flat:
             r = self.spark.read
-            if len(dirs) > 1:
+            if len(flat) > 1:
                 # dirs may carry different (evolved) schemas
                 r = r.option("mergeSchema", "true")
-            out = r.parquet(*dirs)
-        else:
-            out = None
-            for d in dirs:
-                part = self.spark.read.parquet(d)
-                out = (
-                    part
-                    if out is None
-                    else out.unionByName(part, allowMissingColumns=True)
-                )
+            out = r.parquet(*flat)
+        for d in hive:
+            part = self.spark.read.parquet(d)
+            out = (
+                part
+                if out is None
+                else out.unionByName(part, allowMissingColumns=True)
+            )
         return self._align(out, man)
 
     def _align(self, df: DataFrame, man: dict) -> DataFrame:
@@ -636,6 +651,7 @@ class SnapshotCatalog:
             extra={
                 "dir_seqs": {rel: sid},
                 "delete_files": [],
+                "dir_specs": {rel: pb},
                 "file_stats": {rel: self._collect_file_stats(name, rel)},
             },
         )
@@ -646,25 +662,37 @@ class SnapshotCatalog:
         name: str,
         summary: dict | None = None,
         partition_by: list[str] | None = None,
+        evolve_spec: bool = False,
     ) -> int:
         """Append as a new snapshot. ``summary`` lands in the manifest's
         summary block — the hook streaming sinks use to record their
         micro-batch id for exactly-once commit dedup (Iceberg records
         ``spark.app.id``/epoch the same way). Partition spec is inherited
-        from the parent snapshot; passing a different one raises."""
-        pb = self._parent_partition_by(name, partition_by)
+        from the parent snapshot; passing a different one raises unless
+        ``evolve_spec=True`` (Iceberg partition-spec evolution: old dirs
+        keep their layout, the new spec applies to this and future
+        writes; reads scan each dir under the spec it was written
+        with)."""
+        pb = self._parent_partition_by(name, partition_by, evolve_spec)
         rel, n = self._write_new_dir(df, name, pb)
         parent = self.current_snapshot_id(name)
         pman = self._load_manifest(name, parent) if parent else {}
         dirs = pman.get("data_dirs", [])
         seqs = dict(pman.get("dir_seqs") or {})
         seqs[rel] = (parent or 0) + 1
+        dspecs = dict(pman.get("dir_specs") or {})
+        if pman and "dir_specs" not in pman:
+            # legacy manifests: every parent dir used the parent spec
+            for d in dirs:
+                dspecs[d] = pman.get("partition_by", [])
+        dspecs[rel] = pb
         return self._commit(
             name, "append", dirs + [rel], n, summary, partition_by=pb,
             schema_json=self._evolved_schema_json(name, df),
             extra={
                 "dir_seqs": seqs,
                 "delete_files": pman.get("delete_files") or [],
+                "dir_specs": dspecs,
                 "file_stats": {
                     **(pman.get("file_stats") or {}),
                     rel: self._collect_file_stats(name, rel),
@@ -717,6 +745,7 @@ class SnapshotCatalog:
             extra={
                 "dir_seqs": {rel: sid},
                 "delete_files": [],
+                "dir_specs": {rel: pb},
                 "file_stats": {rel: self._collect_file_stats(name, rel)},
             },
         )
@@ -754,6 +783,8 @@ class SnapshotCatalog:
             extra={
                 "dir_seqs": man.get("dir_seqs") or {},
                 "delete_files": dels,
+                "dir_specs": man.get("dir_specs")
+                or {d: man.get("partition_by", []) for d in man["data_dirs"]},
                 "file_stats": man.get("file_stats") or {},
             },
         )
@@ -778,6 +809,8 @@ class SnapshotCatalog:
             extra={
                 "dir_seqs": man.get("dir_seqs") or {},
                 "delete_files": man.get("delete_files") or [],
+                "dir_specs": man.get("dir_specs")
+                or {d: man.get("partition_by", []) for d in man["data_dirs"]},
                 "file_stats": man.get("file_stats") or {},
             },
         )
@@ -848,6 +881,7 @@ class SnapshotCatalog:
             extra={
                 "dir_seqs": {rel: sid + 1},
                 "delete_files": [],
+                "dir_specs": {rel: pb},
                 "file_stats": {rel: self._collect_file_stats(name, rel)},
             },
         )

@@ -257,8 +257,8 @@ def test_partitioned_snapshots_prune_and_guard_spec(spark, tmp_path):
     pf = re.findall(r"PartitionFilters: \[[^\]]*bucket[^\]]*= 2[^\]]*\]", plan)
     assert len(pf) == 2, plan  # one pruned scan per snapshot data dir
     assert sel.count() == 150
-    # spec guard: appending with a different layout is refused
-    with pytest.raises(ValueError, match="mix layouts"):
+    # spec guard: a silent spec change is refused (evolve_spec opts in)
+    with pytest.raises(ValueError, match="evolve_spec"):
         cat.append(
             spark.range(0, 5).selectExpr("id", "id % 4 AS bucket"),
             "t", partition_by=["id"],
@@ -657,3 +657,79 @@ def test_tag_errors(spark, tmp_path):
         cat.read("t", snapshot_id=1, tag="x")
     with pytest.raises(ValueError, match="no snapshot"):
         cat.create_tag("t", "z", snapshot_id=99)
+
+
+# ---------- partition-spec evolution ----------
+
+
+def test_spec_evolution_unpartitioned_to_partitioned(spark, tmp_path):
+    """Iceberg partition-spec evolution: old dirs keep their flat
+    layout, new appends use the new hive spec, reads scan each dir
+    under the spec it was written with. A silent spec change still
+    raises without evolve_spec=True."""
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    cat.overwrite(
+        spark.range(0, 50).selectExpr("id", "pmod(id, 3) AS p"), "t"
+    )
+    with pytest.raises(ValueError, match="evolve_spec"):
+        cat.append(
+            spark.range(50, 60).selectExpr("id", "pmod(id, 3) AS p"),
+            "t",
+            partition_by=["p"],
+        )
+    cat.append(
+        spark.range(50, 100).selectExpr("id", "pmod(id, 3) AS p"),
+        "t",
+        partition_by=["p"],
+        evolve_spec=True,
+    )
+    assert _rows(cat.read("t")) == {(i, i % 3) for i in range(100)}
+    # partition predicate filters correctly across BOTH layouts
+    assert _rows(cat.read("t").where("p = 1")) == {
+        (i, i % 3) for i in range(100) if i % 3 == 1
+    }
+    man = cat.history("t")[-1]
+    assert man["partition_by"] == ["p"]
+    assert sorted(set(tuple(v) for v in man["dir_specs"].values())) == [
+        (), ("p",)
+    ]
+
+
+def test_spec_evolution_repartition_and_compact_unifies(spark, tmp_path):
+    """Changing the partition column mid-table: reads stay correct over
+    the mixed layouts; compact rewrites everything under the CURRENT
+    spec and dir_specs collapses to it."""
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    cat.overwrite(
+        spark.range(0, 30).selectExpr("id", "pmod(id, 2) AS a", "pmod(id, 3) AS b"),
+        "t",
+        partition_by=["a"],
+    )
+    cat.append(
+        spark.range(30, 60).selectExpr("id", "pmod(id, 2) AS a", "pmod(id, 3) AS b"),
+        "t",
+        partition_by=["b"],
+        evolve_spec=True,
+    )
+    want = {(i, i % 2, i % 3) for i in range(60)}
+    assert _rows(cat.read("t")) == want
+    cat.compact("t", target_files=1)
+    assert _rows(cat.read("t")) == want
+    man = cat.history("t")[-1]
+    assert list(man["dir_specs"].values()) == [["b"]]
+
+
+def test_spec_evolution_composes_with_deletes_and_read_where(
+    spark, tmp_path
+):
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    cat.overwrite(spark.range(0, 40).selectExpr("id", "pmod(id, 2) AS p"), "t")
+    cat.append(
+        spark.range(40, 80).selectExpr("id", "pmod(id, 2) AS p"),
+        "t",
+        partition_by=["p"],
+        evolve_spec=True,
+    )
+    cat.delete_where("t", "id IN (5, 45)", ["id"])
+    got = _rows(cat.read_where("t", "id", lo=0, hi=79))
+    assert got == {(i, i % 2) for i in range(80) if i not in (5, 45)}
