@@ -892,6 +892,47 @@ class SnapshotCatalog:
             "files_after": n,
         }
 
+    def remove_orphan_files(
+        self, name: str, older_than_s: float = 3 * 24 * 3600,
+        dry_run: bool = False,
+    ) -> dict:
+        """Iceberg ``remove_orphan_files``: delete data/tombstone dirs
+        on disk that NO retained manifest references — the litter of
+        writer jobs that died between materializing their dir and
+        committing the manifest (the commit protocol makes such dirs
+        unreachable by construction, so they leak until this runs).
+        ``older_than_s`` guards in-flight writers: a dir younger than
+        the cutoff may belong to a commit that hasn't landed yet, so it
+        is skipped (Iceberg's ``older_than`` has the same purpose)."""
+        hist = self.history(name)
+        if not hist:
+            raise ValueError(f"unknown table '{name}'")
+        live = {d for m in hist for d in m["data_dirs"]}
+        live_del = {
+            e["dir"] for m in hist for e in m.get("delete_files") or []
+        }
+        now = time.time()
+        removed, skipped_young = [], 0
+        for root, refd in (
+            (self._data_dir(name), live),
+            (self._delete_dir(name), live_del),
+        ):
+            for d in sorted(os.listdir(root)) if os.path.isdir(root) else []:
+                p = os.path.join(root, d)
+                if d in refd:
+                    continue
+                if now - os.path.getmtime(p) < older_than_s:
+                    skipped_young += 1
+                    continue
+                if not dry_run:
+                    shutil.rmtree(p)
+                removed.append(d)
+        return {
+            "orphans_removed": removed,
+            "skipped_young": skipped_young,
+            "dry_run": dry_run,
+        }
+
     def expire_snapshots(self, name: str, keep_last: int = 1) -> dict:
         """Garbage-collect: drop all but the newest ``keep_last``
         manifests and delete data dirs no retained snapshot references

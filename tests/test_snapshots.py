@@ -733,3 +733,33 @@ def test_spec_evolution_composes_with_deletes_and_read_where(
     cat.delete_where("t", "id IN (5, 45)", ["id"])
     got = _rows(cat.read_where("t", "id", lo=0, hi=79))
     assert got == {(i, i % 2) for i in range(80) if i not in (5, 45)}
+
+
+def test_remove_orphan_files(spark, tmp_path):
+    """Dirs written but never committed (died mid-commit) are orphans:
+    dry_run lists them, a real run deletes them, young dirs and every
+    manifest-referenced dir survive; table content is untouched."""
+    import os
+
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    cat.overwrite(spark.range(0, 10).selectExpr("id"), "t")
+    cat.delete_where("t", "id = 0", ["id"])
+    # fake a writer that died after materializing, before committing
+    spark.range(5).write.parquet(
+        os.path.join(str(tmp_path), "t", "data", "deadbeef0000")
+    )
+    old = os.path.join(str(tmp_path), "t", "data", "deadbeef0000")
+    os.utime(old, (1, 1))  # make it old enough to reclaim
+    spark.range(5).write.parquet(
+        os.path.join(str(tmp_path), "t", "data", "deadbeef1111")
+    )  # young: still in flight, must be skipped
+    info = cat.remove_orphan_files("t", dry_run=True)
+    assert info["orphans_removed"] == ["deadbeef0000"]
+    assert os.path.isdir(old)  # dry run deleted nothing
+    info = cat.remove_orphan_files("t")
+    assert info["orphans_removed"] == ["deadbeef0000"]
+    assert info["skipped_young"] == 1
+    assert not os.path.isdir(old)
+    assert _rows(cat.read("t")) == {(i,) for i in range(1, 10)}
+    with pytest.raises(ValueError, match="unknown table"):
+        cat.remove_orphan_files("nope")
