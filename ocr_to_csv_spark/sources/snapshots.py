@@ -632,6 +632,94 @@ class SnapshotCatalog:
             },
         )
 
+    def read_changes(
+        self, name: str, from_snapshot: int, to_snapshot: int | None = None
+    ) -> DataFrame:
+        """Changelog read (Iceberg ``create_changelog_view``): every
+        row-level change between two snapshots as (row, _change_type,
+        _change_ordinal) — inserts from appended data dirs AND deletes
+        from merge-on-read tombstones (which ``read_incremental``, being
+        append-only, must refuse). Delete rows carry the equality-key
+        columns with everything else null. Applying the changes to the
+        old snapshot in _change_ordinal order reproduces the new one
+        exactly (test-asserted) — the downstream-MERGE contract that
+        lets an index/dedup/metrics job consume takedowns as CDC instead
+        of rescanning the corpus. Ranges crossing an overwrite / merge /
+        replace still raise: those rewrite data dirs and the diff is no
+        longer derivable from metadata."""
+        from pyspark.sql import functions as F
+
+        to_sid = to_snapshot or self.current_snapshot_id(name)
+        if to_sid is None:
+            raise ValueError(f"unknown table '{name}'")
+        man_from = self._load_manifest(name, from_snapshot)
+        man_to = self._load_manifest(name, to_sid)
+        base, cur = set(man_from["data_dirs"]), set(man_to["data_dirs"])
+        if not base <= cur:
+            raise ValueError(
+                f"snapshots {from_snapshot}..{to_sid} of '{name}' cross "
+                "an overwrite/merge/replace; the row-level diff is not "
+                "derivable from metadata"
+            )
+        dels_from = man_from.get("delete_files") or []
+        dels_to = man_to.get("delete_files") or []
+        if dels_to[: len(dels_from)] != dels_from:
+            raise ValueError(
+                f"snapshots {from_snapshot}..{to_sid} of '{name}' cross "
+                "a compaction that folded delete files in; the diff is "
+                "not derivable from metadata"
+            )
+        seqs = man_to.get("dir_seqs") or {}
+        parts = []
+        for d in sorted(cur - base):
+            sub = self._scan(name, {**man_to, "data_dirs": [d]})
+            parts.append(
+                sub.select(
+                    "*",
+                    F.lit("insert").alias("_change_type"),
+                    F.lit(seqs.get(d, 0)).cast("long").alias(
+                        "_change_ordinal"
+                    ),
+                )
+            )
+        for e in dels_to[len(dels_from):]:
+            keys = self.spark.read.parquet(
+                os.path.join(self._delete_dir(name), e["dir"])
+            )
+            parts.append(
+                keys.select(
+                    "*",
+                    F.lit("delete").alias("_change_type"),
+                    F.lit(e["seq"]).cast("long").alias("_change_ordinal"),
+                )
+            )
+        if not parts:
+            base_df = self.read(name, snapshot_id=to_sid).limit(0)
+            return base_df.select(
+                "*",
+                F.lit("insert").alias("_change_type"),
+                F.lit(0).cast("long").alias("_change_ordinal"),
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return self._align_changes(out, man_to)
+
+    def _align_changes(self, df: DataFrame, man: dict) -> DataFrame:
+        """_align, but preserving the _change_type/_change_ordinal
+        metadata columns at the end."""
+        meta = ["_change_type", "_change_ordinal"]
+        if not man.get("schema_json"):
+            return df
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        target = StructType.fromJson(json.loads(man["schema_json"]))
+        for f in target.fields:
+            if f.name not in df.columns:
+                df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+        return df.select(*[f.name for f in target.fields], *meta)
+
     # ---------- writes ----------
     def overwrite(
         self, df: DataFrame, name: str, partition_by: list[str] | None = None

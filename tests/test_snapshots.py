@@ -763,3 +763,63 @@ def test_remove_orphan_files(spark, tmp_path):
     assert _rows(cat.read("t")) == {(i,) for i in range(1, 10)}
     with pytest.raises(ValueError, match="unknown table"):
         cat.remove_orphan_files("nope")
+
+
+def test_read_changes_cdc_reproduces_target_snapshot(spark, tmp_path):
+    """Changelog read: inserts + MoR delete tombstones between two
+    snapshots, ordered by _change_ordinal; applying them to the old
+    snapshot reproduces the new one exactly (including a key deleted
+    then re-appended inside the window)."""
+    from pyspark.sql import functions as F
+
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    v1 = cat.overwrite(
+        spark.range(0, 20).selectExpr("id", "id * 2 AS y"), "t"
+    )
+    cat.append(spark.range(20, 30).selectExpr("id", "id * 2 AS y"), "t")
+    cat.delete_where("t", "id < 5", ["id"])
+    cat.append(
+        spark.range(0, 3).selectExpr("id", "id * 100 AS y"), "t"
+    )  # re-add deleted keys with NEW values
+    v4 = cat.current_snapshot_id("t")
+
+    ch = cat.read_changes("t", v1)
+    assert set(ch.columns) == {"id", "y", "_change_type", "_change_ordinal"}
+    by_type = {
+        r["_change_type"]: r["n"]
+        for r in ch.groupBy("_change_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_type == {"insert": 13, "delete": 5}
+    # delete rows: key present, other columns null
+    assert {r["id"] for r in ch.where("_change_type = 'delete'").collect()} == set(range(5))
+    assert all(
+        r["y"] is None for r in ch.where("_change_type = 'delete'").collect()
+    )
+
+    # apply the changelog in ordinal order -> exactly the new snapshot
+    state = {tuple(r) for r in cat.read("t", snapshot_id=v1).collect()}
+    for ordinal in sorted(
+        r["_change_ordinal"]
+        for r in ch.select("_change_ordinal").distinct().collect()
+    ):
+        batch = ch.where(f"_change_ordinal = {ordinal}").collect()
+        for r in batch:
+            if r["_change_type"] == "delete":
+                state = {s for s in state if s[0] != r["id"]}
+            else:
+                state.add((r["id"], r["y"]))
+    assert state == _rows(cat.read("t", snapshot_id=v4))
+
+
+def test_read_changes_refuses_rewrites(spark, tmp_path):
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    v1 = cat.overwrite(spark.range(5).selectExpr("id"), "t")
+    cat.delete_where("t", "id = 0", ["id"])
+    cat.compact("t")
+    with pytest.raises(ValueError, match="not derivable"):
+        cat.read_changes("t", v1)
+    v_now = cat.current_snapshot_id("t")
+    # empty window is fine and returns an empty changelog with schema
+    ch = cat.read_changes("t", v_now)
+    assert ch.count() == 0
+    assert "_change_type" in ch.columns
