@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from ocr_to_csv_spark.functions import (
     analytics,
     curation,
+    dataops,
     curation4,
     curation5,
     dedup,
@@ -271,6 +272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(curation4.QUERIES)
     out.update(curation5.QUERIES)
     out.update(analytics.QUERIES)
+    out.update(dataops.QUERIES)
     out.update(
         {
             "extract_spans": q_extract_spans,
@@ -295,6 +297,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(curation4.ORACLES)
     out.update(curation5.ORACLES)
     out.update(analytics.ORACLES)
+    out.update(dataops.ORACLES)
     # flagship oracles: the deterministic golden fixtures (absolute path —
     # generated on demand so DuckDB can read them even if queries() ran in
     # another process)

@@ -1,0 +1,216 @@
+"""Data-ops operators, batch 7: constraint auditing (the Deequ /
+Delta-expectations shape) and ingest-drift detection.
+
+Scale design (100 TB):
+- ``dq_audit`` validates a rule set against a table and reports exact
+  violation counts per rule. Every row-local rule (null, range,
+  uniqueness-by-count-distinct) folds into ONE partial+final aggregate
+  — a single scan, one 1-row shuffle — and the referential rule is one
+  broadcast anti-join against the dimension's key column. This is the
+  gate a production ingest runs before committing a snapshot: rules are
+  data, the plan does not grow with the corpus, and nothing row-sized
+  reaches the driver.
+- ``source_drift`` is distribution-drift monitoring between two ingest
+  halves (yesterday-vs-today, crawlA-vs-crawlB): token frequencies per
+  half for the corpus's top tokens, with share ratios and L1 drift
+  contributions. One (half, token) aggregate (partial map-side,
+  cardinality ≤ 2×|vocab|), the top-token table broadcasts back, all
+  ratios are fixed-parenthesization IEEE divisions of exact int64
+  counts — bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .util import DUCK_HEX32, DUCK_TOKENS, hex32, table, tokens
+
+VALUE_LO, VALUE_HI = 0.0, 250.0  # expected value band for the range rule
+DRIFT_TOP = 20  # top-N corpus tokens monitored for drift
+
+
+def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint audit over events: exact violation counts for four
+    rules — null key, value out of expected band, duplicate event_id,
+    and user_id orphaned from the customer dimension. Row-local rules
+    share ONE aggregate pass; the referential rule is one broadcast
+    anti-join."""
+    e = table(spark, sf_dir, "events")
+    c = table(spark, sf_dir, "customer")
+    local = e.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("user_id").isNull().cast("long")).alias("v_null"),
+        F.sum(
+            (
+                (F.col("value") < VALUE_LO) | (F.col("value") > VALUE_HI)
+            ).cast("long")
+        ).alias("v_range"),
+        (F.count("*") - F.count_distinct("event_id")).alias("v_dup"),
+    )
+    orphans = (
+        e.join(
+            F.broadcast(c.select(F.col("c_custkey").alias("user_id"))),
+            "user_id",
+            "left_anti",
+        ).agg(F.count("*").alias("v_orphan"))
+    )
+    one = local.crossJoin(orphans)
+    rules = F.array(
+        F.struct(
+            F.lit("null_user_id").alias("rule"),
+            F.col("v_null").alias("n_violations"),
+        ),
+        F.struct(
+            F.lit("value_out_of_range").alias("rule"),
+            F.col("v_range").alias("n_violations"),
+        ),
+        F.struct(
+            F.lit("duplicate_event_id").alias("rule"),
+            F.col("v_dup").alias("n_violations"),
+        ),
+        F.struct(
+            F.lit("orphan_user_id").alias("rule"),
+            F.col("v_orphan").alias("n_violations"),
+        ),
+    )
+    out = one.select(F.col("n"), F.explode(rules).alias("r"))
+    return out.select(
+        F.col("r.rule").alias("rule"),
+        F.col("r.n_violations").alias("n_violations"),
+        F.col("n").alias("n_checked"),
+        (
+            F.col("r.n_violations").cast("double")
+            / F.col("n").cast("double")
+        ).alias("violation_rate"),
+    )
+
+
+def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-drift report: split the corpus into two halves by source
+    hash (the yesterday-vs-today shape), count each of the corpus's top
+    tokens in both halves, and report per-token shares, the A/B share
+    ratio and the |share_a - share_b| L1 drift contribution."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        (hex32(F.col("source")) % 2).alias("half"),
+        F.explode(tokens(F.col("text"))).alias("tok"),
+    )
+    counts = tok.groupBy("half", "tok").agg(F.count("*").alias("c"))
+    top = (
+        tok.groupBy("tok")
+        .agg(F.count("*").alias("ct"))
+        .orderBy(F.desc("ct"), F.asc("tok"))
+        .limit(DRIFT_TOP)
+        .select("tok")
+    )
+    cells = counts.join(F.broadcast(top), "tok")
+    a = cells.where("half = 0").select("tok", F.col("c").alias("n_a"))
+    b = cells.where("half = 1").select("tok", F.col("c").alias("n_b"))
+    wide = (
+        a.join(b, "tok", "full")
+        .select(
+            "tok",
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        )
+    )
+    tot = wide.agg(
+        F.sum("n_a").alias("t_a"), F.sum("n_b").alias("t_b")
+    )
+    out = wide.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        "n_a",
+        "n_b",
+        (F.col("n_a").cast("double") / F.col("t_a").cast("double")).alias(
+            "share_a"
+        ),
+        (F.col("n_b").cast("double") / F.col("t_b").cast("double")).alias(
+            "share_b"
+        ),
+    )
+    return out.select(
+        "tok",
+        "n_a",
+        "n_b",
+        "share_a",
+        "share_b",
+        F.abs(F.col("share_a") - F.col("share_b")).alias("l1_drift"),
+    )
+
+
+QUERIES = {
+    "dq_audit": q_dq_audit,
+    "source_drift": q_source_drift,
+}
+
+_TOKS = DUCK_TOKENS.format(x="text")
+_H = DUCK_HEX32.format(x="source")
+
+ORACLES = {}
+
+ORACLES["dq_audit"] = f"""
+    WITH local AS (
+        SELECT count(*)::BIGINT AS n,
+               count(*) FILTER (user_id IS NULL)::BIGINT AS v_null,
+               count(*) FILTER (
+                   value < {VALUE_LO} OR value > {VALUE_HI}
+               )::BIGINT AS v_range,
+               (count(*) - count(DISTINCT event_id))::BIGINT AS v_dup
+        FROM events
+    ),
+    orph AS (
+        SELECT count(*)::BIGINT AS v_orphan
+        FROM events e
+        WHERE NOT EXISTS (
+            SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id
+        )
+    ),
+    rules AS (
+        SELECT 'null_user_id' AS rule, v_null AS n_violations, n
+        FROM local
+        UNION ALL
+        SELECT 'value_out_of_range', v_range, n FROM local
+        UNION ALL
+        SELECT 'duplicate_event_id', v_dup, n FROM local
+        UNION ALL
+        SELECT 'orphan_user_id', v_orphan, n FROM local, orph
+    )
+    SELECT rule, n_violations, n AS n_checked,
+           (CAST(n_violations AS DOUBLE) / CAST(n AS DOUBLE))
+               AS violation_rate
+    FROM rules
+"""
+
+ORACLES["source_drift"] = f"""
+    WITH tok AS (
+        SELECT ({_H} % 2) AS half, unnest({_TOKS}) AS tok
+        FROM documents
+    ),
+    counts AS (
+        SELECT half, tok, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2
+    ),
+    top AS (
+        SELECT tok FROM tok GROUP BY tok
+        ORDER BY count(*) DESC, tok ASC LIMIT {DRIFT_TOP}
+    ),
+    wide AS (
+        SELECT t.tok,
+               coalesce(a.c, 0)::BIGINT AS n_a,
+               coalesce(b.c, 0)::BIGINT AS n_b
+        FROM top t
+        LEFT JOIN (SELECT tok, c FROM counts WHERE half = 0) a
+               ON t.tok = a.tok
+        LEFT JOIN (SELECT tok, c FROM counts WHERE half = 1) b
+               ON t.tok = b.tok
+    ),
+    tot AS (
+        SELECT sum(n_a)::BIGINT AS t_a, sum(n_b)::BIGINT AS t_b FROM wide
+    )
+    SELECT tok, n_a, n_b,
+           (CAST(n_a AS DOUBLE) / CAST(t_a AS DOUBLE)) AS share_a,
+           (CAST(n_b AS DOUBLE) / CAST(t_b AS DOUBLE)) AS share_b,
+           abs((CAST(n_a AS DOUBLE) / CAST(t_a AS DOUBLE))
+               - (CAST(n_b AS DOUBLE) / CAST(t_b AS DOUBLE))) AS l1_drift
+    FROM wide, tot
+"""
