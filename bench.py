@@ -48,8 +48,10 @@ def _corpus(n_docs: int, seed: int = 42) -> str:
 def main() -> None:
     from ocr_to_csv_spark.extraction import pipeline
     from ocr_to_csv_spark.functions import (
+        analytics,
         curation,
         curation5,
+        dataops,
         dedup,
         relational,
         similarity,
@@ -113,6 +115,8 @@ def main() -> None:
         "lsh_incremental": dedup.q_lsh_incremental,
         "line_dedup": curation5.q_line_dedup,
         "pack_sequences": curation5.q_pack_sequences,
+        "corr_matrix": analytics.q_corr_matrix,
+        "dq_audit": dataops.q_dq_audit,
     }
     for name, fn in headline.items():
         best = float("inf")
