@@ -159,24 +159,169 @@ class SnapshotCatalog:
         del refs[tag]
         self._write_refs(name, refs)
 
+    # ---------- branches (Iceberg branch refs / WAP) ----------
+    def _branches_path(self, name: str) -> str:
+        return os.path.join(self._meta_dir(name), "branches.json")
+
+    def branches(self, name: str) -> dict:
+        """Named MUTABLE refs: {branch_name: head snapshot_id}. Unlike
+        tags, a branch head advances when you commit to it — the
+        Iceberg branch ref type, and the substrate for write-audit-
+        publish (WAP): stage commits on a branch, audit them, then
+        ``fast_forward`` main onto the branch head to publish."""
+        try:
+            with open(self._branches_path(name)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+
+    def _write_branches(self, name: str, branches: dict) -> None:
+        tmp = self._branches_path(name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(branches, f, indent=1, sort_keys=True)
+        os.rename(tmp, self._branches_path(name))
+
+    def create_branch(
+        self, name: str, branch: str, snapshot_id: int | None = None
+    ) -> int:
+        """Branch off a snapshot (default: current main head). The
+        branch head is pinned through ``expire_snapshots`` like a tag,
+        but commits with ``branch=`` advance it without touching what
+        main readers see."""
+        if branch == "main":
+            raise ValueError("'main' is the table itself; pick another name")
+        sid = snapshot_id or self.current_snapshot_id(name)
+        if sid is None:
+            raise ValueError(f"unknown table '{name}'")
+        self._load_manifest(name, sid)  # must exist (not expired)
+        if branch in self.refs(name):
+            raise ValueError(
+                f"'{branch}' already names a tag on '{name}' (refs share "
+                "one namespace); drop_tag first"
+            )
+        branches = self.branches(name)
+        if branch in branches:
+            raise ValueError(
+                f"branch '{branch}' already exists on '{name}' "
+                f"(at snapshot {branches[branch]}); drop_branch first"
+            )
+        branches[branch] = sid
+        self._write_branches(name, branches)
+        return sid
+
+    def drop_branch(self, name: str, branch: str) -> None:
+        branches = self.branches(name)
+        if branch not in branches:
+            raise ValueError(f"no branch '{branch}' on '{name}'")
+        del branches[branch]
+        self._write_branches(name, branches)
+
+    def _ref_head(self, name: str, branch: str | None) -> int | None:
+        """Head snapshot id of a branch, or of main (the hint) when
+        ``branch`` is None."""
+        if branch is None:
+            return self.current_snapshot_id(name)
+        branches = self.branches(name)
+        if branch not in branches:
+            raise ValueError(f"no branch '{branch}' on '{name}'")
+        return branches[branch]
+
+    def _next_sid(self, name: str) -> int:
+        """Next globally-unique snapshot id: 1 + max over ALL retained
+        manifests (not just the main head — a branch may have advanced
+        past it). O(snapshots) driver-side listdir."""
+        md = self._meta_dir(name)
+        if not os.path.isdir(md):
+            return 1
+        sids = [
+            int(f[1:-5])
+            for f in os.listdir(md)
+            if f.startswith("v") and f.endswith(".json")
+        ]
+        return (max(sids) if sids else 0) + 1
+
+    def _is_ancestor(self, name: str, ancestor: int, descendant: int) -> bool:
+        """Walk the parent_id chain from ``descendant`` down. A missing
+        (expired) manifest breaks the chain → not provably an ancestor."""
+        sid = descendant
+        while sid is not None:
+            if sid == ancestor:
+                return True
+            try:
+                sid = self._load_manifest(name, sid).get("parent_id")
+            except ValueError:
+                return False
+        return False
+
+    def fast_forward(self, name: str, branch: str) -> int:
+        """Publish a branch: repoint main to the branch head (Iceberg
+        ``fast_forward('main', branch)`` — the WAP publish step). Only
+        legal when main's current snapshot is an ancestor of the branch
+        head; a diverged main (someone committed to it after the branch
+        forked) raises instead of silently dropping those commits."""
+        head = self._ref_head(name, branch)
+        cur = self.current_snapshot_id(name)
+        if cur is None:
+            raise ValueError(f"unknown table '{name}'")
+        if cur == head:
+            return head
+        if not self._is_ancestor(name, cur, head):
+            raise ValueError(
+                f"cannot fast-forward '{name}' to branch '{branch}' "
+                f"(head v{head}): main (v{cur}) is not an ancestor — "
+                "main diverged after the branch forked; rebase the "
+                "branch (re-stage its commits) or rollback main first"
+            )
+        htmp = self._hint_path(name) + ".tmp"
+        with open(htmp, "w") as f:
+            f.write(str(head))
+        os.rename(htmp, self._hint_path(name))
+        return head
+
     def _commit(self, name: str, operation: str, data_dirs: list[str],
                 added_files: int, summary: dict | None = None,
                 partition_by: list[str] | None = None,
                 schema_json: str | None = None,
-                extra: dict | None = None) -> int:
-        """Write manifest v<N+1> then atomically repoint the hint. The
-        table schema travels in the manifest (as Iceberg's does) so an
-        empty snapshot — e.g. an empty partitioned commit, which writes
-        NO parquet files — still reads back with the right columns."""
+                extra: dict | None = None,
+                branch: str | None = None) -> int:
+        """Write manifest v<N+1> then atomically repoint the ref — the
+        main hint, or the branch pointer when committing to a branch
+        (main readers never see branch commits until ``fast_forward``).
+        Snapshot ids are unique across refs (``_next_sid`` scans all
+        manifests), so a branch advancing past main can't collide with
+        main's next commit. The table schema travels in the manifest
+        (as Iceberg's does) so an empty snapshot — e.g. an empty
+        partitioned commit, which writes NO parquet files — still reads
+        back with the right columns."""
         os.makedirs(self._meta_dir(name), exist_ok=True)
-        parent = self.current_snapshot_id(name)
-        sid = (parent or 0) + 1
+        parent = self._ref_head(name, branch)
+        sid = self._next_sid(name)
+        # CAS: a racing writer on the SAME ref committed a sibling
+        # manifest (same parent) that our ref pointer hasn't absorbed
+        # yet — publishing ours would silently drop theirs. Manifests
+        # on OTHER refs sharing the parent are fine (that's a fork).
+        ref = branch or "main"
+        for other in range((parent or 0) + 1, sid):
+            try:
+                om = self._load_manifest(name, other)
+            except ValueError:
+                continue  # expired
+            if (
+                om.get("ref", "main") == ref
+                and om.get("parent_id") == parent
+            ):
+                raise RuntimeError(
+                    f"concurrent commit detected on '{name}' ref "
+                    f"'{ref}': snapshot v{other} has the same parent "
+                    f"(v{parent}); retry from the new head"
+                )
         if schema_json is None and parent:
             schema_json = self._load_manifest(name, parent).get("schema_json")
         manifest = {
             "snapshot_id": sid,
             "parent_id": parent,
             "operation": operation,
+            "ref": branch or "main",
             "timestamp": time.time(),
             "data_dirs": sorted(data_dirs),
             "partition_by": partition_by or [],
@@ -193,6 +338,11 @@ class SnapshotCatalog:
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1, sort_keys=True)
         os.rename(tmp, mp)
+        if branch is not None:
+            branches = self.branches(name)
+            branches[branch] = sid
+            self._write_branches(name, branches)
+            return sid
         htmp = self._hint_path(name) + ".tmp"
         with open(htmp, "w") as f:
             f.write(str(sid))
@@ -388,7 +538,7 @@ class SnapshotCatalog:
 
     def _parent_partition_by(
         self, name: str, partition_by: list[str] | None,
-        evolve: bool = False,
+        evolve: bool = False, branch: str | None = None,
     ) -> list[str]:
         """Resolve the commit's partition spec: inherit the parent
         snapshot's when not given. A CHANGED spec requires an explicit
@@ -396,7 +546,7 @@ class SnapshotCatalog:
         old dirs keep the spec they were written with (recorded in the
         manifest's ``dir_specs``), new writes use the new one — a silent
         change is refused because it is usually a bug."""
-        parent = self.current_snapshot_id(name)
+        parent = self._ref_head(name, branch)
         inherited = (
             self._load_manifest(name, parent).get("partition_by", [])
             if parent
@@ -413,7 +563,9 @@ class SnapshotCatalog:
             )
         return list(partition_by)
 
-    def _evolved_schema_json(self, name: str, df: DataFrame) -> str:
+    def _evolved_schema_json(
+        self, name: str, df: DataFrame, branch: str | None = None
+    ) -> str:
         """ADD-ONLY schema evolution (Iceberg add-column): the new
         snapshot's schema is the parent schema plus any new columns in
         ``df`` (appends may also OMIT existing columns — readers
@@ -422,7 +574,7 @@ class SnapshotCatalog:
         name-keyed parquet cannot fake safely."""
         from pyspark.sql.types import StructType
 
-        parent = self.current_snapshot_id(name)
+        parent = self._ref_head(name, branch)
         pj = (
             self._load_manifest(name, parent).get("schema_json")
             if parent
@@ -555,19 +707,23 @@ class SnapshotCatalog:
         name: str,
         snapshot_id: int | None = None,
         tag: str | None = None,
+        branch: str | None = None,
     ) -> DataFrame:
         """Read the current snapshot, time-travel to ``snapshot_id``
-        (Iceberg ``VERSION AS OF``), or to a named ``tag``. The returned
-        DataFrame stays valid across later commits: it plans against
-        immutable files. Equality-delete files (merge-on-read DELETEs)
-        are applied here, per data dir's sequence number."""
+        (Iceberg ``VERSION AS OF``), to a named ``tag``, or to a
+        ``branch`` head (the WAP audit read). The returned DataFrame
+        stays valid across later commits: it plans against immutable
+        files. Equality-delete files (merge-on-read DELETEs) are
+        applied here, per data dir's sequence number."""
+        if sum(x is not None for x in (snapshot_id, tag, branch)) > 1:
+            raise ValueError("pass at most one of snapshot_id / tag / branch")
         if tag is not None:
-            if snapshot_id is not None:
-                raise ValueError("pass snapshot_id or tag, not both")
             refs = self.refs(name)
             if tag not in refs:
                 raise ValueError(f"no tag '{tag}' on '{name}'")
             snapshot_id = refs[tag]
+        if branch is not None:
+            snapshot_id = self._ref_head(name, branch)
         sid = snapshot_id or self.current_snapshot_id(name)
         if sid is None:
             raise ValueError(f"unknown table '{name}'")
@@ -722,20 +878,23 @@ class SnapshotCatalog:
 
     # ---------- writes ----------
     def overwrite(
-        self, df: DataFrame, name: str, partition_by: list[str] | None = None
+        self, df: DataFrame, name: str,
+        partition_by: list[str] | None = None,
+        branch: str | None = None,
     ) -> int:
         """Overwrite as a new snapshot; an explicit ``partition_by``
         (re)defines the table's hive-style partition layout (the Iceberg
         identity partition transform — new spec allowed here because
-        overwrite replaces every data dir)."""
+        overwrite replaces every data dir). ``branch=`` stages the
+        overwrite on that branch (WAP) instead of main."""
         pb = list(partition_by) if partition_by is not None else (
-            self._parent_partition_by(name, None)
+            self._parent_partition_by(name, None, branch=branch)
         )
         rel, n = self._write_new_dir(df, name, pb)
-        sid = (self.current_snapshot_id(name) or 0) + 1
+        sid = self._next_sid(name)
         return self._commit(
             name, "overwrite", [rel], n, partition_by=pb,
-            schema_json=df.schema.json(),
+            schema_json=df.schema.json(), branch=branch,
             extra={
                 "dir_seqs": {rel: sid},
                 "delete_files": [],
@@ -751,6 +910,7 @@ class SnapshotCatalog:
         summary: dict | None = None,
         partition_by: list[str] | None = None,
         evolve_spec: bool = False,
+        branch: str | None = None,
     ) -> int:
         """Append as a new snapshot. ``summary`` lands in the manifest's
         summary block — the hook streaming sinks use to record their
@@ -760,14 +920,17 @@ class SnapshotCatalog:
         ``evolve_spec=True`` (Iceberg partition-spec evolution: old dirs
         keep their layout, the new spec applies to this and future
         writes; reads scan each dir under the spec it was written
-        with)."""
-        pb = self._parent_partition_by(name, partition_by, evolve_spec)
+        with). With ``branch=`` the commit's parent is the branch head
+        and only the branch pointer advances — the WAP staging write
+        (Iceberg ``spark.wap.branch``); main readers are unaffected
+        until ``fast_forward``."""
+        pb = self._parent_partition_by(name, partition_by, evolve_spec, branch)
         rel, n = self._write_new_dir(df, name, pb)
-        parent = self.current_snapshot_id(name)
+        parent = self._ref_head(name, branch)
         pman = self._load_manifest(name, parent) if parent else {}
         dirs = pman.get("data_dirs", [])
         seqs = dict(pman.get("dir_seqs") or {})
-        seqs[rel] = (parent or 0) + 1
+        seqs[rel] = self._next_sid(name)
         dspecs = dict(pman.get("dir_specs") or {})
         if pman and "dir_specs" not in pman:
             # legacy manifests: every parent dir used the parent spec
@@ -776,7 +939,8 @@ class SnapshotCatalog:
         dspecs[rel] = pb
         return self._commit(
             name, "append", dirs + [rel], n, summary, partition_by=pb,
-            schema_json=self._evolved_schema_json(name, df),
+            schema_json=self._evolved_schema_json(name, df, branch),
+            branch=branch,
             extra={
                 "dir_seqs": seqs,
                 "delete_files": pman.get("delete_files") or [],
@@ -1024,20 +1188,25 @@ class SnapshotCatalog:
     def expire_snapshots(self, name: str, keep_last: int = 1) -> dict:
         """Garbage-collect: drop all but the newest ``keep_last``
         manifests and delete data dirs no retained snapshot references
-        (Iceberg ``expire_snapshots``). Tagged snapshots are pinned —
-        their manifests and data survive regardless of ``keep_last``.
-        Time travel to an expired snapshot then raises a clear error."""
+        (Iceberg ``expire_snapshots``). Tagged snapshots, branch heads
+        and the main head are pinned — their manifests and data survive
+        regardless of ``keep_last``. Time travel to an expired snapshot
+        then raises a clear error."""
         hist = self.history(name)
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
-        tagged = set(self.refs(name).values())
+        pinned = set(self.refs(name).values())
+        pinned |= set(self.branches(name).values())
+        cur = self.current_snapshot_id(name)
+        if cur is not None:
+            pinned.add(cur)
         keep = hist[-keep_last:] + [
-            m for m in hist[:-keep_last] if m["snapshot_id"] in tagged
+            m for m in hist[:-keep_last] if m["snapshot_id"] in pinned
         ]
         drop = [
             m
             for m in hist[:-keep_last]
-            if m["snapshot_id"] not in tagged
+            if m["snapshot_id"] not in pinned
         ]
         live = {d for m in keep for d in m["data_dirs"]}
         removed_dirs = 0
@@ -1061,3 +1230,114 @@ class SnapshotCatalog:
             "removed_data_dirs": removed_dirs,
             "retained_snapshots": len(keep),
         }
+
+    # ---------- metadata tables (Iceberg SELECT * FROM t.snapshots) ----------
+    def inspect(self, name: str, kind: str) -> DataFrame:
+        """Queryable metadata tables — Iceberg's ``t.snapshots`` /
+        ``t.files`` / ``t.refs`` / ``t.partitions``. Built driver-side
+        from the manifests (metadata is O(snapshots) tiny JSON by
+        design; no data file is opened) and returned as a DataFrame so
+        table-health dashboards join/filter them like any other table:
+        small-file counts per partition feed ``compact`` decisions,
+        snapshot cadence feeds ``expire_snapshots`` policy."""
+        from pyspark.sql.types import (
+            ArrayType, DoubleType, IntegerType, LongType, StringType,
+            StructField, StructType,
+        )
+
+        if not self.history(name):
+            raise ValueError(f"unknown table '{name}'")
+        if kind == "snapshots":
+            rows = [
+                (
+                    m["snapshot_id"], m.get("parent_id"),
+                    m.get("ref", "main"), m["operation"],
+                    float(m["timestamp"]), len(m["data_dirs"]),
+                    int(m["summary"].get("added_data_files", 0)),
+                    len(m.get("delete_files") or []),
+                )
+                for m in self.history(name)
+            ]
+            schema = StructType([
+                StructField("snapshot_id", LongType(), False),
+                StructField("parent_id", LongType(), True),
+                StructField("ref", StringType(), False),
+                StructField("operation", StringType(), False),
+                StructField("committed_at", DoubleType(), False),
+                StructField("n_data_dirs", IntegerType(), False),
+                StructField("added_data_files", IntegerType(), False),
+                StructField("n_delete_files", IntegerType(), False),
+            ])
+        elif kind == "files":
+            man = self._load_manifest(
+                name, self.current_snapshot_id(name)
+            )
+            seqs = man.get("dir_seqs") or {}
+            specs = man.get("dir_specs") or {}
+            stats = man.get("file_stats") or {}
+            rows = []
+            for d in man["data_dirs"]:
+                full = os.path.join(self._data_dir(name), d)
+                fstats = stats.get(d) or {}
+                files = sorted(
+                    os.path.relpath(os.path.join(r, f), full)
+                    for r, _, fs in os.walk(full)
+                    for f in fs
+                    if f.endswith(".parquet")
+                )
+                for fp in files:
+                    rows.append((
+                        d, fp, int(seqs.get(d, 0)),
+                        list(specs.get(d, man.get("partition_by", []))),
+                        json.dumps(fstats.get(fp), sort_keys=True)
+                        if fstats.get(fp) else None,
+                    ))
+            schema = StructType([
+                StructField("data_dir", StringType(), False),
+                StructField("file_path", StringType(), False),
+                StructField("sequence_number", LongType(), False),
+                StructField("spec", ArrayType(StringType()), False),
+                StructField("bounds_json", StringType(), True),
+            ])
+        elif kind == "refs":
+            cur = self.current_snapshot_id(name)
+            rows = [("main", "branch", cur)]
+            rows += [
+                (t, "tag", sid) for t, sid in sorted(self.refs(name).items())
+            ]
+            rows += [
+                (b, "branch", sid)
+                for b, sid in sorted(self.branches(name).items())
+            ]
+            schema = StructType([
+                StructField("ref_name", StringType(), False),
+                StructField("ref_type", StringType(), False),
+                StructField("snapshot_id", LongType(), False),
+            ])
+        elif kind == "partitions":
+            man = self._load_manifest(name, self.current_snapshot_id(name))
+            specs = man.get("dir_specs") or {}
+            rows = []
+            for d in man["data_dirs"]:
+                full = os.path.join(self._data_dir(name), d)
+                spec = specs.get(d, man.get("partition_by", []))
+                for r, _, fs in os.walk(full):
+                    n = sum(1 for f in fs if f.endswith(".parquet"))
+                    if not n:
+                        continue
+                    part = os.path.relpath(r, full)
+                    rows.append((
+                        None if part == "." else part, d, len(spec), n,
+                    ))
+            schema = StructType([
+                StructField("partition", StringType(), True),
+                StructField("data_dir", StringType(), False),
+                StructField("spec_len", IntegerType(), False),
+                StructField("n_files", IntegerType(), False),
+            ])
+        else:
+            raise ValueError(
+                f"unknown metadata table '{kind}'; one of: "
+                "snapshots, files, refs, partitions"
+            )
+        return self.spark.createDataFrame(rows, schema)

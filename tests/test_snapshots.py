@@ -653,7 +653,7 @@ def test_tag_errors(spark, tmp_path):
         cat.create_tag("t", "x")
     with pytest.raises(ValueError, match="no tag"):
         cat.read("t", tag="y")
-    with pytest.raises(ValueError, match="not both"):
+    with pytest.raises(ValueError, match="at most one"):
         cat.read("t", snapshot_id=1, tag="x")
     with pytest.raises(ValueError, match="no snapshot"):
         cat.create_tag("t", "z", snapshot_id=99)
@@ -823,3 +823,144 @@ def test_read_changes_refuses_rewrites(spark, tmp_path):
     ch = cat.read_changes("t", v_now)
     assert ch.count() == 0
     assert "_change_type" in ch.columns
+
+
+# ---------- branches + write-audit-publish ----------
+
+
+def test_wap_branch_stage_audit_publish(spark, tmp_path):
+    """The WAP loop: stage an append on a branch (main unaffected),
+    audit the branch read, fast_forward to publish — main then shows
+    the staged rows and the lineage is one linear chain."""
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    v1 = cat.overwrite(
+        spark.createDataFrame([(1, "a")], "id int, v string"), "t"
+    )
+    cat.create_branch("t", "audit")
+    v2 = cat.append(
+        spark.createDataFrame([(2, "b")], "id int, v string"),
+        "t", branch="audit",
+    )
+    # staged commit is invisible on main, visible on the branch
+    assert _rows(cat.read("t")) == {(1, "a")}
+    assert _rows(cat.read("t", branch="audit")) == {(1, "a"), (2, "b")}
+    assert cat.current_snapshot_id("t") == v1
+    assert cat.branches("t") == {"audit": v2}
+    # audit passes -> publish
+    assert cat.fast_forward("t", "audit") == v2
+    assert cat.current_snapshot_id("t") == v2
+    assert _rows(cat.read("t")) == {(1, "a"), (2, "b")}
+    # published snapshot's parent is old main: linear history
+    assert cat._load_manifest("t", v2)["parent_id"] == v1
+    assert cat._load_manifest("t", v2)["ref"] == "audit"
+    # idempotent publish
+    assert cat.fast_forward("t", "audit") == v2
+
+
+def test_wap_branch_stacks_commits_and_snapshot_ids_stay_unique(
+    spark, tmp_path
+):
+    """Several staged commits advance only the branch; a later main
+    commit takes a FRESH snapshot id (no collision with branch ids)."""
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    cat.overwrite(spark.range(3).selectExpr("id"), "t")  # v1
+    cat.create_branch("t", "wap")
+    cat.append(spark.range(3, 6).selectExpr("id"), "t", branch="wap")  # v2
+    b2 = cat.append(
+        spark.range(6, 9).selectExpr("id"), "t", branch="wap"
+    )  # v3
+    assert b2 == 3
+    assert _rows(cat.read("t", branch="wap")) == {(i,) for i in range(9)}
+    assert cat.read("t").count() == 3
+    # main commits after the branch advanced: unique id, diverged lineage
+    m = cat.append(spark.range(100, 101).selectExpr("id"), "t")
+    assert m == 4
+    assert cat._load_manifest("t", m)["parent_id"] == 1
+    # diverged -> publish refuses instead of dropping main's commit
+    with pytest.raises(ValueError, match="diverged"):
+        cat.fast_forward("t", "wap")
+
+
+def test_branch_overwrite_and_expire_pins_branch_head(spark, tmp_path):
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    cat.overwrite(spark.range(5).selectExpr("id"), "t")  # v1
+    cat.create_branch("t", "exp")
+    cat.overwrite(
+        spark.range(50, 53).selectExpr("id"), "t", branch="exp"
+    )  # v2 on branch
+    cat.overwrite(spark.range(10, 12).selectExpr("id"), "t")  # v3 main
+    info = cat.expire_snapshots("t", keep_last=1)
+    # v1 expired; v2 pinned by branch head, v3 pinned as main head
+    assert info["expired_snapshots"] == 1
+    assert _rows(cat.read("t", branch="exp")) == {(i,) for i in range(50, 53)}
+    assert _rows(cat.read("t")) == {(10,), (11,)}
+    cat.drop_branch("t", "exp")
+    cat.expire_snapshots("t", keep_last=1)
+    with pytest.raises(ValueError, match="no snapshot"):
+        cat.read("t", snapshot_id=2)
+
+
+def test_branch_errors(spark, tmp_path):
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    cat.overwrite(spark.range(3).selectExpr("id"), "t")
+    cat.create_branch("t", "b")
+    with pytest.raises(ValueError, match="already exists"):
+        cat.create_branch("t", "b")
+    with pytest.raises(ValueError, match="'main' is the table"):
+        cat.create_branch("t", "main")
+    cat.create_tag("t", "r1")
+    with pytest.raises(ValueError, match="names a tag"):
+        cat.create_branch("t", "r1")
+    with pytest.raises(ValueError, match="no branch"):
+        cat.read("t", branch="nope")
+    with pytest.raises(ValueError, match="no branch"):
+        cat.drop_branch("t", "nope")
+    with pytest.raises(ValueError, match="at most one"):
+        cat.read("t", tag="r1", branch="b")
+
+
+# ---------- metadata tables ----------
+
+
+def test_inspect_metadata_tables(spark, tmp_path):
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    cat.overwrite(
+        spark.createDataFrame(
+            [(1, "en"), (2, "de"), (3, "en")], "id int, lang string"
+        ),
+        "t", partition_by=["lang"],
+    )
+    cat.append(
+        spark.createDataFrame([(4, "fr")], "id int, lang string"), "t"
+    )
+    cat.create_tag("t", "rel")
+    cat.create_branch("t", "wap")
+
+    snaps = cat.inspect("t", "snapshots")
+    assert [r["operation"] for r in snaps.orderBy("snapshot_id").collect()] \
+        == ["overwrite", "append"]
+    assert snaps.filter("ref = 'main'").count() == 2
+
+    files = cat.inspect("t", "files")
+    assert files.count() >= 2  # at least one file per commit
+    assert set(files.columns) == {
+        "data_dir", "file_path", "sequence_number", "spec", "bounds_json",
+    }
+    # every file of the partitioned table carries the spec
+    assert all(r["spec"] == ["lang"] for r in files.collect())
+
+    refs = cat.inspect("t", "refs")
+    got = {(r["ref_name"], r["ref_type"]) for r in refs.collect()}
+    assert got == {("main", "branch"), ("rel", "tag"), ("wap", "branch")}
+
+    parts = cat.inspect("t", "partitions")
+    langs = {r["partition"] for r in parts.collect()}
+    assert langs == {"lang=en", "lang=de", "lang=fr"}
+    # joinable like any table: small-file report per partition
+    rep = parts.groupBy("partition").sum("n_files")
+    assert rep.count() == 3
+
+    with pytest.raises(ValueError, match="unknown metadata table"):
+        cat.inspect("t", "wat")
+    with pytest.raises(ValueError, match="unknown table"):
+        cat.inspect("nope", "snapshots")
