@@ -139,9 +139,36 @@ def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPLIT_BUCKETS = 10  # buckets 0-7 train, 8 val, 9 test (80/10/10)
+
+
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic, leakage-safe train/val/test split assignment. The
+    split key is a 32-bit hash of the NORMALIZED CONTENT, not the row
+    id, so byte-identical duplicates can never straddle splits — the
+    standard guard against test-set contamination through duplicate
+    leakage (near-dups are handled upstream by the dedup layer). The
+    assignment is pure map-side arithmetic: no sampling state, no
+    shuffle, reproducible across runs, engines and cluster sizes — at
+    100 TB every executor assigns its own partition independently and a
+    re-crawled identical document lands in the same split forever."""
+    d = table(spark, sf_dir, "documents", spread=True)
+    b = hex32(F.lower(F.col("text"))) % SPLIT_BUCKETS
+    return d.select(
+        "doc_id",
+        "lang",
+        b.alias("bucket"),
+        F.when(b <= 7, "train")
+        .when(b == 8, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
 QUERIES = {
     "dq_audit": q_dq_audit,
     "source_drift": q_source_drift,
+    "split_assign": q_split_assign,
 }
 
 _TOKS = DUCK_TOKENS.format(x="text")
@@ -180,6 +207,19 @@ ORACLES["dq_audit"] = f"""
            (CAST(n_violations AS DOUBLE) / CAST(n AS DOUBLE))
                AS violation_rate
     FROM rules
+"""
+
+ORACLES["split_assign"] = f"""
+    SELECT doc_id, lang, bucket,
+           CASE WHEN bucket <= 7 THEN 'train'
+                WHEN bucket = 8 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT doc_id, lang,
+               ({DUCK_HEX32.format(x="lower(text)")} % {SPLIT_BUCKETS})
+                   AS bucket
+        FROM documents
+    )
 """
 
 ORACLES["source_drift"] = f"""

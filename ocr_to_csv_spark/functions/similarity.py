@@ -726,6 +726,72 @@ def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed index (the FAISS ``IndexIVFPQ`` shape): the IVF
+    coarse quantizer restricts each query to its own cluster's members,
+    and distance WITHIN the cluster is PQ asymmetric-distance (ADC) over
+    4-byte codes — so per-query cost is O(N/n_centroids) lookups of
+    integer table entries, never a float fold over 10^12 candidates.
+    Composition of the two oracle-checked halves: cluster membership
+    from q_ivf_assign, codes/LUT from the q_pq_search machinery, the
+    cluster restriction expressed as one extra equi-join key (cc = qc)
+    on the already-broadcast LUT. Codes quantize the raw vector rather
+    than the residual (FAISS encodes residuals) — the simplification
+    that keeps the whole construction integer-exact and
+    DuckDB-checkable; the plan shape is identical either way."""
+    assign = q_ivf_assign(spark, sf_dir).select("vec_id", "centroid")
+    subs = _pq_subvectors(spark, sf_dir)
+    cand = (
+        _pq_assign(subs)
+        .filter(F.col("vec_id") >= 15)
+        .join(assign, "vec_id")
+        .select(
+            F.col("vec_id").alias("neighbor_id"), "s", "code",
+            F.col("centroid").alias("cc"),
+        )
+    )
+    qsubs = (
+        subs.filter(
+            (F.col("vec_id") >= N_CENTROIDS) & (F.col("vec_id") < 15)
+        )
+        .join(assign, "vec_id")
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("s").alias("qs"),
+            "sv", F.col("centroid").alias("qc"),
+        )
+    )
+    cb = subs.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").cast("int").alias("j"),
+        F.col("s").alias("cs"),
+        F.col("sv").alias("cv"),
+    )
+    lut = qsubs.join(F.broadcast(cb), qsubs.qs == cb.cs).select(
+        "query_id",
+        F.col("qs").alias("ls"),
+        "j",
+        "qc",
+        _pq_subdist(F.col("sv"), F.col("cv")).alias("dq"),
+    )
+    adc = (
+        cand.join(
+            F.broadcast(lut),
+            (F.col("s") == F.col("ls"))
+            & (F.col("code") == F.col("j"))
+            & (F.col("cc") == F.col("qc")),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("dq").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "rank", "adc_dist")
+    )
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality audit: recall of each approximate search path against
     the brute-force cosine ground truth over the same query/candidate
@@ -877,6 +943,7 @@ QUERIES = {
     "semdedup": q_semdedup,
     "pq_encode": q_pq_encode,
     "pq_search": q_pq_search,
+    "ivfpq_search": q_ivfpq_search,
     "sq_encode": q_sq_encode,
     "sq_search": q_sq_search,
     "ann_recall": q_ann_recall,
@@ -1243,6 +1310,60 @@ ORACLES["pq_search"] = _PQ_CTE + """
            adc_dist
     FROM adc
     QUALIFY rank <= 5
+"""
+
+ORACLES["ivfpq_search"] = _PQ_CTE + f"""
+    , e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS ev,
+               sqrt(list_reduce(
+                   list_prepend(0.0::DOUBLE,
+                       list_transform(generate_series(1, 64),
+                           i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)),
+                   (x, y) -> x + y)) AS nrm
+        FROM embeddings
+    ),
+    csims AS (
+        SELECT r.vec_id AS vec_id, c.vec_id AS centroid,
+               round({_DOT.format(a="r.ev", b="c.ev")} / (r.nrm * c.nrm), 4) AS sim
+        FROM e r, e c
+        WHERE r.vec_id >= {N_CENTROIDS} AND c.vec_id < {N_CENTROIDS}
+    ),
+    assign AS (
+        SELECT vec_id, centroid FROM (
+            SELECT vec_id, centroid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, centroid ASC) AS rn_
+            FROM csims
+        ) WHERE rn_ = 1
+    ),
+    cand AS (
+        SELECT b.vec_id AS neighbor_id, b.s, b.code, a.centroid AS cc
+        FROM best b JOIN assign a ON a.vec_id = b.vec_id
+        WHERE b.vec_id >= 15
+    ),
+    lut AS (
+        SELECT q.vec_id AS query_id, q.s, cb.j, a.centroid AS qc,
+               list_reduce(list_prepend(0::BIGINT,
+                   list_transform(generate_series(1, 16),
+                       i -> (q.sv[i] - cb.cv[i]) * (q.sv[i] - cb.cv[i]))),
+                   (x, y) -> x + y) AS dq
+        FROM subs q
+        JOIN cb ON q.s = cb.cs
+        JOIN assign a ON a.vec_id = q.vec_id
+        WHERE q.vec_id >= {N_CENTROIDS} AND q.vec_id < 15
+    ),
+    adc AS (
+        SELECT lut.query_id, cand.neighbor_id, sum(lut.dq)::BIGINT AS adc_dist
+        FROM cand JOIN lut ON cand.s = lut.s AND cand.code = lut.j
+                          AND cand.cc = lut.qc
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc_dist, neighbor_id)::INT AS rank,
+           adc_dist
+    FROM adc
+    QUALIFY rank <= 3
 """
 
 # multi-probe oracle: same bucketing, the query side expands to its own

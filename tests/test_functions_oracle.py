@@ -86,6 +86,8 @@ SPOT = [
     "phrase_search",
     "lsh_incremental",
     "sssp_dist",
+    "ivfpq_search",
+    "split_assign",
 ]
 
 
