@@ -163,17 +163,28 @@ class SnapshotCatalog:
     def _branches_path(self, name: str) -> str:
         return os.path.join(self._meta_dir(name), "branches.json")
 
+    def _branch_meta(self, name: str) -> dict:
+        """{branch: {"sid": head, "gen": lineage-id}}. ``gen`` is minted
+        by create_branch; dropping and recreating a branch name starts a
+        NEW lineage, so staged manifests of the dead incarnation can
+        never be mistaken for concurrent commits on the new one."""
+        try:
+            with open(self._branches_path(name)) as f:
+                raw = json.load(f)
+        except FileNotFoundError:
+            return {}
+        return {
+            b: (m if isinstance(m, dict) else {"sid": m, "gen": None})
+            for b, m in raw.items()
+        }
+
     def branches(self, name: str) -> dict:
         """Named MUTABLE refs: {branch_name: head snapshot_id}. Unlike
         tags, a branch head advances when you commit to it — the
         Iceberg branch ref type, and the substrate for write-audit-
         publish (WAP): stage commits on a branch, audit them, then
         ``fast_forward`` main onto the branch head to publish."""
-        try:
-            with open(self._branches_path(name)) as f:
-                return json.load(f)
-        except FileNotFoundError:
-            return {}
+        return {b: m["sid"] for b, m in self._branch_meta(name).items()}
 
     def _write_branches(self, name: str, branches: dict) -> None:
         tmp = self._branches_path(name) + ".tmp"
@@ -199,32 +210,32 @@ class SnapshotCatalog:
                 f"'{branch}' already names a tag on '{name}' (refs share "
                 "one namespace); drop_tag first"
             )
-        branches = self.branches(name)
-        if branch in branches:
+        meta = self._branch_meta(name)
+        if branch in meta:
             raise ValueError(
                 f"branch '{branch}' already exists on '{name}' "
-                f"(at snapshot {branches[branch]}); drop_branch first"
+                f"(at snapshot {meta[branch]['sid']}); drop_branch first"
             )
-        branches[branch] = sid
-        self._write_branches(name, branches)
+        meta[branch] = {"sid": sid, "gen": uuid.uuid4().hex[:8]}
+        self._write_branches(name, meta)
         return sid
 
     def drop_branch(self, name: str, branch: str) -> None:
-        branches = self.branches(name)
-        if branch not in branches:
+        meta = self._branch_meta(name)
+        if branch not in meta:
             raise ValueError(f"no branch '{branch}' on '{name}'")
-        del branches[branch]
-        self._write_branches(name, branches)
+        del meta[branch]
+        self._write_branches(name, meta)
 
     def _ref_head(self, name: str, branch: str | None) -> int | None:
         """Head snapshot id of a branch, or of main (the hint) when
         ``branch`` is None."""
         if branch is None:
             return self.current_snapshot_id(name)
-        branches = self.branches(name)
-        if branch not in branches:
+        meta = self._branch_meta(name)
+        if branch not in meta:
             raise ValueError(f"no branch '{branch}' on '{name}'")
-        return branches[branch]
+        return meta[branch]["sid"]
 
     def _next_sid(self, name: str) -> int:
         """Next globally-unique snapshot id: 1 + max over ALL retained
@@ -299,29 +310,38 @@ class SnapshotCatalog:
         # CAS: a racing writer on the SAME ref committed a sibling
         # manifest (same parent) that our ref pointer hasn't absorbed
         # yet — publishing ours would silently drop theirs. Manifests
-        # on OTHER refs sharing the parent are fine (that's a fork).
+        # on OTHER refs sharing the parent are fine (that's a fork),
+        # and so are manifests from a DEAD branch incarnation (the
+        # branch was dropped; ``gen`` changed) — those are abandoned
+        # stages awaiting GC, not live racers.
         ref = branch or "main"
+        gen = (
+            self._branch_meta(name).get(branch, {}).get("gen")
+            if branch is not None
+            else None
+        )
         for other in range((parent or 0) + 1, sid):
             try:
                 om = self._load_manifest(name, other)
             except ValueError:
                 continue  # expired
-            if (
-                om.get("ref", "main") == ref
-                and om.get("parent_id") == parent
-            ):
-                raise RuntimeError(
-                    f"concurrent commit detected on '{name}' ref "
-                    f"'{ref}': snapshot v{other} has the same parent "
-                    f"(v{parent}); retry from the new head"
-                )
+            if om.get("ref", "main") != ref or om.get("parent_id") != parent:
+                continue
+            if branch is not None and om.get("ref_gen") != gen:
+                continue  # dropped incarnation's abandoned stage
+            raise RuntimeError(
+                f"concurrent commit detected on '{name}' ref "
+                f"'{ref}': snapshot v{other} has the same parent "
+                f"(v{parent}); retry from the new head"
+            )
         if schema_json is None and parent:
             schema_json = self._load_manifest(name, parent).get("schema_json")
         manifest = {
             "snapshot_id": sid,
             "parent_id": parent,
             "operation": operation,
-            "ref": branch or "main",
+            "ref": ref,
+            **({"ref_gen": gen} if branch is not None else {}),
             "timestamp": time.time(),
             "data_dirs": sorted(data_dirs),
             "partition_by": partition_by or [],
@@ -339,9 +359,9 @@ class SnapshotCatalog:
             json.dump(manifest, f, indent=1, sort_keys=True)
         os.rename(tmp, mp)
         if branch is not None:
-            branches = self.branches(name)
-            branches[branch] = sid
-            self._write_branches(name, branches)
+            meta = self._branch_meta(name)
+            meta[branch] = {**meta.get(branch, {"gen": None}), "sid": sid}
+            self._write_branches(name, meta)
             return sid
         htmp = self._hint_path(name) + ".tmp"
         with open(htmp, "w") as f:

@@ -147,3 +147,117 @@ def stream_snapshot_append(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_gated_append(
+    spark,
+    stream_dir: str,
+    schema: str,
+    catalog_base: str,
+    name: str,
+    checkpoint_dir: str,
+    run_id: str,
+    rules: list[tuple[str, str]],
+    max_violation_rate: float = 0.0,
+    quarantine: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> dict:
+    """Streaming ingest with a write-audit-publish gate: each micro-batch
+    is STAGED on a branch of the snapshot table, the staged delta is
+    audited against row-local DQ ``rules`` (``(rule_name, violation
+    predicate SQL)``), and only a passing batch is published to main via
+    ``fast_forward`` — a failing batch is diverted whole to a quarantine
+    table with its violation counts in the commit summary. This is the
+    Iceberg ``spark.wap.branch`` pattern glued to the Deequ-style gate of
+    ``functions.dataops.q_dq_audit``: the audit reads back exactly the
+    bytes that would become visible (via ``read_incremental`` over the
+    staged dir), not the in-flight DataFrame, so a codec/write bug is
+    caught before readers can see it.
+
+    Exactly-once: publication is the fast_forward pointer move, so a
+    batch's commit key counts as durable only when its manifest is on
+    MAIN's ancestry (or in the quarantine history) — a crash after
+    staging but before publishing re-delivers the batch, which re-stages
+    under the same branch name (the abandoned dir is unreferenced once
+    its manifest expires). At 100 TB every step is metadata-sized except
+    the one audit aggregate over the new batch."""
+    from pyspark.sql import functions as F
+
+    from ..sources.snapshots import SnapshotCatalog
+
+    cat = SnapshotCatalog(spark, catalog_base)
+    qname = quarantine or f"{name}_quarantine"
+    stats = {"published": 0, "quarantined": 0, "skipped": 0}
+
+    def _published_keys() -> set:
+        keys = set()
+        sid = cat.current_snapshot_id(name)
+        while sid is not None:
+            man = cat._load_manifest(name, sid)
+            k = man["summary"].get("commit_key")
+            if k:
+                keys.add(k)
+            sid = man.get("parent_id")
+        if cat.exists(qname):
+            keys |= cat.committed_summaries(qname, "commit_key")
+        return keys
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(stream_dir)
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        key = f"{run_id}:{batch_id}"
+        if cat.exists(name) and key in _published_keys():
+            stats["skipped"] += 1
+            return  # durably published or quarantined: no-op re-delivery
+        branch = f"wap_{run_id}_{batch_id}"
+        if not cat.exists(name):
+            cat.overwrite(batch_df.limit(0), name)  # bootstrap schema
+        if branch in cat.branches(name):
+            cat.drop_branch(name, branch)  # crashed predecessor's stage
+        fork = cat.create_branch(name, branch)
+        staged_sid = cat.append(
+            batch_df, name, branch=branch, summary={"commit_key": key}
+        )
+        delta = cat.read_incremental(name, fork, staged_sid)
+        audit = delta.agg(
+            F.count("*").alias("n"),
+            *[
+                F.sum(F.expr(pred).cast("long")).alias(f"v{i}")
+                for i, (_, pred) in enumerate(rules)
+            ],
+        ).first()
+        n = audit["n"]
+        viols = {
+            rule: int(audit[f"v{i}"] or 0)
+            for i, (rule, _) in enumerate(rules)
+        }
+        rate = (sum(viols.values()) / n) if n else 0.0
+        if rate <= max_violation_rate:
+            cat.fast_forward(name, branch)
+            cat.drop_branch(name, branch)
+            stats["published"] += 1
+        else:
+            cat.drop_branch(name, branch)
+            if not cat.exists(qname):
+                cat.overwrite(batch_df.limit(0), qname)  # bootstrap schema
+            cat.append(
+                batch_df, qname,
+                summary={
+                    "commit_key": key,
+                    "violation_rate": rate,
+                    **{f"violations_{r}": v for r, v in viols.items()},
+                },
+            )
+            stats["quarantined"] += 1
+
+    q = (
+        src.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stats
