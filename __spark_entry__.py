@@ -21,6 +21,7 @@ from ocr_to_csv_spark.functions import (
     dataops,
     curation4,
     curation5,
+    curation6,
     dedup,
     relational,
     similarity,
@@ -271,6 +272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(curation.QUERIES)
     out.update(curation4.QUERIES)
     out.update(curation5.QUERIES)
+    out.update(curation6.QUERIES)
     out.update(analytics.QUERIES)
     out.update(dataops.QUERIES)
     out.update(
@@ -296,6 +298,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(curation.ORACLES)
     out.update(curation4.ORACLES)
     out.update(curation5.ORACLES)
+    out.update(curation6.ORACLES)
     out.update(analytics.ORACLES)
     out.update(dataops.ORACLES)
     # flagship oracles: the deterministic golden fixtures (absolute path —

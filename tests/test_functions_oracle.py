@@ -88,6 +88,8 @@ SPOT = [
     "sssp_dist",
     "ivfpq_search",
     "split_assign",
+    "winnowing",
+    "hash_embed",
 ]
 
 
