@@ -23,6 +23,7 @@ from ocr_to_csv_spark.functions import (
     curation5,
     curation6,
     dedup,
+    graphtext,
     relational,
     similarity,
     textops,
@@ -275,6 +276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(curation6.QUERIES)
     out.update(analytics.QUERIES)
     out.update(dataops.QUERIES)
+    out.update(graphtext.QUERIES)
     out.update(
         {
             "extract_spans": q_extract_spans,
@@ -301,6 +303,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(curation6.ORACLES)
     out.update(analytics.ORACLES)
     out.update(dataops.ORACLES)
+    out.update(graphtext.ORACLES)
     # flagship oracles: the deterministic golden fixtures (absolute path —
     # generated on demand so DuckDB can read them even if queries() ran in
     # another process)
