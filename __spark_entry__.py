@@ -24,6 +24,7 @@ from ocr_to_csv_spark.functions import (
     curation6,
     dedup,
     graphtext,
+    irops,
     relational,
     similarity,
     textops,
@@ -277,6 +278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(analytics.QUERIES)
     out.update(dataops.QUERIES)
     out.update(graphtext.QUERIES)
+    out.update(irops.QUERIES)
     out.update(
         {
             "extract_spans": q_extract_spans,
@@ -304,6 +306,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(analytics.ORACLES)
     out.update(dataops.ORACLES)
     out.update(graphtext.ORACLES)
+    out.update(irops.ORACLES)
     # flagship oracles: the deterministic golden fixtures (absolute path —
     # generated on demand so DuckDB can read them even if queries() ran in
     # another process)
