@@ -21,10 +21,12 @@ from ocr_to_csv_spark.functions import (
     dataops,
     curation4,
     curation5,
+    composed,
     curation6,
     dedup,
     graphtext,
     irops,
+    textmetrics,
     relational,
     similarity,
     textops,
@@ -279,6 +281,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(dataops.QUERIES)
     out.update(graphtext.QUERIES)
     out.update(irops.QUERIES)
+    out.update(textmetrics.QUERIES)
+    out.update(composed.QUERIES)
     out.update(
         {
             "extract_spans": q_extract_spans,
@@ -307,6 +311,8 @@ def oracle_sql() -> dict[str, str]:
     out.update(dataops.ORACLES)
     out.update(graphtext.ORACLES)
     out.update(irops.ORACLES)
+    out.update(textmetrics.ORACLES)
+    out.update(composed.ORACLES)
     # flagship oracles: the deterministic golden fixtures (absolute path —
     # generated on demand so DuckDB can read them even if queries() ran in
     # another process)

@@ -1071,6 +1071,122 @@ class SnapshotCatalog:
         keys_df = self.read(name).where(predicate).select(*equality_keys)
         return self.delete_keys(keys_df, name, equality_keys)
 
+    def update_where(
+        self,
+        name: str,
+        col: str,
+        lo,
+        hi,
+        set_exprs: dict[str, str],
+    ) -> dict:
+        """Copy-on-write ``UPDATE name SET ... WHERE col BETWEEN lo AND
+        hi`` (Iceberg CoW UPDATE / ``rewrite_data_files`` of matching
+        files): manifest stats prune the rewrite to the data dirs whose
+        file [min, max] can intersect the range — every other dir is
+        carried into the new snapshot UNTOUCHED (same bytes, same stats,
+        same delete-sequence), which on a sort-clustered 100 TB table
+        makes an update of one key range rewrite O(matching dirs), not
+        the corpus. Touched dirs are read in full (pruning within a dir
+        is planning detail; non-matching rows must survive) with their
+        applicable merge-on-read deletes FOLDED IN — the rewritten dir
+        gets a fresh sequence number, so older tombstones correctly stop
+        applying to it while still applying to the untouched dirs.
+        ``set_exprs`` maps column -> SQL expression evaluated on the
+        matching rows (non-matching rows pass through bit-identically).
+        History stays append-only: readers of prior snapshots keep their
+        planned files, and ``read_incremental`` across an update refuses
+        (dir replacement breaks the append-only guard) rather than
+        re-reporting rewritten rows as new."""
+        from pyspark.sql import functions as F
+
+        sid = self.current_snapshot_id(name)
+        if sid is None:
+            raise ValueError(f"unknown table '{name}'")
+        man = self._load_manifest(name, sid)
+        schema_cols = set(self.read(name, snapshot_id=sid).columns)
+        bad = [c for c in set_exprs if c not in schema_cols]
+        if bad:
+            raise ValueError(f"update_where('{name}'): unknown columns {bad}")
+        plan = self.plan_files(name, col, lo, hi, snapshot_id=sid)
+        touched = [d for d in man["data_dirs"] if plan["files"].get(d)]
+        if not touched:
+            return {
+                "snapshot_id": sid,
+                "dirs_rewritten": 0,
+                "dirs_kept": len(man["data_dirs"]),
+                "rows_updated": 0,
+            }
+        rows_updated = self.read_where(
+            name, col, lo, hi, snapshot_id=sid
+        ).count()
+        dels, _groups = self._delete_plan(man)
+        seqs = dict(man.get("dir_seqs") or {})
+        specs = man.get("dir_specs") or {}
+        default_spec = man.get("partition_by") or []
+        stats = dict(man.get("file_stats") or {})
+        if lo is None and hi is None:
+            pred = F.lit(True)
+        elif lo is None:
+            pred = F.col(col) <= F.lit(hi)
+        elif hi is None:
+            pred = F.col(col) >= F.lit(lo)
+        else:
+            pred = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+        new_dirs: list[str] = []
+        new_seq = sid + 1
+        for d in touched:
+            spec = specs.get(d, default_spec)
+            dpath = os.path.join(self._data_dir(name), d)
+            r = self.spark.read
+            if spec:
+                r = r.option("basePath", dpath)
+            df = r.parquet(dpath)
+            df = self._align(df, man)
+            applicable = [
+                e for e in dels if e["seq"] > seqs.get(d, 0)
+            ]
+            df = self._apply_deletes(df, name, applicable)
+            for c, expr in set_exprs.items():
+                df = df.withColumn(
+                    c, F.when(pred, F.expr(expr)).otherwise(F.col(c))
+                )
+            rel, _n = self._write_new_dir(df, name, spec or None)
+            new_dirs.append(rel)
+            seqs.pop(d, None)
+            seqs[rel] = new_seq
+            stats.pop(d, None)
+            stats[rel] = self._collect_file_stats(name, rel)
+        kept = [d for d in man["data_dirs"] if d not in touched]
+        dir_specs = {
+            d: specs.get(d, default_spec) for d in kept
+        }
+        for rel, d in zip(new_dirs, touched):
+            dir_specs[rel] = specs.get(d, default_spec)
+        new_sid = self._commit(
+            name, "update", kept + new_dirs, 0,
+            summary={
+                "updated_range": [col, lo, hi],
+                "set_columns": sorted(set_exprs),
+                "rows_updated": rows_updated,
+                "dirs_rewritten": len(touched),
+                "dirs_kept": len(kept),
+            },
+            partition_by=man.get("partition_by", []),
+            schema_json=man.get("schema_json"),
+            extra={
+                "dir_seqs": seqs,
+                "delete_files": man.get("delete_files") or [],
+                "dir_specs": dir_specs,
+                "file_stats": stats,
+            },
+        )
+        return {
+            "snapshot_id": new_sid,
+            "dirs_rewritten": len(touched),
+            "dirs_kept": len(kept),
+            "rows_updated": rows_updated,
+        }
+
     def rollback(self, name: str, snapshot_id: int) -> int:
         """Restore an old snapshot's state as a NEW snapshot (history is
         append-only; nothing is deleted)."""

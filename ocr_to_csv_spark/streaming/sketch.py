@@ -80,3 +80,77 @@ def stream_count_min(
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+HLL_OUT_SCHEMA = "event_type string, bucket long, rho int"
+HLL_STATE_SCHEMA = "rho int"
+
+
+def _hll_register_group(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state,
+) -> Iterator[pd.DataFrame]:
+    batch_max = 0
+    for pdf in pdfs:
+        if len(pdf):
+            batch_max = max(batch_max, int(pdf["rho"].max()))
+    cur = state.get[0] if state.exists else 0
+    new = max(cur, batch_max)
+    state.update((new,))
+    yield pd.DataFrame(
+        [(key[0], int(key[1]), int(new))],
+        columns=["event_type", "bucket", "rho"],
+    )
+
+
+def stream_hll(
+    spark,
+    events_stream_dir: str,
+    event_schema: str,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming HyperLogLog registers per event_type: the distinct-user
+    sketch maintained across micro-batches via ``applyInPandasWithState``.
+
+    State is keyed by (event_type, bucket) — at most ``HLL_M`` = 64
+    registers per event_type, each holding one int (the max rho seen),
+    so state is CONSTANT-SIZE in the number of distinct users: the
+    streaming answer to "distinct users so far per type" that exact
+    ``count_distinct`` cannot give without unbounded state. Hashing and
+    register math stay JVM-side and replicate ``relational.q_hll_distinct``
+    exactly (md5-derived hex32, m=64, 26-bit rho domain), so the stream-fed
+    register table is register-for-register identical to the batch sketch
+    over the same rows — the equivalence the test asserts. Registers are
+    monotone (max is associative/idempotent), so the final sketch is the
+    per-key max of the emitted updates, and register tables from different
+    streams/batches union-merge losslessly."""
+    from pyspark.sql import functions as F
+
+    from ..functions.relational import HLL_M
+    from ..functions.util import hex32
+
+    reader = spark.readStream.schema(event_schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    events = reader.parquet(events_stream_dir)
+    h = hex32(F.concat(F.lit("hll|"), F.col("user_id").cast("string")))
+    hashed = events.select(
+        "event_type",
+        (h % HLL_M).alias("bucket"),
+        F.floor(h / HLL_M).cast("long").alias("w"),
+    ).select(
+        "event_type",
+        "bucket",
+        F.when(F.col("w") == 0, F.lit(27))
+        .otherwise(F.lit(27) - F.length(F.conv(F.col("w"), 10, 2)))
+        .cast("int")
+        .alias("rho"),
+    )
+    return hashed.groupBy("event_type", "bucket").applyInPandasWithState(
+        _hll_register_group,
+        outputStructType=HLL_OUT_SCHEMA,
+        stateStructType=HLL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

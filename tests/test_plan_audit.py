@@ -1,0 +1,97 @@
+"""Registry-wide physical-plan audit: no query in `queries()` may plan
+a CartesianProduct or an un-allowlisted BroadcastNestedLoopJoin. This
+is the scale guard as a TEST — a new query that quadratically
+cross-joins (or a Catalyst/code change that silently degrades an
+equi-join into a nested loop) fails CI here, not at 100 TB.
+
+The allowlist holds the DOCUMENTED exceptions: labeled brute-force
+baselines and broadcast crosses whose build side is provably tiny
+(single-row stats aggregates, k-row centroid/codebook tables, fixed
+probe lists) — each entry names why it is safe.
+"""
+
+import importlib.util
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+# query -> why a BroadcastNestedLoopJoin / cross is acceptable there
+BNLJ_ALLOWED = {
+    "cosine_topk": "labeled brute-force correctness baseline",
+    "embed_near_pairs": "labeled brute-force baseline (oracle anchor)",
+    "ngram_jaccard": "labeled brute-force baseline over bounded sample",
+    "ann_recall": "contains the brute-force ground-truth baseline",
+    "semdedup": "broadcast k-row centroid table (k=8)",
+    "kmeans": "broadcast k-row centroid table per Lloyd round",
+    "ivf_assign": "broadcast N_CENTROIDS=5-row centroid table",
+    "ivf_search": "centroid assignment reuses ivf_assign's 5-row cross",
+    "ivf_multiprobe": "same 5-row centroid cross",
+    "ivfpq_search": "5-row centroid cross + PQ codebook broadcast",
+    "hard_negatives": "cell assignment reuses ivf_assign's 5-row cross",
+    "pq_encode": "broadcast 16-row-per-subspace codebook",
+    "pq_search": "broadcast codebook/ADC lookup table",
+    "sq_encode": "broadcast single-row per-dimension stats aggregate",
+    "sq_search": "broadcast single-row stats + 10-row query side",
+    "bm25_topk": "single-row corpus-stats cross",
+    "tfidf_topk": "single-row n_docs/df stats cross (textops.py:611)",
+    "cooc_pmi": "single-row n_tok/n_pair totals crosses (curation4.py:116)",
+    "dq_audit": "cross of two single-row violation aggregates",
+    "lm_commonness": "single-row vocabulary-size cross",
+    "decontam": "broadcast eval-set n-gram table (bounded by eval size)",
+    "minhash_jaccard_est": "bounded sample pair baseline vs estimate",
+    "mix_sample": "single-row totals cross for mixture shares",
+    "data_mixture": "single-row corpus-totals cross",
+    "profile": "single-row corpus-stats crosses",
+    "stats_agg": "single-row aggregate crosses",
+    "corr_matrix": "single-row moment-sums aggregate",
+    "zipf_fit": "single-row fold over the 100-term top list",
+    "quantile_sketch": "broadcast 5-row stats/median tables",
+    "mad_outliers": "broadcast 5-row median/MAD tables",
+    "ann_lsh_buckets": "broadcast hyperplane constants",
+    "ann_lsh_search": "broadcast 10-row query side",
+    "ann_lsh_multiprobe": "broadcast 10-row query side",
+    "curation_funnel": "single-row stage-count crosses",
+    "hll_distinct": "single-row audit cross (est vs exact)",
+    "heavy_hitters": "5-row probe list join",
+    "source_drift": "single-row half-totals cross",
+    "vocab_coverage": "broadcast 512-row vocabulary",
+    "token_stats": "single-row corpus-totals cross",
+}
+
+
+def _registry():
+    spec = importlib.util.spec_from_file_location(
+        "entry_for_plan_audit", "/root/repo/__spark_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m.queries()
+
+
+def test_no_unexpected_cartesian_or_nested_loop(spark):
+    qs = _registry()
+    offenders = {}
+    for name, fn in sorted(qs.items()):
+        df = fn(spark, SF)
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "simple"
+        )
+        cart = "CartesianProduct" in plan
+        bnlj = "BroadcastNestedLoopJoin" in plan
+        if cart and name not in BNLJ_ALLOWED:
+            offenders[name] = "CartesianProduct"
+        elif bnlj and name not in BNLJ_ALLOWED:
+            offenders[name] = "BroadcastNestedLoopJoin"
+    assert not offenders, (
+        "quadratic join shapes outside the documented allowlist: "
+        f"{offenders} — either fix the plan (equi-join / broadcast a "
+        "bounded side) or add a justified allowlist entry"
+    )
+
+
+def test_allowlist_entries_still_exist(spark):
+    """An allowlist entry for a deleted/renamed query is stale noise."""
+    qs = set(_registry())
+    stale = [k for k in BNLJ_ALLOWED if k not in qs]
+    assert not stale, f"stale allowlist entries: {stale}"
