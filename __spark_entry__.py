@@ -27,6 +27,7 @@ from ocr_to_csv_spark.functions import (
     graphtext,
     irops,
     textmetrics,
+    tpch,
     relational,
     similarity,
     textops,
@@ -281,6 +282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(dataops.QUERIES)
     out.update(graphtext.QUERIES)
     out.update(irops.QUERIES)
+    out.update(tpch.QUERIES)
     out.update(textmetrics.QUERIES)
     out.update(composed.QUERIES)
     out.update(
@@ -311,6 +313,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(dataops.ORACLES)
     out.update(graphtext.ORACLES)
     out.update(irops.ORACLES)
+    out.update(tpch.ORACLES)
     out.update(textmetrics.ORACLES)
     out.update(composed.ORACLES)
     # flagship oracles: the deterministic golden fixtures (absolute path —
