@@ -28,6 +28,7 @@ from ocr_to_csv_spark.functions import (
     irops,
     textmetrics,
     tpch,
+    engagement,
     relational,
     similarity,
     textops,
@@ -283,6 +284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(graphtext.QUERIES)
     out.update(irops.QUERIES)
     out.update(tpch.QUERIES)
+    out.update(engagement.QUERIES)
     out.update(textmetrics.QUERIES)
     out.update(composed.QUERIES)
     out.update(
@@ -314,6 +316,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(graphtext.ORACLES)
     out.update(irops.ORACLES)
     out.update(tpch.ORACLES)
+    out.update(engagement.ORACLES)
     out.update(textmetrics.ORACLES)
     out.update(composed.ORACLES)
     # flagship oracles: the deterministic golden fixtures (absolute path —

@@ -414,12 +414,64 @@ _GROUPING_SETS_SQL = """
 """
 
 
+def q_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-binned degree histogram of the link graph — the
+    power-law / hub-structure diagnostic run before any graph
+    algorithm is budgeted (a heavy-tailed histogram predicts skewed
+    supersteps and motivates degree-ordering / salting). Degree is one
+    endpoint-keyed count over the exploded edge endpoints; the log2 bin
+    is integer-exact via binary-string length (floor(log2 d)+1 — no
+    libm), so the histogram is bit-identical across engines. Shuffle
+    cost: 2|E| endpoint rows into a node-keyed count, then a
+    bin-cardinality (≤64 rows) aggregate."""
+    d = table(spark, sf_dir, "documents")
+    n = d.count()
+    nodes = d.select(F.col("doc_id").cast("long").alias("id"))
+    e = _edges(nodes, n)
+    ends = e.select(F.explode(F.array("src", "dst")).alias("id"))
+    deg = ends.groupBy("id").agg(F.count("*").alias("deg"))
+    b = F.length(F.conv(F.col("deg"), 10, 2)).cast("long")
+    return (
+        deg.groupBy(b.alias("log2_bin"))
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.min("deg").cast("long").alias("min_deg"),
+            F.max("deg").cast("long").alias("max_deg"),
+        )
+    )
+
+
+_DEGREE_DIST_SQL = """
+    WITH nodes AS (SELECT doc_id::BIGINT AS id FROM documents),
+    nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+    edges AS (
+        SELECT id AS src, (id*2+1) % (SELECT n FROM nn) AS dst
+        FROM nodes WHERE id % 3 <> 0
+        UNION ALL
+        SELECT id, (id*7+3) % (SELECT n FROM nn) FROM nodes WHERE id % 2 = 0
+        UNION ALL
+        SELECT id, (id + (SELECT n FROM nn) // 2) % (SELECT n FROM nn)
+        FROM nodes WHERE id % 6 = 1
+    ),
+    ends AS (
+        SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges
+    ),
+    deg AS (SELECT id, count(*) AS deg FROM ends GROUP BY id)
+    SELECT length(bin(deg))::BIGINT AS log2_bin,
+           count(*) AS n_nodes,
+           min(deg)::BIGINT AS min_deg,
+           max(deg)::BIGINT AS max_deg
+    FROM deg GROUP BY 1
+"""
+
+
 QUERIES = {
     "hits": q_hits,
     "label_prop": q_label_prop,
     "char_entropy": q_char_entropy,
     "chunk_overlap": q_chunk_overlap,
     "grouping_sets": q_grouping_sets,
+    "degree_dist": q_degree_dist,
 }
 
 ORACLES = {
@@ -428,4 +480,5 @@ ORACLES = {
     "char_entropy": _CHAR_ENTROPY_SQL,
     "chunk_overlap": _CHUNK_SQL,
     "grouping_sets": _GROUPING_SETS_SQL,
+    "degree_dist": _DEGREE_DIST_SQL,
 }

@@ -1698,3 +1698,148 @@ ORACLES["mad_outliers"] = """
     FROM dev JOIN mad ON dev.event_type = mad.event_type
     GROUP BY 1
 """
+
+
+def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeability proof for the HLL sketch — the property that makes
+    it the 100 TB distinct-count: registers built over DISJOINT ingest
+    batches (here the event_id-parity halves) and max-merged must equal
+    the registers built over the whole corpus in one pass, so per-batch
+    sketches roll up across days/partitions/clusters without rescanning
+    history. Emits both estimates (merged-halves vs whole-pass, same
+    formula as ``q_hll_distinct``) and the register-table diff count
+    (full outer join on (type, bucket)) — zero by construction, and the
+    oracle recomputes all of it from scratch. Shuffle: three bounded
+    register aggregates (≤64 rows per type each) + one register-sized
+    outer join; nothing scales with user cardinality."""
+    e = table(spark, sf_dir, "events")
+
+    def regs(df):
+        h = hex32(F.concat(F.lit("hll|"), F.col("user_id").cast("string")))
+        hashed = df.select(
+            "event_type",
+            (h % HLL_M).alias("bucket"),
+            F.floor(h / HLL_M).cast("long").alias("w"),
+        ).select(
+            "event_type", "bucket",
+            F.when(F.col("w") == 0, F.lit(27))
+            .otherwise(F.lit(27) - F.length(F.conv(F.col("w"), 10, 2)))
+            .cast("int")
+            .alias("rho"),
+        )
+        return hashed.groupBy("event_type", "bucket").agg(
+            F.max("rho").alias("m")
+        )
+
+    def estimate(r, out):
+        per = r.groupBy("event_type").agg(
+            F.count("*").alias("npresent"),
+            F.sum(F.expr("shiftleft(1L, cast(27 - m as int))")).alias("s"),
+        )
+        T = F.col("s") + (F.lit(HLL_M) - F.col("npresent")) * F.lit(1 << 27)
+        raw = F.lit(0.709) * F.lit(float(HLL_M * HLL_M * (1 << 27))) / T
+        V = F.lit(HLL_M) - F.col("npresent")
+        est = (
+            F.when(
+                (raw <= F.lit(2.5 * HLL_M)) & (V > 0),
+                F.round(F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / V), 2),
+            )
+            .otherwise(F.round(raw, 2))
+            .alias(out)
+        )
+        return per.select("event_type", est)
+
+    half_a = regs(e.filter(F.col("event_id") % 2 == 0))
+    half_b = regs(e.filter(F.col("event_id") % 2 == 1))
+    merged = (
+        half_a.unionByName(half_b)
+        .groupBy("event_type", "bucket")
+        .agg(F.max("m").alias("m"))
+    )
+    whole = regs(e)
+    diff = (
+        merged.select("event_type", "bucket", F.col("m").alias("ma"))
+        .join(
+            whole.select("event_type", "bucket", F.col("m").alias("mb")),
+            ["event_type", "bucket"],
+            "full_outer",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                (
+                    F.col("ma").isNull()
+                    | F.col("mb").isNull()
+                    | (F.col("ma") != F.col("mb"))
+                ).cast("long")
+            ).alias("n_reg_diff")
+        )
+    )
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    return (
+        estimate(merged, "est_merged")
+        .join(estimate(whole, "est_whole"), "event_type")
+        .join(diff, "event_type")
+        .join(exact, "event_type")
+        .select("event_type", "est_merged", "est_whole", "n_reg_diff",
+                F.col("n_exact").cast("long").alias("n_exact"))
+    )
+
+
+QUERIES["hll_merge"] = q_hll_merge
+
+_HLL_REGS = f"""
+        SELECT event_type, ({_HLL_H}) % 64 AS bucket,
+               max(CASE WHEN ({_HLL_H}) // 64 = 0 THEN 27
+                        ELSE 27 - length(bin(({_HLL_H}) // 64)) END) AS m
+        FROM {{src}} GROUP BY 1, 2
+"""
+
+_HLL_EST = """
+        SELECT event_type,
+               CASE WHEN (0.709 * 549755813888.0
+                          / (s + (64 - npresent) * 134217728)) <= 160.0
+                         AND (64 - npresent) > 0
+                    THEN round(64.0 * ln(64.0 / (64 - npresent)), 2)
+                    ELSE round(0.709 * 549755813888.0
+                               / (s + (64 - npresent) * 134217728), 2)
+               END AS {out}
+        FROM (
+            SELECT event_type, count(*) AS npresent,
+                   sum(1::BIGINT << CAST(27 - m AS INT)) AS s
+            FROM {src} GROUP BY event_type
+        )
+"""
+
+ORACLES["hll_merge"] = f"""
+    WITH ea AS (SELECT * FROM events WHERE event_id % 2 = 0),
+    eb AS (SELECT * FROM events WHERE event_id % 2 = 1),
+    ra AS ({_HLL_REGS.format(src='ea')}),
+    rb AS ({_HLL_REGS.format(src='eb')}),
+    merged AS (
+        SELECT event_type, bucket, max(m) AS m
+        FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb)
+        GROUP BY 1, 2
+    ),
+    whole AS ({_HLL_REGS.format(src='events')}),
+    em AS ({_HLL_EST.format(src='merged', out='est_merged')}),
+    ew AS ({_HLL_EST.format(src='whole', out='est_whole')}),
+    diff AS (
+        SELECT coalesce(a.event_type, b.event_type) AS event_type,
+               sum(CASE WHEN a.m IS NULL OR b.m IS NULL OR a.m <> b.m
+                        THEN 1 ELSE 0 END)::BIGINT AS n_reg_diff
+        FROM merged a FULL OUTER JOIN whole b
+          ON a.event_type = b.event_type AND a.bucket = b.bucket
+        GROUP BY 1
+    ),
+    ex AS (
+        SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_exact
+        FROM events GROUP BY 1
+    )
+    SELECT event_type, em.est_merged, ew.est_whole, diff.n_reg_diff,
+           ex.n_exact
+    FROM em JOIN ew USING (event_type) JOIN diff USING (event_type)
+    JOIN ex USING (event_type)
+"""

@@ -314,11 +314,77 @@ _HAPAX_SQL = f"""
 """
 
 
+KW_TOP = 3  # keywords kept per document
+
+
+def q_doc_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 tokens by tf·idf — the
+    map-side feature a curation pipeline attaches before clustering /
+    topic mixing. Integer-exact: idf6 = floor(1e6·N/df) (one integer
+    division), score = tf·idf6 (int64), so ranking never compares
+    drifting floats. Plan: one (doc,tok) count, one vocabulary-sized df
+    aggregate broadcast back, corpus size N as a 1-row broadcast cross,
+    and the per-doc top-3 is a WindowGroupLimit partitioned by doc —
+    never a global sort."""
+    d = table(spark, sf_dir, "documents", spread=True)
+    tf = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", F.expr("tf * (n_docs * 1000000L div df)"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("tok")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KW_TOP)
+        .select(
+            "doc_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.col("tok").alias("keyword"),
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.col("score").cast("long").alias("score"),
+        )
+    )
+
+
+_KW_SQL = f"""
+    WITH tf AS (
+        SELECT doc_id, tok, count(*)::BIGINT AS tf FROM (
+            SELECT doc_id, unnest({DUCK_TOKENS.format(x='text')}) AS tok
+            FROM documents
+        ) GROUP BY doc_id, tok
+    ),
+    dfreq AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY tok),
+    n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+    scored AS (
+        SELECT doc_id, tok, tf, df,
+               tf * ((n_docs * 1000000) // df) AS score
+        FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+    )
+    SELECT doc_id, rank, tok AS keyword, tf, df, score FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, tok ASC
+        )::BIGINT AS rank
+        FROM scored
+    ) WHERE rank <= {KW_TOP}
+"""
+
+
 QUERIES = {
     "user_paths": q_user_paths,
     "readability": q_readability,
     "rbo_overlap": q_rbo_overlap,
     "hapax_ratio": q_hapax_ratio,
+    "doc_tfidf_keywords": q_doc_tfidf_keywords,
 }
 
 ORACLES = {
@@ -326,4 +392,5 @@ ORACLES = {
     "readability": _READABILITY_SQL,
     "rbo_overlap": _RBO_SQL,
     "hapax_ratio": _HAPAX_SQL,
+    "doc_tfidf_keywords": _KW_SQL,
 }

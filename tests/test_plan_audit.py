@@ -57,6 +57,8 @@ BNLJ_ALLOWED = {
     "source_drift": "single-row half-totals cross",
     "vocab_coverage": "broadcast 512-row vocabulary",
     "token_stats": "single-row corpus-totals cross",
+    "rfm": "single-row corpus-max-day cross (engagement.py:48)",
+    "doc_tfidf_keywords": "single-row n_docs cross (textmetrics.py)",
 }
 
 
