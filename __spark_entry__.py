@@ -114,10 +114,10 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 N_AUDIO = 24
-AUDIO_STAGE_V = 1  # bump when synth_wav or the audio feature formulas change
+AUDIO_STAGE_V = 2  # bump when synth_wav or the audio feature formulas change
 
 
-def _staged_audio_paths() -> tuple[str, str]:
+def _staged_audio_paths() -> tuple[str, str, str]:
     """Deterministic WAV blob table + its golden feature table (computed
     from the raw samples at synthesis time; PCM is lossless so the
     decode stage must reproduce them bit-exactly). Includes one stereo
@@ -127,13 +127,16 @@ def _staged_audio_paths() -> tuple[str, str]:
     stale goldens (corpus GEN_VERSION bumps also wipe the directory)."""
     import pandas as pd
 
-    from ocr_to_csv_spark.extraction.audio import synth_wav
+    from ocr_to_csv_spark.extraction.audio import (
+        audio_signature_np, decode_pcm_ch0, synth_wav,
+    )
 
     d = _corpus_dir()
     blobs_p = os.path.join(d, f"audio_blobs_v{AUDIO_STAGE_V}.parquet")
     gold_p = os.path.join(d, f"expected_audio_meta_v{AUDIO_STAGE_V}.parquet")
-    if not (os.path.exists(blobs_p) and os.path.exists(gold_p)):
-        blobs, gold = [], []
+    sig_p = os.path.join(d, f"expected_audio_sig_v{AUDIO_STAGE_V}.parquet")
+    if not all(os.path.exists(p) for p in (blobs_p, gold_p, sig_p)):
+        blobs, gold, sigs = [], [], []
         for s in range(N_AUDIO):
             data, exp = synth_wav(
                 s, sr=8000 if s % 3 else 16000, n=4000 + 250 * (s % 5),
@@ -146,11 +149,18 @@ def _staged_audio_paths() -> tuple[str, str]:
                     "sample_rate": -1, "n_channels": -1, "n_samples": -1,
                     "duration_ms": -1, "energy": -1, "zero_crossings": -1,
                 }
+            else:
+                sigs.append({
+                    "media_ref": exp["media_ref"],
+                    "feat": [float(x) for x in
+                             audio_signature_np(decode_pcm_ch0(data))],
+                })
             blobs.append({"media_ref": exp["media_ref"], "content": data})
             gold.append(exp)
         pd.DataFrame(blobs).to_parquet(blobs_p, index=False)
         pd.DataFrame(gold).to_parquet(gold_p, index=False)
-    return blobs_p, gold_p
+        pd.DataFrame(sigs).to_parquet(sig_p, index=False)
+    return blobs_p, gold_p, sig_p
 
 
 def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -159,13 +169,29 @@ def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle = golden features from synthesis time."""
     from ocr_to_csv_spark.extraction.audio import audio_features
 
-    blobs_p, _ = _staged_audio_paths()
+    blobs_p, _, _ = _staged_audio_paths()
     blobs = spark.read.parquet(blobs_p)
     return audio_features(blobs).select(
         "media_ref", "fmt",
         F.col("sample_rate").cast("long").alias("sample_rate"),
         F.col("n_channels").cast("long").alias("n_channels"),
         "n_samples", "duration_ms", "energy", "zero_crossings",
+    )
+
+
+def q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup: 64-bin energy-envelope signatures (mapInPandas
+    over the PCM decode) through the SAME banded hyperplane LSH plan as
+    image/video near-dup (dims=64) — no cross join; corrupt blobs carry
+    no signature and quarantine via audio_features. Oracle = identical
+    LSH + cosine in DuckDB over the golden signature fixtures."""
+    from ocr_to_csv_spark.extraction.audio import AUDIO_SIG_BINS, audio_signatures
+    from ocr_to_csv_spark.extraction.multimodal import media_near_dup
+
+    blobs_p, _, _ = _staged_audio_paths()
+    blobs = spark.read.parquet(blobs_p)
+    return media_near_dup(
+        audio_signatures(blobs), top=10, dims=AUDIO_SIG_BINS
     )
 
 
@@ -294,6 +320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "multimodal_meta": q_multimodal_meta,
             "multimodal_near_dup": q_multimodal_near_dup,
             "audio_meta": q_audio_meta,
+            "audio_near_dup": q_audio_near_dup,
             "video_meta": q_video_meta,
             "video_near_dup": q_video_near_dup,
         }
@@ -340,7 +367,7 @@ def oracle_sql() -> dict[str, str]:
     # multimodal oracles: golden metadata/features computed by the datagen
     # from the pre-encode arrays (the lossless codec means the pipeline's
     # decode path must reproduce them bit-exactly)
-    _, audio_gold = _staged_audio_paths()
+    _, audio_gold, audio_sig = _staged_audio_paths()
     out["audio_meta"] = f"""
         SELECT media_ref, fmt,
                sample_rate::BIGINT AS sample_rate,
@@ -351,6 +378,7 @@ def oracle_sql() -> dict[str, str]:
                zero_crossings::BIGINT AS zero_crossings
         FROM '{audio_gold}'
     """
+    out["audio_near_dup"] = _near_dup_oracle_sql(audio_sig, dims=64)
     out["multimodal_meta"] = f"""
         SELECT media_ref, fmt, width::BIGINT AS width, height::BIGINT AS height,
                n_bytes::BIGINT AS n_bytes, mean_intensity, fill_ratio
@@ -374,12 +402,13 @@ def oracle_sql() -> dict[str, str]:
     return out
 
 
-def _near_dup_oracle_sql(feat_path: str) -> str:
+def _near_dup_oracle_sql(feat_path: str, dims: int = 264) -> str:
     """DuckDB recomputation of the banded-hyperplane-LSH near-dup query
-    over a golden 264-dim feature parquet (shared by image and video)."""
+    over a golden feature parquet (shared by image/video at 264 dims and
+    audio at 64)."""
     _fold_dot = (
         "list_reduce(list_prepend(0.0::DOUBLE, "
-        "list_transform(generate_series(1, 264), i -> {a}[i] * {b}[i])), "
+        f"list_transform(generate_series(1, {dims}), i -> {{a}}[i] * {{b}}[i])), "
         "(x, y) -> x + y)"
     )
     return f"""
@@ -390,7 +419,7 @@ def _near_dup_oracle_sql(feat_path: str) -> str:
         dots AS (
             SELECT media_ref, j,
                    list_reduce(list_prepend(0.0::DOUBLE,
-                       list_transform(generate_series(1, 264),
+                       list_transform(generate_series(1, {dims}),
                            k -> v[k] * ((('0x' || substr(md5(j::VARCHAR || ',' || k::VARCHAR), 1, 8))::BIGINT % 2001 - 1000) / 1000.0))),
                        (x, y) -> x + y) AS dot
             FROM (SELECT media_ref, v, unnest(generate_series(0, 7)) AS j FROM f)

@@ -113,3 +113,71 @@ def audio_features(media: DataFrame) -> DataFrame:
     return media.select("media_ref", "content").mapInPandas(
         _audio_batches, schema=AUDIO_SCHEMA
     )
+
+
+AUDIO_SIG_BINS = 64  # energy-envelope signature dimensionality
+AUDIO_SIG_SCHEMA = "media_ref string, feat array<double>"
+
+
+def decode_pcm_ch0(data: bytes):
+    """First-channel int64 PCM samples, or None for undecodable blobs —
+    the same decode contract as ``_decode_one`` (16-bit only, truncated
+    payload = corrupt)."""
+    try:
+        with wave.open(io.BytesIO(data), "rb") as w:
+            ch = w.getnchannels()
+            width = w.getsampwidth()
+            nf = w.getnframes()
+            raw = w.readframes(nf)
+        if width != 2:
+            return None
+        samples = np.frombuffer(raw, dtype=np.int16)
+        if samples.size != nf * ch:
+            return None
+        return samples[::ch].astype(np.int64)
+    except Exception:
+        return None
+
+
+def audio_signature_np(ch0: np.ndarray) -> np.ndarray:
+    """64-bin energy-envelope signature: sum |sample| per equal time
+    slice (tail slice padded by integer bin edges). Integer-exact —
+    int64 sums represented exactly as doubles at test scales — so the
+    DuckDB oracle recomputes the downstream LSH bit-for-bit."""
+    n = ch0.size
+    edges = [(i * n) // AUDIO_SIG_BINS for i in range(AUDIO_SIG_BINS + 1)]
+    out = np.zeros(AUDIO_SIG_BINS, dtype=np.int64)
+    a = np.abs(ch0)
+    for i in range(AUDIO_SIG_BINS):
+        out[i] = a[edges[i]:edges[i + 1]].sum()
+    return out
+
+
+def _sig_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        refs, feats = [], []
+        for ref, content in zip(pdf["media_ref"], pdf["content"]):
+            ch0 = decode_pcm_ch0(bytes(content))
+            if ch0 is None or ch0.size == 0:  # corrupt blobs quarantine
+                continue  # via audio_features; no signature row
+            refs.append(ref)
+            feats.append([float(x) for x in audio_signature_np(ch0)])
+        # object dtype: an all-corrupt batch yields EMPTY columns, and a
+        # default float64 empty ndarray breaks Arrow's list<double> path
+        yield pd.DataFrame(
+            {
+                "media_ref": pd.Series(refs, dtype="object"),
+                "feat": pd.Series(feats, dtype="object"),
+            }
+        )
+
+
+def audio_signatures(media: DataFrame) -> DataFrame:
+    """(media_ref, content:binary) → 64-dim energy-envelope signature
+    per DECODABLE blob (corrupt blobs are dropped here and quarantined
+    by ``audio_features``). Feeds ``multimodal.media_near_dup`` with
+    dims=AUDIO_SIG_BINS — the same banded hyperplane LSH plan as image
+    and video near-dup, no cross join."""
+    return media.select("media_ref", "content").mapInPandas(
+        _sig_batches, schema=AUDIO_SIG_SCHEMA
+    )

@@ -145,16 +145,16 @@ MM_PLANES = 8
 MM_BAND_SIZE = 16  # two 4-bit bands over the 8-bit signature
 
 
-def _mm_dot(a, b):
+def _mm_dot(a, b, dims: int = MM_DIM):
     """Sequential fold dot product (bit-parity with DuckDB list_reduce)."""
     return F.aggregate(
-        F.sequence(F.lit(1), F.lit(MM_DIM)),
+        F.sequence(F.lit(1), F.lit(dims)),
         F.lit(0.0),
         lambda acc, i: acc + F.element_at(a, i) * F.element_at(b, i),
     )
 
 
-def media_near_dup(feats: DataFrame, top: int = 10) -> DataFrame:
+def media_near_dup(feats: DataFrame, top: int = 10, dims: int = MM_DIM) -> DataFrame:
     """Image near-dup via banded hyperplane LSH — the 100 TB path, no
     cross join anywhere in the plan.
 
@@ -185,7 +185,7 @@ def media_near_dup(feats: DataFrame, top: int = 10) -> DataFrame:
         "media_ref",
         "j",
         F.aggregate(
-            F.sequence(F.lit(1), F.lit(MM_DIM)),
+            F.sequence(F.lit(1), F.lit(dims)),
             F.lit(0.0),
             lambda acc, k: acc + F.element_at(F.col("v"), k) * plane(F.col("j"), k),
         ).alias("dot"),
@@ -217,7 +217,7 @@ def media_near_dup(feats: DataFrame, top: int = 10) -> DataFrame:
     )
     va = v.select(F.col("media_ref").alias("ra"), F.col("v").alias("va"))
     vb = v.select(F.col("media_ref").alias("rb"), F.col("v").alias("vb"))
-    nrm = lambda x: F.sqrt(_mm_dot(x, x))
+    nrm = lambda x: F.sqrt(_mm_dot(x, x, dims))
     pairs = (
         cands.join(va, "ra")
         .join(vb, "rb")
@@ -225,7 +225,7 @@ def media_near_dup(feats: DataFrame, top: int = 10) -> DataFrame:
             "ra",
             "rb",
             F.round(
-                _mm_dot(F.col("va"), F.col("vb"))
+                _mm_dot(F.col("va"), F.col("vb"), dims)
                 / (nrm(F.col("va")) * nrm(F.col("vb"))),
                 4,
             ).alias("sim"),
