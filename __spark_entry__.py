@@ -29,6 +29,7 @@ from ocr_to_csv_spark.functions import (
     textmetrics,
     tpch,
     engagement,
+    statsops,
     relational,
     similarity,
     textops,
@@ -311,6 +312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(irops.QUERIES)
     out.update(tpch.QUERIES)
     out.update(engagement.QUERIES)
+    out.update(statsops.QUERIES)
     out.update(textmetrics.QUERIES)
     out.update(composed.QUERIES)
     out.update(
@@ -344,6 +346,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(irops.ORACLES)
     out.update(tpch.ORACLES)
     out.update(engagement.ORACLES)
+    out.update(statsops.ORACLES)
     out.update(textmetrics.ORACLES)
     out.update(composed.ORACLES)
     # flagship oracles: the deterministic golden fixtures (absolute path —

@@ -55,6 +55,7 @@ def main() -> None:
         dedup,
         relational,
         similarity,
+        statsops,
         textops,
     )
     from ocr_to_csv_spark.session import get_spark, sf_dir
@@ -117,6 +118,7 @@ def main() -> None:
         "pack_sequences": curation5.q_pack_sequences,
         "corr_matrix": analytics.q_corr_matrix,
         "dq_audit": dataops.q_dq_audit,
+        "range_window": statsops.q_range_window,
     }
     for name, fn in headline.items():
         best = float("inf")

@@ -1,0 +1,254 @@
+"""Statistical surface, batch 15: time-RANGE window frames, exact OLS
+regression, deterministic mode, ordered string aggregation, and the
+Gini concentration coefficient — the remaining classical-stats shapes
+an analytics engine must cover beyond the reference's needs.
+
+Scale design (100 TB):
+- ``range_window`` is a RANGE frame (value-based, not row-count-based)
+  over per-user event time: Spark's WindowExec streams the frame within
+  each partition with O(window-span) state, so cost is one shuffle on
+  ``user_id`` regardless of total volume; frames never cross users.
+- ``ols_fit`` reduces the regression to five exact integer sums
+  (n, Σx, Σy, Σxy, Σx²) — pure map-side partial aggregation, one
+  shuffle of K=|event_type| rows; slope/intercept are returned as exact
+  BIGINT rationals so no float crosses the engine boundary.
+- ``mode_per_group`` aggregates to the (type, k) count table first
+  (cardinality ≤ types × distinct-k, data-independent small), then
+  takes top-1 per type with a deterministic tie-break — the window
+  runs on the *aggregate*, never the raw events.
+- ``string_agg_ordered`` collects a BOUNDED set (event types ≤ 8) per
+  user; collect_set + array_sort is order-independent, so partial
+  aggregation stays map-side combinable.
+- ``gini`` needs a per-group rank over amounts — the one honest sort
+  here; it ships as a single shuffle sorted by (type, cents, id) and
+  the rank-weighted sums stream. All outputs are exact integers
+  (rank-weighted sum formula), division left to the reader.
+
+Reference parity: no stats layer in the reference (rad10/OCR-to-CSV);
+extends the windowed/aggregate family of ``relational.py`` (moving_sum
+rows-frame → range frame here; stats_agg moments → regression here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .util import table
+
+RANGE_S = 600  # preceding seconds included in the range frame
+
+
+def q_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running sum of value-cents over the trailing 10 minutes
+    (RANGE frame on epoch seconds — peers at the same second aggregate
+    together, unlike a rows frame)."""
+    e = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    sec = F.unix_timestamp("ts").cast("long")  # floors; oracle uses floor(epoch)
+    cents = F.round(F.col("value") * 100).cast("long")
+    base = e.select(
+        "event_id", "user_id", sec.alias("sec"), cents.alias("cents")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-RANGE_S, Window.currentRow)
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        "sec",
+        F.sum("cents").over(w).alias("trail_cents"),
+        F.count("*").over(w).alias("trail_n"),
+    )
+
+
+_RANGE_WINDOW_SQL = f"""
+    SELECT event_id, user_id, sec,
+           (sum(cents) OVER w)::BIGINT AS trail_cents,
+           count(*) OVER w AS trail_n
+    FROM (
+        SELECT event_id, user_id,
+               floor(epoch(ts))::BIGINT AS sec,
+               round(value * 100)::BIGINT AS cents
+        FROM events WHERE user_id IS NOT NULL
+    )
+    WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                 RANGE BETWEEN {RANGE_S} PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_ols_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type least-squares fit of value-cents (y) on hour of
+    day (x), returned as exact integer rationals:
+    slope = num/den with num = n·Σxy − Σx·Σy, den = n·Σx² − (Σx)²;
+    intercept = i_num/i_den with i_num = Σy·den − num·Σx, i_den = n·den.
+    Five integer sums — fully map-side combinable, no float anywhere."""
+    e = table(spark, sf_dir, "events")
+    x = F.hour("ts").cast("long")
+    y = F.round(F.col("value") * 100).cast("long")
+    agg = (
+        e.select(F.col("event_type"), x.alias("x"), y.alias("y"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return agg.select(
+        "event_type",
+        "n",
+        num.alias("slope_num"),
+        den.alias("slope_den"),
+        (F.col("sy") * den - num * F.col("sx")).alias("icept_num"),
+        (F.col("n") * den).alias("icept_den"),
+    )
+
+
+_OLS_FIT_SQL = """
+    WITH s AS (
+        SELECT event_type,
+               count(*)::BIGINT AS n,
+               sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+               sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx
+        FROM (
+            SELECT event_type,
+                   hour(ts)::BIGINT AS x,
+                   round(value * 100)::BIGINT AS y
+            FROM events
+        ) GROUP BY event_type
+    )
+    SELECT event_type, n,
+           (n * sxy - sx * sy) AS slope_num,
+           (n * sxx - sx * sx) AS slope_den,
+           (sy * (n * sxx - sx * sx) - (n * sxy - sx * sy) * sx) AS icept_num,
+           (n * (n * sxx - sx * sx)) AS icept_den
+    FROM s
+"""
+
+
+def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode of the JSON prop ``k`` per event type, with a
+    deterministic tie-break (highest count, then smallest k). The
+    window ranks the (type, k) COUNT TABLE, not the raw events."""
+    e = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    counts = (
+        e.select("event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type", "k")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("cnt"), F.asc("k")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("k").alias("mode_k"), "cnt")
+    )
+
+
+_MODE_SQL = """
+    SELECT event_type, k AS mode_k, cnt
+    FROM (
+        SELECT event_type, k, cnt,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY cnt DESC, k ASC) AS rn
+        FROM (
+            SELECT event_type,
+                   json_extract(props, '$.k')::BIGINT AS k,
+                   count(*)::BIGINT AS cnt
+            FROM events
+            WHERE json_extract(props, '$.k') IS NOT NULL
+            GROUP BY event_type, json_extract(props, '$.k')
+        )
+    ) WHERE rn = 1
+"""
+
+
+def q_string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: per user, the sorted comma-joined
+    set of event types seen (bounded set ⇒ map-side combinable)."""
+    e = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("event_type")), ","
+            ).alias("types_csv"),
+            F.count_distinct("event_type").alias("n_types"),
+        )
+    )
+
+
+_STRING_AGG_SQL = """
+    SELECT user_id,
+           string_agg(DISTINCT event_type, ',' ORDER BY event_type)
+               AS types_csv,
+           count(DISTINCT event_type)::BIGINT AS n_types
+    FROM events WHERE user_id IS NOT NULL
+    GROUP BY user_id
+"""
+
+
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of spend per event type, as exact integers:
+    with amounts x_1 ≤ … ≤ x_n (ties broken by event_id) and
+    W = Σ i·x_i, Gini = (2W)/(n·Σx) − (n+1)/n. Returns (n, sum_c, W)
+    so the division never leaves integer land."""
+    e = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    base = e.select(
+        "event_type", "event_id", cents.alias("cents")
+    ).filter(F.col("cents") > 0)
+    w = Window.partitionBy("event_type").orderBy(
+        F.asc("cents"), F.asc("event_id")
+    )
+    ranked = base.withColumn("i", F.row_number().over(w).cast("long"))
+    return ranked.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("sum_c"),
+        F.sum(F.col("i") * F.col("cents")).alias("wsum"),
+    )
+
+
+_GINI_SQL = """
+    SELECT event_type,
+           count(*)::BIGINT AS n,
+           sum(cents)::BIGINT AS sum_c,
+           sum(i * cents)::BIGINT AS wsum
+    FROM (
+        SELECT event_type, cents,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY cents ASC, event_id ASC)::BIGINT
+                   AS i
+        FROM (
+            SELECT event_type, event_id,
+                   round(value * 100)::BIGINT AS cents
+            FROM events
+        ) WHERE cents > 0
+    ) GROUP BY event_type
+"""
+
+
+QUERIES = {
+    "range_window": q_range_window,
+    "ols_fit": q_ols_fit,
+    "mode_per_group": q_mode_per_group,
+    "string_agg_ordered": q_string_agg_ordered,
+    "gini": q_gini,
+}
+
+ORACLES = {
+    "range_window": _RANGE_WINDOW_SQL,
+    "ols_fit": _OLS_FIT_SQL,
+    "mode_per_group": _MODE_SQL,
+    "string_agg_ordered": _STRING_AGG_SQL,
+    "gini": _GINI_SQL,
+}
