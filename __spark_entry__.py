@@ -30,6 +30,7 @@ from ocr_to_csv_spark.functions import (
     tpch,
     engagement,
     statsops,
+    temporal,
     relational,
     similarity,
     textops,
@@ -313,6 +314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(tpch.QUERIES)
     out.update(engagement.QUERIES)
     out.update(statsops.QUERIES)
+    out.update(temporal.QUERIES)
     out.update(textmetrics.QUERIES)
     out.update(composed.QUERIES)
     out.update(
@@ -347,6 +349,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(tpch.ORACLES)
     out.update(engagement.ORACLES)
     out.update(statsops.ORACLES)
+    out.update(temporal.ORACLES)
     out.update(textmetrics.ORACLES)
     out.update(composed.ORACLES)
     # flagship oracles: the deterministic golden fixtures (absolute path —

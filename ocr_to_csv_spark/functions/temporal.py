@@ -1,0 +1,296 @@
+"""Temporal analytics, batch 16: lag-1 autocorrelation, CUSUM
+changepoint scan, inter-arrival statistics, hour-of-day seasonality
+(chi² vs uniform), and longest active-day streaks (gaps-and-islands) —
+the time-series shapes over the events stream.
+
+Scale design (100 TB):
+- Everything here first reduces raw events to a DAY- or HOUR-grained
+  aggregate (cardinality = days × keys, data-independent small), then
+  runs the temporal logic on that aggregate — no window function ever
+  touches the raw event table.
+- ``autocorr_daily`` is a self-join of the day-count table on day+1 —
+  a broadcast-sized join at any corpus scale; the correlation is
+  returned as exact integer sums (no float crosses engines).
+- ``cusum_drift`` scales deviations by n_days (dev_i = n·c_i − total)
+  so the cumulative-deviation walk stays in BIGINT; the changepoint is
+  the argmax of |walk| with a deterministic day tie-break.
+- ``interarrival`` uses one lag window per event_type over event
+  timestamps — the one raw-table window here; state is a single row
+  per partition and gaps are integer seconds.
+- ``seasonality_hour``'s chi² vs uniform is scaled by 24 to stay
+  integer: chi2_num = Σ(24·o_h − T)², chi2_den = 24·T.
+- ``active_streak`` is the gaps-and-islands pattern on per-user active
+  DAYS (deduplicated first — bounded by days, not events):
+  island id = day_number − row_number(), then max run length per user.
+
+Reference parity: no temporal layer in the reference; extends the
+events analytics family (analytics.py retention/funnel/markov,
+engagement.py RFM/DAU-MAU, statsops.py range windows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .util import table
+
+EPOCH_DAY = "1970-01-01"
+
+
+def _day_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return (
+        e.select(F.to_date("ts").alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def q_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the daily event-count series, as exact
+    integer sums over the (day, day+1) pairs: r = (n·Σxy − Σx·Σy) /
+    sqrt((n·Σx²−(Σx)²)(n·Σy²−(Σy)²)) — we return the five sums."""
+    d = _day_counts(spark, sf_dir)
+    nxt = d.select(
+        F.date_add("day", -1).alias("day"), F.col("c").alias("y")
+    )
+    pairs = d.join(nxt, "day").select(F.col("c").alias("x"), "y")
+    return pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+
+
+_AUTOCORR_SQL = """
+    WITH d AS (
+        SELECT ts::DATE AS day, count(*)::BIGINT AS c
+        FROM events GROUP BY ts::DATE
+    ),
+    pairs AS (
+        SELECT a.c AS x, b.c AS y
+        FROM d a JOIN d b ON b.day = a.day + 1
+    )
+    SELECT count(*)::BIGINT AS n_pairs,
+           sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+           sum(x * y)::BIGINT AS sxy,
+           sum(x * x)::BIGINT AS sxx,
+           sum(y * y)::BIGINT AS syy
+    FROM pairs
+"""
+
+
+def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan over daily counts: walk_i = Σ_{j≤i}
+    (n_days·c_j − total) is integer-exact (deviation scaled by n_days);
+    the candidate changepoint is the day maximizing |walk| (earliest
+    day on ties). Returns one row: (cp_day_num — days since epoch,
+    walk_at_cp, n_days, total)."""
+    d = _day_counts(spark, sf_dir)
+    tot = d.agg(
+        F.count("*").alias("n_days"), F.sum("c").alias("total")
+    )
+    j = d.crossJoin(F.broadcast(tot))
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    walked = j.select(
+        F.datediff(F.col("day"), F.lit(EPOCH_DAY).cast("date")).alias(
+            "day_num"
+        ),
+        "n_days",
+        "total",
+        F.sum(F.col("n_days") * F.col("c") - F.col("total"))
+        .over(w)
+        .alias("walk"),
+    )
+    pick = Window.orderBy(F.desc(F.abs(F.col("walk"))), F.asc("day_num"))
+    return (
+        walked.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("day_num").alias("cp_day_num"),
+            F.col("walk").alias("walk_at_cp"),
+            "n_days",
+            "total",
+        )
+    )
+
+
+_CUSUM_SQL = f"""
+    WITH d AS (
+        SELECT (ts::DATE - DATE '{EPOCH_DAY}')::BIGINT AS day_num,
+               count(*)::BIGINT AS c
+        FROM events GROUP BY ts::DATE
+    ),
+    t AS (SELECT count(*)::BIGINT AS n_days, sum(c)::BIGINT AS total FROM d),
+    walked AS (
+        SELECT day_num, n_days, total,
+               (sum(n_days * c - total) OVER
+                   (ORDER BY day_num ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW))::BIGINT AS walk
+        FROM d, t
+    )
+    SELECT day_num AS cp_day_num, walk AS walk_at_cp, n_days, total
+    FROM walked
+    ORDER BY abs(walk) DESC, day_num ASC
+    LIMIT 1
+"""
+
+
+def q_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type: inter-arrival gap statistics in integer seconds
+    (burstiness inputs — n_gaps, Σgap, Σgap², max gap). Lag window
+    ordered by (second, event_id) for a deterministic sequence."""
+    e = table(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts").cast("long")
+    base = e.select("event_type", "event_id", sec.alias("sec"))
+    w = Window.partitionBy("event_type").orderBy(
+        F.asc("sec"), F.asc("event_id")
+    )
+    gaps = base.select(
+        "event_type",
+        (F.col("sec") - F.lag("sec", 1).over(w)).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        F.sum("gap").alias("sum_gap"),
+        F.sum(F.col("gap") * F.col("gap")).alias("sum_gap_sq"),
+        F.max("gap").alias("max_gap"),
+    )
+
+
+_INTERARRIVAL_SQL = """
+    WITH g AS (
+        SELECT event_type,
+               sec - lag(sec) OVER (PARTITION BY event_type
+                                    ORDER BY sec ASC, event_id ASC) AS gap
+        FROM (
+            SELECT event_type, event_id,
+                   floor(epoch(ts))::BIGINT AS sec
+            FROM events
+        )
+    )
+    SELECT event_type,
+           count(*)::BIGINT AS n_gaps,
+           sum(gap)::BIGINT AS sum_gap,
+           sum(gap * gap)::BIGINT AS sum_gap_sq,
+           max(gap)::BIGINT AS max_gap
+    FROM g WHERE gap IS NOT NULL
+    GROUP BY event_type
+"""
+
+
+def q_seasonality_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality per event type: 24-bin profile plus an
+    exact-integer chi² vs uniform — chi2_num = Σ_h (24·o_h − T)²
+    over all 24 hours (missing hours count as o_h = 0, contributing
+    T² each), chi2_den = 24·T."""
+    e = table(spark, sf_dir, "events")
+    hourly = (
+        e.select("event_type", F.hour("ts").cast("long").alias("h"))
+        .groupBy("event_type", "h")
+        .agg(F.count("*").alias("o"))
+    )
+    per = hourly.groupBy("event_type").agg(
+        F.sum("o").alias("total"),
+        F.count("*").alias("hours_seen"),
+        F.sum(F.col("o") * F.col("o")).alias("sum_o_sq"),
+    )
+    # Σ(24o−T)² over ALL 24 bins = 576·Σo² − 48·T·Σo + 24·T², with the
+    # (24 − hours_seen) empty bins contributing T² each — expand so the
+    # observed-bins sum suffices and no 24-row spine is needed.
+    chi2_num = (
+        576 * F.col("sum_o_sq")
+        - 48 * F.col("total") * F.col("total")
+        + 24 * F.col("total") * F.col("total")
+    )
+    return per.select(
+        "event_type",
+        "total",
+        "hours_seen",
+        chi2_num.alias("chi2_num"),
+        (24 * F.col("total")).alias("chi2_den"),
+    )
+
+
+_SEASONALITY_SQL = """
+    WITH hourly AS (
+        SELECT event_type, hour(ts)::BIGINT AS h, count(*)::BIGINT AS o
+        FROM events GROUP BY event_type, hour(ts)
+    )
+    SELECT event_type,
+           sum(o)::BIGINT AS total,
+           count(*)::BIGINT AS hours_seen,
+           (576 * sum(o * o) - 48 * sum(o) * sum(o)
+            + 24 * sum(o) * sum(o))::BIGINT AS chi2_num,
+           (24 * sum(o))::BIGINT AS chi2_den
+    FROM hourly GROUP BY event_type
+"""
+
+
+def q_active_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user (gaps-and-islands
+    on the DEDUPLICATED per-user day table): island = day_num − rn is
+    constant within a consecutive run."""
+    e = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    days = e.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit(EPOCH_DAY).cast("date")).alias(
+            "day_num"
+        ),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day_num")
+    runs = (
+        days.withColumn("grp", F.col("day_num") - F.row_number().over(w))
+        .groupBy("user_id", "grp")
+        .agg(F.count("*").alias("run_len"))
+    )
+    return runs.groupBy("user_id").agg(
+        F.max("run_len").alias("longest_streak"),
+        F.count("*").alias("n_runs"),
+    )
+
+
+_STREAK_SQL = f"""
+    WITH days AS (
+        SELECT DISTINCT user_id,
+               (ts::DATE - DATE '{EPOCH_DAY}')::BIGINT AS day_num
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    runs AS (
+        SELECT user_id,
+               day_num - row_number() OVER (PARTITION BY user_id
+                                            ORDER BY day_num) AS grp
+        FROM days
+    ),
+    lens AS (
+        SELECT user_id, grp, count(*)::BIGINT AS run_len
+        FROM runs GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           max(run_len)::BIGINT AS longest_streak,
+           count(*)::BIGINT AS n_runs
+    FROM lens GROUP BY user_id
+"""
+
+
+QUERIES = {
+    "autocorr_daily": q_autocorr_daily,
+    "cusum_drift": q_cusum_drift,
+    "interarrival": q_interarrival,
+    "seasonality_hour": q_seasonality_hour,
+    "active_streak": q_active_streak,
+}
+
+ORACLES = {
+    "autocorr_daily": _AUTOCORR_SQL,
+    "cusum_drift": _CUSUM_SQL,
+    "interarrival": _INTERARRIVAL_SQL,
+    "seasonality_hour": _SEASONALITY_SQL,
+    "active_streak": _STREAK_SQL,
+}
