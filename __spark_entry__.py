@@ -31,6 +31,7 @@ from ocr_to_csv_spark.functions import (
     engagement,
     statsops,
     temporal,
+    linkpred,
     relational,
     similarity,
     textops,
@@ -315,6 +316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(engagement.QUERIES)
     out.update(statsops.QUERIES)
     out.update(temporal.QUERIES)
+    out.update(linkpred.QUERIES)
     out.update(textmetrics.QUERIES)
     out.update(composed.QUERIES)
     out.update(
@@ -350,6 +352,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(engagement.ORACLES)
     out.update(statsops.ORACLES)
     out.update(temporal.ORACLES)
+    out.update(linkpred.ORACLES)
     out.update(textmetrics.ORACLES)
     out.update(composed.ORACLES)
     # flagship oracles: the deterministic golden fixtures (absolute path —
