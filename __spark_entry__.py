@@ -32,6 +32,7 @@ from ocr_to_csv_spark.functions import (
     statsops,
     temporal,
     linkpred,
+    sqlsurface,
     relational,
     similarity,
     textops,
@@ -317,6 +318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(statsops.QUERIES)
     out.update(temporal.QUERIES)
     out.update(linkpred.QUERIES)
+    out.update(sqlsurface.QUERIES)
     out.update(textmetrics.QUERIES)
     out.update(composed.QUERIES)
     out.update(
@@ -353,6 +355,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(statsops.ORACLES)
     out.update(temporal.ORACLES)
     out.update(linkpred.ORACLES)
+    out.update(sqlsurface.ORACLES)
     out.update(textmetrics.ORACLES)
     out.update(composed.ORACLES)
     # flagship oracles: the deterministic golden fixtures (absolute path —
