@@ -237,12 +237,114 @@ _GINI_SQL = """
 """
 
 
+def q_spearman_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation inputs between doc length (n_chars)
+    and token count: ranks are row_number with doc_id tie-break (a
+    deterministic permutation — the documented ties variant), returning
+    (n, sum_d2) so ρ = 1 − 6·Σd²/(n(n²−1)) needs no float here. The
+    two global rank sorts are range-partitioned ORDER BYs; at 10^12
+    docs you'd rank via sortWithinPartitions + partition-offset
+    (zipWithIndex idiom) rather than a single window partition."""
+    d = table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        "n_chars",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_toks"),
+    )
+    w1 = Window.orderBy(F.asc("n_chars"), F.asc("doc_id"))
+    w2 = Window.orderBy(F.asc("n_toks"), F.asc("doc_id"))
+    ranked = base.select(
+        (F.row_number().over(w1) - F.row_number().over(w2))
+        .cast("long")
+        .alias("dd")
+    )
+    return ranked.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("dd") * F.col("dd")).alias("sum_d2"),
+    )
+
+
+_SPEARMAN_SQL = """
+    WITH base AS (
+        SELECT doc_id, n_chars,
+               len(string_split(text, ' '))::BIGINT AS n_toks
+        FROM documents
+    ),
+    ranked AS (
+        SELECT (row_number() OVER (ORDER BY n_chars ASC, doc_id ASC)
+                - row_number() OVER (ORDER BY n_toks ASC, doc_id ASC))
+                   ::BIGINT AS dd
+        FROM base
+    )
+    SELECT count(*)::BIGINT AS n, sum(dd * dd)::BIGINT AS sum_d2
+    FROM ranked
+"""
+
+
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median of doc length with token-count weights: the
+    smallest n_chars whose cumulative weight reaches half the total
+    (2·cumw ≥ totw), via one cumulative-sum window over the sorted
+    (n_chars, doc_id) sequence + a 1-row total broadcast."""
+    d = table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        "n_chars",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("w"),
+    )
+    tot = base.agg(F.sum("w").alias("totw"))
+    cum = Window.orderBy(F.asc("n_chars"), F.asc("doc_id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    walked = base.crossJoin(F.broadcast(tot)).select(
+        "n_chars",
+        "doc_id",
+        "totw",
+        F.sum("w").over(cum).alias("cumw"),
+    )
+    pick = Window.orderBy(F.asc("n_chars"), F.asc("doc_id"))
+    return (
+        walked.filter(2 * F.col("cumw") >= F.col("totw"))
+        .withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("n_chars").alias("wmedian_chars"),
+            "cumw",
+            "totw",
+        )
+    )
+
+
+_WMEDIAN_SQL = """
+    WITH base AS (
+        SELECT doc_id, n_chars,
+               len(string_split(text, ' '))::BIGINT AS w
+        FROM documents
+    ),
+    walked AS (
+        SELECT n_chars, doc_id,
+               (sum(w) OVER (ORDER BY n_chars ASC, doc_id ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW))::BIGINT AS cumw,
+               (SELECT sum(w) FROM base)::BIGINT AS totw
+        FROM base
+    )
+    SELECT n_chars AS wmedian_chars, cumw, totw
+    FROM walked
+    WHERE 2 * cumw >= totw
+    ORDER BY n_chars ASC, doc_id ASC
+    LIMIT 1
+"""
+
+
 QUERIES = {
     "range_window": q_range_window,
     "ols_fit": q_ols_fit,
     "mode_per_group": q_mode_per_group,
     "string_agg_ordered": q_string_agg_ordered,
     "gini": q_gini,
+    "spearman_ranks": q_spearman_ranks,
+    "weighted_median": q_weighted_median,
 }
 
 ORACLES = {
@@ -251,4 +353,6 @@ ORACLES = {
     "mode_per_group": _MODE_SQL,
     "string_agg_ordered": _STRING_AGG_SQL,
     "gini": _GINI_SQL,
+    "spearman_ranks": _SPEARMAN_SQL,
+    "weighted_median": _WMEDIAN_SQL,
 }

@@ -57,6 +57,8 @@ Q4_FROM, Q4_TO = "1996-01-01", "1996-04-01"
 Q4_LATE_DAYS = 30
 Q14_YEAR = 1996
 Q21_TOP = 10
+Q7_NATION_A, Q7_NATION_B = "NATION_1", "NATION_2"
+Q9_TOKEN = "widget"
 LEV_PREFIX = 80  # chars of document prefix compared
 LEV_MAX = 20  # edit-distance acceptance threshold
 
@@ -390,6 +392,133 @@ def q_lev_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral shipping volume between two nations by
+    ship year — supplier nation and customer nation both join in, the
+    (supp_nation, cust_nation) pair restricted to the two names in
+    either direction. Revenue in exact integer 1e-4 units; dims
+    broadcast; the fact shuffles only on its join keys."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    a, b = Q7_NATION_A, Q7_NATION_B
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            ((F.col("supp_nation") == a) & (F.col("cust_nation") == b))
+            | ((F.col("supp_nation") == b) & (F.col("cust_nation") == a))
+        )
+    )
+    return (
+        j.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.sum(_cents("l_extendedprice") * _pct("l_discount")).alias("rc"),
+            F.count("*").alias("n_lines"),
+        )
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "l_year",
+            (F.col("rc") / 10000.0).alias("volume"),
+            "n_lines",
+        )
+    )
+
+
+_Q7_SQL = f"""
+    SELECT supp_nation, cust_nation, l_year,
+           sum(rc) / 10000.0 AS volume,
+           count(*) AS n_lines
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l_shipdate) AS l_year,
+               {_DUCK_CENTS.format(x='l_extendedprice')}
+                   * {_DUCK_PCT.format(x='l_discount')} AS rc
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = '{{a}}' AND n2.n_name = '{{b}}')
+           OR (n1.n_name = '{{b}}' AND n2.n_name = '{{a}}')
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per supplier nation per year for parts
+    matching a name token — profit = revenue − retail cost·qty, all in
+    exact 1e-4-currency integers (the sf schema has no partsupp, so
+    p_retailprice stands in for ps_supplycost; the join/agg shape is
+    Q9's). Part filter pushes into the broadcast dim before the fact
+    join."""
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    p = table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains(Q9_TOKEN)
+    )
+    n = table(spark, sf_dir, "nation")
+    qty = F.round(F.col("l_quantity")).cast("long")
+    profit = (
+        _cents("l_extendedprice") * _pct("l_discount")
+        - _cents("p_retailprice") * qty * 100
+    )
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+    )
+    return (
+        j.groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").alias("o_year"),
+        )
+        .agg(F.sum(profit).alias("pc"), F.count("*").alias("n_lines"))
+        .select(
+            "nation",
+            "o_year",
+            (F.col("pc") / 10000.0).alias("profit"),
+            "n_lines",
+        )
+    )
+
+
+_Q9_SQL = f"""
+    SELECT nation, o_year, sum(pc) / 10000.0 AS profit,
+           count(*) AS n_lines
+    FROM (
+        SELECT n_name AS nation, year(l_shipdate) AS o_year,
+               {_DUCK_CENTS.format(x='l_extendedprice')}
+                   * {_DUCK_PCT.format(x='l_discount')}
+               - {_DUCK_CENTS.format(x='p_retailprice')}
+                   * CAST(round(l_quantity) AS BIGINT) * 100 AS pc
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%{{tok}}%'
+    )
+    GROUP BY nation, o_year
+"""
+
+
 QUERIES = {
     "local_volume": q_local_volume,
     "top_supplier": q_top_supplier,
@@ -398,6 +527,8 @@ QUERIES = {
     "promo_share": q_promo_share,
     "sole_return_supplier": q_sole_return_supplier,
     "lev_verify": q_lev_verify,
+    "nation_volume": q_nation_volume,
+    "profit_by_nation": q_profit_by_nation,
 }
 
 ORACLES = {
@@ -407,6 +538,8 @@ ORACLES = {
     "order_priority": _Q4_SQL,
     "promo_share": _Q14_SQL,
     "sole_return_supplier": _Q21_SQL,
+    "nation_volume": _Q7_SQL.format(a=Q7_NATION_A, b=Q7_NATION_B),
+    "profit_by_nation": _Q9_SQL.format(tok=Q9_TOKEN),
     # lev_verify's oracle is composed in __spark_entry__ from dedup's
     # bucket CTE (same MinHash band construction) + levenshtein.
 }
