@@ -58,6 +58,8 @@ BNLJ_ALLOWED = {
     "vocab_coverage": "broadcast 512-row vocabulary",
     "token_stats": "single-row corpus-totals cross",
     "rfm": "single-row corpus-max-day cross (engagement.py:48)",
+    "cusum_drift": "single-row (n_days, total) aggregate cross (temporal.py)",
+    "weighted_median": "single-row total-weight aggregate cross (statsops.py)",
     "doc_tfidf_keywords": "single-row n_docs cross (textmetrics.py)",
 }
 
