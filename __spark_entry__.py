@@ -33,6 +33,7 @@ from ocr_to_csv_spark.functions import (
     temporal,
     linkpred,
     sqlsurface,
+    attribution,
     relational,
     similarity,
     textops,
@@ -319,6 +320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(temporal.QUERIES)
     out.update(linkpred.QUERIES)
     out.update(sqlsurface.QUERIES)
+    out.update(attribution.QUERIES)
     out.update(textmetrics.QUERIES)
     out.update(composed.QUERIES)
     out.update(
@@ -356,6 +358,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(temporal.ORACLES)
     out.update(linkpred.ORACLES)
     out.update(sqlsurface.ORACLES)
+    out.update(attribution.ORACLES)
     out.update(textmetrics.ORACLES)
     out.update(composed.ORACLES)
     # flagship oracles: the deterministic golden fixtures (absolute path —
