@@ -34,6 +34,7 @@ from ocr_to_csv_spark.functions import (
     linkpred,
     sqlsurface,
     attribution,
+    codecs,
     relational,
     similarity,
     textops,
@@ -321,6 +322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(linkpred.QUERIES)
     out.update(sqlsurface.QUERIES)
     out.update(attribution.QUERIES)
+    out.update(codecs.QUERIES)
     out.update(textmetrics.QUERIES)
     out.update(composed.QUERIES)
     out.update(
@@ -359,6 +361,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(linkpred.ORACLES)
     out.update(sqlsurface.ORACLES)
     out.update(attribution.ORACLES)
+    out.update(codecs.ORACLES)
     out.update(textmetrics.ORACLES)
     out.update(composed.ORACLES)
     # flagship oracles: the deterministic golden fixtures (absolute path —
