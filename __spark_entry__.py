@@ -28,6 +28,7 @@ from ocr_to_csv_spark.functions import (
     irops,
     textmetrics,
     tpch,
+    tpch3,
     engagement,
     statsops,
     temporal,
@@ -316,6 +317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(graphtext.QUERIES)
     out.update(irops.QUERIES)
     out.update(tpch.QUERIES)
+    out.update(tpch3.QUERIES)
     out.update(engagement.QUERIES)
     out.update(statsops.QUERIES)
     out.update(temporal.QUERIES)
@@ -355,6 +357,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(graphtext.ORACLES)
     out.update(irops.ORACLES)
     out.update(tpch.ORACLES)
+    out.update(tpch3.ORACLES)
     out.update(engagement.ORACLES)
     out.update(statsops.ORACLES)
     out.update(temporal.ORACLES)
