@@ -38,6 +38,7 @@ BNLJ_ALLOWED = {
     "cooc_pmi": "single-row n_tok/n_pair totals crosses (curation4.py:116)",
     "dq_audit": "cross of two single-row violation aggregates",
     "lm_commonness": "single-row vocabulary-size cross",
+    "dormant_customers": "single-row positive-balance stats cross (tpch3.py)",
     "decontam": "broadcast eval-set n-gram table (bounded by eval size)",
     "minhash_jaccard_est": "bounded sample pair baseline vs estimate",
     "mix_sample": "single-row totals cross for mixture shares",
