@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ocr_to_csv_spark.functions import (
     analytics,
+    analytics2,
     curation,
     dataops,
     curation4,
@@ -313,6 +314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(curation5.QUERIES)
     out.update(curation6.QUERIES)
     out.update(analytics.QUERIES)
+    out.update(analytics2.QUERIES)
     out.update(dataops.QUERIES)
     out.update(graphtext.QUERIES)
     out.update(irops.QUERIES)
@@ -353,6 +355,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(curation5.ORACLES)
     out.update(curation6.ORACLES)
     out.update(analytics.ORACLES)
+    out.update(analytics2.ORACLES)
     out.update(dataops.ORACLES)
     out.update(graphtext.ORACLES)
     out.update(irops.ORACLES)

@@ -39,6 +39,8 @@ BNLJ_ALLOWED = {
     "dq_audit": "cross of two single-row violation aggregates",
     "lm_commonness": "single-row vocabulary-size cross",
     "dormant_customers": "single-row positive-balance stats cross (tpch3.py)",
+    "theta_intersect": "event-type pair enumeration over |types|-row sides",
+    "pca_cov": "single-row row-count cross (analytics2.py)",
     "decontam": "broadcast eval-set n-gram table (bounded by eval size)",
     "minhash_jaccard_est": "bounded sample pair baseline vs estimate",
     "mix_sample": "single-row totals cross for mixture shares",
