@@ -49,6 +49,7 @@ def main() -> None:
     from ocr_to_csv_spark.extraction import pipeline
     from ocr_to_csv_spark.functions import (
         analytics,
+        analytics2,
         curation,
         curation5,
         dataops,
@@ -119,6 +120,8 @@ def main() -> None:
         "corr_matrix": analytics.q_corr_matrix,
         "dq_audit": dataops.q_dq_audit,
         "range_window": statsops.q_range_window,
+        "theta_intersect": analytics2.q_theta_intersect,
+        "pca_cov": analytics2.q_pca_cov,
     }
     for name, fn in headline.items():
         best = float("inf")

@@ -154,3 +154,111 @@ def stream_hll(
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+# ---------------------------------------------------------------------------
+# SpaceSaving heavy hitters: the TOP-K sketch next to count-min's
+# point-estimate sketch. Count-min answers "how often is token t?"
+# but cannot enumerate the hot set without knowing the candidates;
+# SpaceSaving maintains the candidate set itself in constant space.
+
+SS_BUCKETS = 16  # state groups: tokens shard by hash(token) % SS_BUCKETS
+SS_M = 8  # counters per bucket — total state is SS_BUCKETS * SS_M entries
+
+SS_OUT_SCHEMA = "bucket int, tok string, cnt long, err long, ver long"
+SS_STATE_SCHEMA = (
+    "keys array<string>, counts array<long>, errs array<long>, ver long"
+)
+
+
+def _ss_apply(table: dict, tok: str, w: int, m: int) -> None:
+    """Weighted SpaceSaving update of {tok: (cnt, err)} capped at m."""
+    if tok in table:
+        c, e = table[tok]
+        table[tok] = (c + w, e)
+    elif len(table) < m:
+        table[tok] = (w, 0)
+    else:
+        # evict the min-count entry (token tie-break for determinism)
+        victim = min(table.items(), key=lambda kv: (kv[1][0], kv[0]))
+        vcnt = victim[1][0]
+        del table[victim[0]]
+        table[tok] = (vcnt + w, vcnt)
+
+
+def _ss_group(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state,
+) -> Iterator[pd.DataFrame]:
+    """One SpaceSaving table per bucket group. The micro-batch is
+    pre-counted and applied in sorted-token order so the result is a
+    deterministic function of the row SET per batch (shuffle order
+    within the batch cannot change it) — the property the
+    stream-vs-reference test asserts."""
+    bucket = int(key[0])
+    counts: dict = {}
+    for pdf in pdfs:
+        for tok in pdf["tok"]:
+            counts[tok] = counts.get(tok, 0) + 1
+    if state.exists:
+        keys, cs, es, ver = state.get
+        table = {k: (int(c), int(e)) for k, c, e in zip(keys, cs, es)}
+    else:
+        table, ver = {}, 0
+    for tok in sorted(counts):
+        _ss_apply(table, tok, counts[tok], SS_M)
+    ver = int(ver) + 1
+    items = sorted(table.items())
+    state.update((
+        [k for k, _ in items],
+        [c for _, (c, _) in items],
+        [e for _, (_, e) in items],
+        ver,
+    ))
+    yield pd.DataFrame(
+        [(bucket, k, int(c), int(e), ver) for k, (c, e) in items],
+        columns=["bucket", "tok", "cnt", "err", "ver"],
+    )
+
+
+def stream_space_saving(
+    spark,
+    docs_stream_dir: str,
+    doc_schema: str,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming SpaceSaving heavy-hitter tables per hash bucket.
+
+    Tokens shard by ``pmod(hex32(tok), SS_BUCKETS)`` so each token is
+    owned by exactly ONE bucket and the per-bucket SpaceSaving
+    guarantee (cnt - err <= true <= cnt, and any token with true count
+    > bucket_stream/SS_M is present) carries over to the union of
+    tables. State is SS_M entries per bucket — SS_BUCKETS * SS_M total
+    regardless of vocabulary size or stream length, the constant-state
+    answer to "what ARE the hot tokens so far" that count-min (point
+    estimates only) and an exact groupBy (unbounded state) cannot give.
+    Each batch emits the bucket's full table stamped with a state
+    version; the final answer is each bucket's max-``ver`` rows.
+    Tokenization and bucket hashing stay JVM-side (same ``tokens`` /
+    ``hex32`` expressions as the batch queries); only (bucket, token)
+    pairs cross into Python."""
+    from pyspark.sql import functions as F
+
+    from ..functions.util import hex32, tokens
+
+    reader = spark.readStream.schema(doc_schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    docs = reader.parquet(docs_stream_dir)
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok")).select(
+        F.pmod(hex32(F.col("tok")), F.lit(SS_BUCKETS)).cast("int").alias("bucket"),
+        "tok",
+    )
+    return toks.groupBy("bucket").applyInPandasWithState(
+        _ss_group,
+        outputStructType=SS_OUT_SCHEMA,
+        stateStructType=SS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
