@@ -465,7 +465,187 @@ _DEGREE_DIST_SQL = """
 """
 
 
+
+
+# ------------------------------------------------------------------------ scc
+
+
+SCC_OUTER = 6  # outer assign-and-remove rounds
+SCC_PROP = 2  # min-label propagation hops per direction per round
+# (swept empirically: SHORT propagation + MORE peel rounds decides far more
+# of this graph per join — 2-hop labels stay local so fewer nodes are
+# polluted by a smaller label outside their SCC; 6x2 decides ~92% of the
+# sf0.001 graph vs ~49% for 3x4 at the same 24-join budget)
+SCC_INF = 1 << 40
+
+
+def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components (bounded rounds) over the SAME
+    synthesized doc->doc directed link graph as ``bfs_dist``/``pagerank``
+    (modular edge formulas, curation.py:229).
+
+    The classic min-label SCC iteration (Orzan coloring / FW-BW family):
+    per outer round compute f(u) = min label forward-reachable from u
+    within SCC_PROP hops and b(u) = min label backward-reachable; a node
+    with f(u) == b(u) == L provably sits in L's SCC (the bounded paths
+    witness mutual reachability, so every assignment is CORRECT), gets
+    scc_id = L and leaves the residual graph; removing assigned nodes
+    unblocks nodes whose f was polluted by a smaller label outside their
+    SCC. Nodes still undecided after SCC_OUTER rounds report -1 —
+    bounded-round semantics exactly like ``bfs_dist``'s unreached -1,
+    and the DuckDB oracle replicates the SAME bounded unrolled
+    iteration, so the gate checks bit-equality, not just "some SCC".
+
+    Scale: per hop ONE keyed equi-join (edges x labels) + one
+    min-aggregate — node/edge-sized distributed state, nothing
+    collects; ``localCheckpoint`` per outer round truncates the lineage
+    exactly as ``connected_components`` does. 2 * SCC_PROP joins per
+    round x SCC_OUTER rounds; each assign-and-remove shrinks the edge
+    set via two semi-joins."""
+    d = table(spark, sf_dir, "documents", spread=True)
+    n = d.count()
+    nodes = d.select(F.col("doc_id").cast("long").alias("id"))
+    i = F.col("id")
+    e1 = nodes.filter(i % 3 != 0).select(i.alias("src"), ((i * 2 + 1) % n).alias("dst"))
+    e2 = nodes.filter(i % 2 == 0).select(i.alias("src"), ((i * 7 + 3) % n).alias("dst"))
+    e3 = nodes.filter(i % 6 == 1).select(i.alias("src"), ((i + n // 2) % n).alias("dst"))
+    edges = e1.unionByName(e2).unionByName(e3).localCheckpoint()
+
+    scc = nodes.select("id", F.lit(-1).cast("long").alias("scc")).localCheckpoint()
+    active = nodes.localCheckpoint()
+    E = edges
+
+    def _prop(lab: DataFrame, fwd: bool) -> DataFrame:
+        """SCC_PROP rounds of monotone min-label propagation."""
+        for _ in range(SCC_PROP):
+            if fwd:  # f(u) pulls labels of out-neighbors: join on dst
+                nb = (
+                    E.join(
+                        lab.select(
+                            F.col("id").alias("dst"), F.col("lab").alias("nlab")
+                        ),
+                        "dst",
+                    )
+                    .groupBy("src")
+                    .agg(F.min("nlab").alias("m"))
+                    .withColumnRenamed("src", "nid")
+                )
+            else:  # b(u) pulls labels of in-neighbors: join on src
+                nb = (
+                    E.join(
+                        lab.select(
+                            F.col("id").alias("src"), F.col("lab").alias("nlab")
+                        ),
+                        "src",
+                    )
+                    .groupBy("dst")
+                    .agg(F.min("nlab").alias("m"))
+                    .withColumnRenamed("dst", "nid")
+                )
+            lab = lab.join(nb, lab.id == nb.nid, "left").select(
+                "id",
+                F.least(F.col("lab"), F.coalesce("m", F.lit(SCC_INF))).alias("lab"),
+            )
+        return lab
+
+    for _ in range(SCC_OUTER):
+        f = _prop(active.select("id", F.col("id").alias("lab")), fwd=True)
+        b = _prop(active.select("id", F.col("id").alias("lab")), fwd=False)
+        assigned = (
+            f.join(b.select(F.col("id").alias("bid"), F.col("lab").alias("blab")),
+                   f.id == F.col("bid"))
+            .filter(F.col("lab") == F.col("blab"))
+            .select("id", F.col("lab").alias("newscc"))
+        )
+        scc = (
+            scc.join(assigned, "id", "left")
+            .select("id", F.coalesce("newscc", "scc").alias("scc"))
+            .localCheckpoint()
+        )
+        active = active.join(assigned, "id", "left_anti").localCheckpoint()
+        E = (
+            E.join(active.select(F.col("id").alias("src")), "src", "semi")
+            .join(active.select(F.col("id").alias("dst")), "dst", "semi")
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+    return scc.select(F.col("id").alias("doc_id"), F.col("scc").alias("scc_id"))
+
+
+def _scc_sql() -> str:
+    """Unrolled-CTE DuckDB twin of the bounded SCC iteration."""
+    parts = [
+        "WITH nn AS (SELECT count(*) AS n FROM documents)",
+        "nodes AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents)",
+        """edges AS MATERIALIZED (
+            SELECT id AS src, (id * 2 + 1) % n AS dst FROM nodes, nn WHERE id % 3 != 0
+            UNION ALL
+            SELECT id AS src, (id * 7 + 3) % n AS dst FROM nodes, nn WHERE id % 2 = 0
+            UNION ALL
+            SELECT id AS src, (id + n // 2) % n AS dst FROM nodes, nn WHERE id % 6 = 1
+        )""",
+        "scc0 AS (SELECT id, CAST(-1 AS BIGINT) AS scc FROM nodes)",
+        "act0 AS (SELECT id FROM nodes)",
+        "e0 AS MATERIALIZED (SELECT src, dst FROM edges)",
+    ]
+    for r in range(SCC_OUTER):
+        parts.append(f"f{r}_0 AS MATERIALIZED (SELECT id, id AS lab FROM act{r})")
+        parts.append(f"b{r}_0 AS MATERIALIZED (SELECT id, id AS lab FROM act{r})")
+        for k in range(SCC_PROP):
+            parts.append(
+                f"""f{r}_{k+1} AS MATERIALIZED (
+                    SELECT l.id,
+                           least(l.lab, coalesce(m.m, {SCC_INF})) AS lab
+                    FROM f{r}_{k} l LEFT JOIN (
+                        SELECT e.src AS nid, min(x.lab) AS m
+                        FROM e{r} e JOIN f{r}_{k} x ON x.id = e.dst
+                        GROUP BY e.src
+                    ) m ON m.nid = l.id
+                )"""
+            )
+            parts.append(
+                f"""b{r}_{k+1} AS MATERIALIZED (
+                    SELECT l.id,
+                           least(l.lab, coalesce(m.m, {SCC_INF})) AS lab
+                    FROM b{r}_{k} l LEFT JOIN (
+                        SELECT e.dst AS nid, min(x.lab) AS m
+                        FROM e{r} e JOIN b{r}_{k} x ON x.id = e.src
+                        GROUP BY e.dst
+                    ) m ON m.nid = l.id
+                )"""
+            )
+        parts.append(
+            f"""asg{r} AS MATERIALIZED (
+                SELECT f.id, f.lab AS newscc
+                FROM f{r}_{SCC_PROP} f JOIN b{r}_{SCC_PROP} b ON b.id = f.id
+                WHERE f.lab = b.lab
+            )"""
+        )
+        parts.append(
+            f"""scc{r+1} AS MATERIALIZED (
+                SELECT s.id, coalesce(a.newscc, s.scc) AS scc
+                FROM scc{r} s LEFT JOIN asg{r} a ON a.id = s.id
+            )"""
+        )
+        parts.append(
+            f"""act{r+1} AS MATERIALIZED (
+                SELECT id FROM act{r}
+                WHERE id NOT IN (SELECT id FROM asg{r})
+            )"""
+        )
+        parts.append(
+            f"""e{r+1} AS MATERIALIZED (
+                SELECT src, dst FROM e{r}
+                WHERE src IN (SELECT id FROM act{r+1})
+                  AND dst IN (SELECT id FROM act{r+1})
+            )"""
+        )
+    body = ",\n".join(parts)
+    return f"{body}\nSELECT id AS doc_id, scc AS scc_id FROM scc{SCC_OUTER}"
+
+
 QUERIES = {
+    "scc": q_scc,
     "hits": q_hits,
     "label_prop": q_label_prop,
     "char_entropy": q_char_entropy,
@@ -475,6 +655,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "scc": _scc_sql(),
     "hits": _hits_oracle_sql(),
     "label_prop": _label_prop_oracle_sql(),
     "char_entropy": _CHAR_ENTROPY_SQL,
