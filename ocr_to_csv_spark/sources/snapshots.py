@@ -512,6 +512,18 @@ class SnapshotCatalog:
         default = man.get("partition_by") or []
         out = None
         for applicable, dirs in sorted(groups.items()):
+            entries = [dels[i] for i in applicable]
+            need_pos = any(e.get("positional") for e in entries)
+
+            def _pos(df):
+                if not need_pos:
+                    return df
+                return df.select(
+                    "*",
+                    F.col("_metadata.file_path").alias("_pos_fp"),
+                    F.col("_metadata.row_index").alias("_pos_idx"),
+                )
+
             flat_paths = []
             sub = None
             for d in dirs:
@@ -521,9 +533,9 @@ class SnapshotCatalog:
                     continue
                 if specs.get(d, default):
                     # per-dir basePath read keeps hive partition columns
-                    part = self.spark.read.option(
+                    part = _pos(self.spark.read.option(
                         "basePath", dpath
-                    ).parquet(*fs)
+                    ).parquet(*fs))
                     sub = (
                         part
                         if sub is None
@@ -535,7 +547,7 @@ class SnapshotCatalog:
                 r = self.spark.read
                 if len(flat_paths) > 1:
                     r = r.option("mergeSchema", "true")
-                part = r.parquet(*flat_paths)
+                part = _pos(r.parquet(*flat_paths))
                 sub = (
                     part
                     if sub is None
@@ -544,9 +556,9 @@ class SnapshotCatalog:
             if sub is None:
                 continue
             sub = self._align(sub, man)
-            sub = self._apply_deletes(
-                sub, name, [dels[i] for i in applicable]
-            )
+            sub = self._apply_deletes(sub, name, entries)
+            if need_pos:
+                sub = sub.drop("_pos_fp", "_pos_idx")
             out = sub if out is None else out.unionByName(sub)
         if out is None:
             return self.read(name, snapshot_id=sid).limit(0)
@@ -618,14 +630,17 @@ class SnapshotCatalog:
                 out.append(f)
         return StructType(out).json()
 
-    def _scan(self, name: str, man: dict) -> DataFrame:
+    def _scan(self, name: str, man: dict, with_pos: bool = False) -> DataFrame:
         """Plan a scan over a manifest's dirs. Unpartitioned: one
         multi-path parquet read. Partitioned: one read PER dir unioned
         (Spark refuses mixed roots over hive-style layouts); partition
         filters push into EVERY branch scan (verified in tests), so
         pruning survives the union. Dirs with zero parquet files (empty
         partitioned commits) are skipped; an all-empty snapshot falls
-        back to the manifest schema."""
+        back to the manifest schema. ``with_pos`` attaches each row's
+        physical address (``_pos_fp``/``_pos_idx`` from Spark's
+        ``_metadata`` struct — zero extra I/O) for positional-delete
+        resolution and application."""
         dirs = [
             os.path.join(self._data_dir(name), d)
             for d in man["data_dirs"]
@@ -660,15 +675,27 @@ class SnapshotCatalog:
             if not specs.get(os.path.basename(d), default)
         ]
         hive = [d for d in dirs if d not in flat]
+
+        def _pos(df: DataFrame) -> DataFrame:
+            if not with_pos:
+                return df
+            from pyspark.sql import functions as F
+
+            return df.select(
+                "*",
+                F.col("_metadata.file_path").alias("_pos_fp"),
+                F.col("_metadata.row_index").alias("_pos_idx"),
+            )
+
         out = None
         if flat:
             r = self.spark.read
             if len(flat) > 1:
                 # dirs may carry different (evolved) schemas
                 r = r.option("mergeSchema", "true")
-            out = r.parquet(*flat)
+            out = _pos(r.parquet(*flat))
         for d in hive:
-            part = self.spark.read.parquet(d)
+            part = _pos(self.spark.read.parquet(d))
             out = (
                 part
                 if out is None
@@ -688,7 +715,9 @@ class SnapshotCatalog:
         for f in target.fields:
             if f.name not in df.columns:
                 df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
-        return df.select(*[f.name for f in target.fields])
+        keep = [f.name for f in target.fields]
+        keep += [c for c in ("_pos_fp", "_pos_idx") if c in df.columns]
+        return df.select(*keep)
 
     # ---------- merge-on-read deletes ----------
     def _delete_plan(self, man: dict):
@@ -711,14 +740,22 @@ class SnapshotCatalog:
         return dels, groups
 
     def _apply_deletes(self, df: DataFrame, name: str, entries: list[dict]):
-        """Anti-join against each equality-delete file's key rows. The
-        delete files are tombstone-sized (keys only); at scale Spark
+        """Anti-join against each delete file. Equality entries key on
+        their declared columns; positional entries (Iceberg v2
+        position-delete files) key on the row's physical address
+        (``_pos_fp``/``_pos_idx`` — the scan must have attached them).
+        Delete files are tombstone-sized either way; at scale Spark
         broadcasts them, so the data never reshuffles for a delete."""
         for e in entries:
             keys = self.spark.read.parquet(
                 os.path.join(self._delete_dir(name), e["dir"])
             )
-            df = df.join(keys, on=list(e["keys"]), how="left_anti")
+            on = (
+                ["_pos_fp", "_pos_idx"]
+                if e.get("positional")
+                else list(e["keys"])
+            )
+            df = df.join(keys, on=on, how="left_anti")
         return df
 
     # ---------- reads ----------
@@ -753,10 +790,12 @@ class SnapshotCatalog:
             return self._scan(name, man)
         out = None
         for applicable, dirs in sorted(groups.items()):
-            sub = self._scan(name, {**man, "data_dirs": dirs})
-            sub = self._apply_deletes(
-                sub, name, [dels[i] for i in applicable]
-            )
+            entries = [dels[i] for i in applicable]
+            need_pos = any(e.get("positional") for e in entries)
+            sub = self._scan(name, {**man, "data_dirs": dirs}, with_pos=need_pos)
+            sub = self._apply_deletes(sub, name, entries)
+            if need_pos:
+                sub = sub.drop("_pos_fp", "_pos_idx")
             out = sub if out is None else out.unionByName(sub)
         return out
 
@@ -862,6 +901,30 @@ class SnapshotCatalog:
             keys = self.spark.read.parquet(
                 os.path.join(self._delete_dir(name), e["dir"])
             )
+            if e.get("positional"):
+                # a position tombstone names addresses, not content:
+                # re-read the deleted rows BY ADDRESS from the dirs the
+                # entry applies to, so the changelog carries full rows
+                # (richer than equality deletes' null-padded keys)
+                applies = [
+                    d for d in man_to["data_dirs"]
+                    if e["seq"] > seqs.get(d, 0)
+                ]
+                rows = self._scan(
+                    name, {**man_to, "data_dirs": applies}, with_pos=True
+                ).join(keys, ["_pos_fp", "_pos_idx"], "semi").drop(
+                    "_pos_fp", "_pos_idx"
+                )
+                parts.append(
+                    rows.select(
+                        "*",
+                        F.lit("delete").alias("_change_type"),
+                        F.lit(e["seq"]).cast("long").alias(
+                            "_change_ordinal"
+                        ),
+                    )
+                )
+                continue
             parts.append(
                 keys.select(
                     "*",
@@ -1071,6 +1134,61 @@ class SnapshotCatalog:
         keys_df = self.read(name).where(predicate).select(*equality_keys)
         return self.delete_keys(keys_df, name, equality_keys)
 
+    def delete_positions(self, name: str, predicate: str) -> int:
+        """Merge-on-read DELETE as an Iceberg v2 POSITION-delete file:
+        resolve the matching rows of the CURRENT snapshot to their
+        physical addresses (file path + row index, from Spark's
+        ``_metadata`` struct — zero extra I/O on the scan) and commit
+        the address list as a tombstone; data files are NOT rewritten.
+
+        Complements ``delete_keys``/``delete_where``: an equality
+        delete needs a key and kills EVERY row with that key (past and,
+        per sequence semantics, until re-append); a position delete
+        needs no key at all, kills exactly the rows that matched —
+        duplicates of an identical row elsewhere survive — and can
+        never collide with later appends (new files have new paths).
+        This is the shape query engines write for row-level DELETE on
+        keyless tables, and what fine-grained takedown of specific
+        physical rows uses at 10^12-doc scale. Reads anti-join each
+        data dir against the positional tombstones sequenced after it
+        (broadcast-sized, like equality tombstones); ``compact`` folds
+        them in and clears them; ``read_changes`` emits the full
+        deleted rows (it re-reads them BY ADDRESS)."""
+        sid = self.current_snapshot_id(name)
+        if sid is None:
+            raise ValueError(f"unknown table '{name}'")
+        man = self._load_manifest(name, sid)
+        dels, groups = self._delete_plan(man)
+        tomb = None
+        for applicable, dirs in sorted(groups.items()):
+            sub = self._scan(name, {**man, "data_dirs": dirs}, with_pos=True)
+            sub = self._apply_deletes(
+                sub, name, [dels[i] for i in applicable]
+            )
+            part = sub.where(predicate).select("_pos_fp", "_pos_idx")
+            tomb = part if tomb is None else tomb.unionByName(part)
+        if tomb is None:
+            raise ValueError(
+                f"delete_positions('{name}'): table has no data dirs"
+            )
+        tomb = tomb.distinct()
+        rel, n = self._write_new_dir(tomb, name, root=self._delete_dir(name))
+        new_dels = list(man.get("delete_files") or [])
+        new_dels.append({"dir": rel, "seq": sid + 1, "positional": True})
+        return self._commit(
+            name, "delete", man["data_dirs"], 0,
+            summary={"added_position_delete_files": n},
+            partition_by=man.get("partition_by", []),
+            schema_json=man.get("schema_json"),
+            extra={
+                "dir_seqs": man.get("dir_seqs") or {},
+                "delete_files": new_dels,
+                "dir_specs": man.get("dir_specs")
+                or {d: man.get("partition_by", []) for d in man["data_dirs"]},
+                "file_stats": man.get("file_stats") or {},
+            },
+        )
+
     def update_where(
         self,
         name: str,
@@ -1141,11 +1259,20 @@ class SnapshotCatalog:
             if spec:
                 r = r.option("basePath", dpath)
             df = r.parquet(dpath)
-            df = self._align(df, man)
             applicable = [
                 e for e in dels if e["seq"] > seqs.get(d, 0)
             ]
+            need_pos = any(e.get("positional") for e in applicable)
+            if need_pos:
+                df = df.select(
+                    "*",
+                    F.col("_metadata.file_path").alias("_pos_fp"),
+                    F.col("_metadata.row_index").alias("_pos_idx"),
+                )
+            df = self._align(df, man)
             df = self._apply_deletes(df, name, applicable)
+            if need_pos:
+                df = df.drop("_pos_fp", "_pos_idx")
             for c, expr in set_exprs.items():
                 df = df.withColumn(
                     c, F.when(pred, F.expr(expr)).otherwise(F.col(c))
