@@ -485,6 +485,147 @@ class SnapshotCatalog:
             selected[d] = keep
         return {"files": selected, "total_files": total, "kept_files": kept}
 
+    # ---------- bloom file index (Iceberg Puffin-style sidecar) ----------
+
+    BLOOM_BITS = 256
+    BLOOM_HASHES = 4
+
+    def _bloom_path(self, name: str, col: str) -> str:
+        return os.path.join(self._meta_dir(name), f"bloom_{col}.json")
+
+    @staticmethod
+    def _bloom_positions(value: str) -> list[int]:
+        """The k bit positions for a value — md5-derived, the exact
+        python twin of the Spark-side expression in
+        ``build_bloom_index`` (hex32 of 'bloom{j}|' + value)."""
+        import hashlib
+
+        out = []
+        for j in range(SnapshotCatalog.BLOOM_HASHES):
+            h = int(
+                hashlib.md5(f"bloom{j}|{value}".encode()).hexdigest()[:8], 16
+            )
+            out.append(h % SnapshotCatalog.BLOOM_BITS)
+        return out
+
+    def build_bloom_index(self, name: str, col: str) -> dict:
+        """Build a per-FILE Bloom filter over ``col`` and store it as a
+        metadata sidecar — the Iceberg Puffin-blob idiom: min/max
+        manifest stats prune RANGE predicates on clustered columns, but
+        an equality probe on a column the table is NOT sorted by
+        intersects every [min,max]; a 256-bit per-file bloom skips the
+        files that cannot contain the value. One distributed job: scan
+        with ``_metadata.file_path`` (zero extra I/O), k=4 md5-derived
+        bit positions per value JVM-side, one (file, word) bit_or
+        aggregate — only files×4 rows reach the driver. Data files are
+        immutable, so file-level blooms stay valid across ALL later
+        commits; files appended after the build simply have no entry
+        and are conservatively kept by ``plan_files_eq`` until the next
+        index build (run it like compaction, on a schedule)."""
+        from pyspark.sql import functions as F
+
+        from ..functions.util import hex32
+
+        sid = self.current_snapshot_id(name)
+        if sid is None:
+            raise ValueError(f"unknown table '{name}'")
+        man = self._load_manifest(name, sid)
+        df = self._scan(name, man, with_pos=True).select(
+            F.col("_pos_fp").alias("fp"),
+            F.col(col).cast("string").alias("v"),
+        ).filter(F.col("v").isNotNull())
+        bits = None
+        for j in range(self.BLOOM_HASHES):
+            h = hex32(F.concat(F.lit(f"bloom{j}|"), F.col("v")))
+            part = df.select("fp", (h % self.BLOOM_BITS).alias("bit"))
+            bits = part if bits is None else bits.unionByName(part)
+        words = (
+            bits.distinct()
+            .select(
+                "fp",
+                (F.col("bit") / 64).cast("int").alias("w"),
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 64 AS INT))").alias("m"),
+            )
+            .groupBy("fp", "w")
+            .agg(F.bit_or("m").alias("word"))
+        )
+        droot = os.path.realpath(self._data_dir(name))
+        index: dict[str, list[int]] = {}
+        for r in words.collect():  # O(files x 4) rows — manifest-sized
+            fp = r["fp"]
+            if fp.startswith("file:"):
+                fp = fp[len("file:"):]
+                while fp.startswith("//"):
+                    fp = fp[1:]
+            rel = os.path.relpath(os.path.realpath(fp), droot)
+            wlist = index.setdefault(rel, [0] * (self.BLOOM_BITS // 64))
+            wlist[r["w"]] |= int(r["word"])
+        payload = {
+            "col": col,
+            "bits": self.BLOOM_BITS,
+            "hashes": self.BLOOM_HASHES,
+            "built_at_snapshot": sid,
+            "files": index,
+        }
+        tmp = self._bloom_path(name, col) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(payload, fh)
+        os.replace(tmp, self._bloom_path(name, col))
+        return {"files_indexed": len(index), "snapshot_id": sid}
+
+    def plan_files_eq(self, name: str, col: str, value) -> dict:
+        """Equality-probe file pruning from the bloom sidecar: skip
+        files whose bloom provably excludes ``value``; files without an
+        entry (appended after the index build) are conservatively
+        kept."""
+        sid = self.current_snapshot_id(name)
+        if sid is None:
+            raise ValueError(f"unknown table '{name}'")
+        man = self._load_manifest(name, sid)
+        path = self._bloom_path(name, col)
+        blooms = {}
+        if os.path.exists(path):
+            with open(path) as fh:
+                blooms = json.load(fh).get("files", {})
+        pos = self._bloom_positions(str(value))
+        selected: dict[str, list[str]] = {}
+        total = kept = 0
+        for d in man["data_dirs"]:
+            dpath = os.path.join(self._data_dir(name), d)
+            files = [
+                os.path.relpath(os.path.join(cur, f), dpath)
+                for cur, _, fs in os.walk(dpath)
+                for f in fs
+                if f.endswith(".parquet")
+            ]
+            total += len(files)
+            keep = []
+            for f in files:
+                words = blooms.get(os.path.join(d, f))
+                if words is not None and any(
+                    not (words[p // 64] >> (p % 64)) & 1 for p in pos
+                ):
+                    continue  # bloom proves the value is absent
+                keep.append(f)
+            kept += len(keep)
+            selected[d] = keep
+        return {"files": selected, "total_files": total, "kept_files": kept}
+
+    def read_eq(self, name: str, col: str, value) -> DataFrame:
+        """Equality read through the bloom file index: scan only the
+        files ``plan_files_eq`` kept, apply merge-on-read deletes, then
+        the residual equality filter (blooms give false positives,
+        never false negatives — the filter is still mandatory)."""
+        from pyspark.sql import functions as F
+
+        sid = self.current_snapshot_id(name)
+        man = self._load_manifest(name, sid)
+        plan = self.plan_files_eq(name, col, value)
+        out = self._read_planned(name, man, plan)
+        if out is None:
+            return self.read(name, snapshot_id=sid).limit(0)
+        return out.where(F.col(col) == F.lit(value))
+
     def read_where(
         self,
         name: str,
@@ -507,6 +648,22 @@ class SnapshotCatalog:
             raise ValueError(f"unknown table '{name}'")
         man = self._load_manifest(name, sid)
         plan = self.plan_files(name, col, lo, hi, snapshot_id=sid)
+        out = self._read_planned(name, man, plan)
+        if out is None:
+            return self.read(name, snapshot_id=sid).limit(0)
+        if lo is not None:
+            out = out.where(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            out = out.where(F.col(col) <= F.lit(hi))
+        return out
+
+    def _read_planned(self, name: str, man: dict, plan: dict):
+        """Scan only a file plan's surviving files, applying
+        merge-on-read deletes per data dir's sequence number. Shared by
+        ``read_where`` (min/max range pruning) and ``read_eq`` (bloom
+        equality pruning). Returns None when the plan kept nothing."""
+        from pyspark.sql import functions as F
+
         dels, groups = self._delete_plan(man)
         specs = man.get("dir_specs") or {}
         default = man.get("partition_by") or []
@@ -560,12 +717,6 @@ class SnapshotCatalog:
             if need_pos:
                 sub = sub.drop("_pos_fp", "_pos_idx")
             out = sub if out is None else out.unionByName(sub)
-        if out is None:
-            return self.read(name, snapshot_id=sid).limit(0)
-        if lo is not None:
-            out = out.where(F.col(col) >= F.lit(lo))
-        if hi is not None:
-            out = out.where(F.col(col) <= F.lit(hi))
         return out
 
     def _parent_partition_by(
