@@ -24,6 +24,7 @@ from ocr_to_csv_spark.functions import (
     curation5,
     composed,
     curation6,
+    curation7,
     dedup,
     graphtext,
     irops,
@@ -313,6 +314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(curation4.QUERIES)
     out.update(curation5.QUERIES)
     out.update(curation6.QUERIES)
+    out.update(curation7.QUERIES)
     out.update(analytics.QUERIES)
     out.update(analytics2.QUERIES)
     out.update(dataops.QUERIES)
@@ -354,6 +356,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(curation4.ORACLES)
     out.update(curation5.ORACLES)
     out.update(curation6.ORACLES)
+    out.update(curation7.ORACLES)
     out.update(analytics.ORACLES)
     out.update(analytics2.ORACLES)
     out.update(dataops.ORACLES)
