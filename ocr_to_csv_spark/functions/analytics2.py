@@ -384,3 +384,130 @@ ORACLES = {
     "record_linkage": _FS_SQL,
     "pca_cov": _PCA_SQL,
 }
+
+
+# ---------------------------------------------------------------- batch 26
+
+JCE_BUCKETS = 256
+
+
+def q_join_card_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based join cardinality estimation (the AGMS/histogram
+    trick a cost-based optimizer runs BEFORE committing to a join
+    strategy): bucket each side's join key into 256 hash buckets, and
+    estimate |lineitem ⋈ orders| as Σ_b cntA(b)·cntB(b). The estimate
+    is an upper bound (exact when no two distinct keys share a bucket)
+    and costs two map-side bucket aggregates + a 256-row join — at
+    100 TB that is the difference between sizing a shuffle join from
+    metadata and discovering mid-query that the join explodes. The
+    exact join count is emitted alongside as the audit column."""
+    li = table(spark, sf_dir, "lineitem").select(
+        F.pmod(hex32(F.col("l_orderkey").cast("string")), F.lit(JCE_BUCKETS)).alias("b")
+    )
+    o = table(spark, sf_dir, "orders").select(
+        F.pmod(hex32(F.col("o_orderkey").cast("string")), F.lit(JCE_BUCKETS)).alias("b")
+    )
+    ca = li.groupBy("b").agg(F.count("*").alias("ca"))
+    cb = o.groupBy("b").agg(F.count("*").alias("cb"))
+    est = (
+        ca.join(cb, "b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("est_join_rows"))
+    )
+    exact = (
+        table(spark, sf_dir, "lineitem")
+        .join(
+            table(spark, sf_dir, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .agg(F.count("*").alias("exact_join_rows"))
+    )
+    return est.crossJoin(exact).select(
+        "est_join_rows",
+        "exact_join_rows",
+        (F.col("est_join_rows") >= F.col("exact_join_rows")).cast("int").alias(
+            "upper_bound_holds"
+        ),
+    )
+
+
+_JCE_SQL = f"""
+    WITH ca AS (
+        SELECT {DUCK_HEX32.format(x="CAST(l_orderkey AS VARCHAR)")} % {JCE_BUCKETS} AS b,
+               count(*) AS ca
+        FROM lineitem GROUP BY 1
+    ), cb AS (
+        SELECT {DUCK_HEX32.format(x="CAST(o_orderkey AS VARCHAR)")} % {JCE_BUCKETS} AS b,
+               count(*) AS cb
+        FROM orders GROUP BY 1
+    ), est AS (
+        SELECT CAST(sum(ca.ca * cb.cb) AS BIGINT) AS est_join_rows
+        FROM ca JOIN cb ON ca.b = cb.b
+    ), ex AS (
+        SELECT count(*) AS exact_join_rows
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )
+    SELECT est_join_rows, exact_join_rows,
+           (est_join_rows >= exact_join_rows)::INT AS upper_bound_holds
+    FROM est, ex
+"""
+
+
+TOPK_AGG_K = 3
+
+
+def q_topk_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group WITHOUT a window: per-customer top-3 orders by
+    price via groupBy + sorted-array slice. The window formulation
+    (``topk``, WindowGroupLimit) sorts each partition; this aggregate
+    formulation does map-side partial collect + one array_sort per
+    GROUP, which wins when groups are small and numerous — the other
+    standard plan shape for the same question, kept oracle-equal to the
+    window answer. Sort key is a (negated cents, orderkey) struct so
+    ties break identically in both engines."""
+    o = table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    top = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (-cents).alias("neg"),
+                            F.col("o_orderkey").alias("k"),
+                        )
+                    )
+                ),
+                1,
+                TOPK_AGG_K,
+            ).alias("top")
+        )
+    )
+    return top.select(
+        F.col("o_custkey").alias("custkey"),
+        F.posexplode("top").alias("rnk0", "s"),
+    ).select(
+        "custkey",
+        (F.col("rnk0") + 1).cast("long").alias("rnk"),
+        F.col("s.k").alias("orderkey"),
+        (-F.col("s.neg")).alias("price_cents"),
+    )
+
+
+_TOPK_AGG_SQL = f"""
+    SELECT o_custkey AS custkey,
+           CAST(row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC,
+                        o_orderkey ASC) AS BIGINT) AS rnk,
+           o_orderkey AS orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+    FROM orders
+    QUALIFY rnk <= {TOPK_AGG_K}
+"""
+
+
+QUERIES["join_card_est"] = q_join_card_est
+QUERIES["topk_agg"] = q_topk_agg
+ORACLES["join_card_est"] = _JCE_SQL
+ORACLES["topk_agg"] = _TOPK_AGG_SQL

@@ -101,3 +101,41 @@ def test_pca_cov_formula(spark, tmp_path):
     assert got[(1, 1)]["cov_num"] == cov_num(ys, ys)
     assert all(r["n"] == 3 for r in got.values())
     assert set(got) == {(0, 0), (0, 1), (1, 1)}
+
+
+def test_join_card_est_exact_when_no_collisions(spark, tmp_path):
+    from ocr_to_csv_spark.functions.analytics2 import q_join_card_est
+
+    # single shared key value: bucket histograms are collision-free, so
+    # the estimate equals the exact product
+    li = [(1, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", "2001-01-01")] * 3
+    spark.createDataFrame(
+        [(a, b, c, d, e, f, g, h, i, j, k) for a, b, c, d, e, f, g, h, i, j, k in li],
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, l_linenumber bigint,"
+        " l_quantity double, l_extendedprice double, l_discount double, l_tax double,"
+        " l_returnflag string, l_linestatus string, l_shipdate string",
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame(
+        [(1, 1, "O", 1.0, "2001-01-01", "1-URGENT")] * 2,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    r = q_join_card_est(spark, str(tmp_path)).collect()[0]
+    assert r["exact_join_rows"] == 6
+    assert r["est_join_rows"] == 6
+    assert r["upper_bound_holds"] == 1
+
+
+def test_topk_agg_matches_window_semantics(spark):
+    from ocr_to_csv_spark.functions.analytics2 import TOPK_AGG_K, q_topk_agg
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_topk_agg(spark, sf).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["custkey"], []).append((r["rnk"], r["price_cents"]))
+    for cust, lst in per.items():
+        lst.sort()
+        assert len(lst) <= TOPK_AGG_K
+        prices = [p for _, p in lst]
+        assert prices == sorted(prices, reverse=True)

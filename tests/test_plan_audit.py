@@ -41,6 +41,7 @@ BNLJ_ALLOWED = {
     "dormant_customers": "single-row positive-balance stats cross (tpch3.py)",
     "theta_intersect": "event-type pair enumeration over |types|-row sides",
     "pca_cov": "single-row row-count cross (analytics2.py)",
+    "join_card_est": "cross of two single-row count aggregates",
     "decontam": "broadcast eval-set n-gram table (bounded by eval size)",
     "minhash_jaccard_est": "bounded sample pair baseline vs estimate",
     "mix_sample": "single-row totals cross for mixture shares",
