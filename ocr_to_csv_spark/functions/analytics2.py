@@ -511,3 +511,64 @@ QUERIES["join_card_est"] = q_join_card_est
 QUERIES["topk_agg"] = q_topk_agg
 ORACLES["join_card_est"] = _JCE_SQL
 ORACLES["topk_agg"] = _TOPK_AGG_SQL
+
+
+# ---------------------------------------------------------------- batch 27
+
+BM_WORDS = 64  # 32-bit words per (type, block); block = user_id div 2048
+
+
+def q_bitmap_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-index set algebra over per-event-type user sets — the
+    EXACT counterpart to ``theta_intersect``'s estimates, the way a
+    warehouse answers audience-overlap questions when ids are dense
+    integers (Roaring-bitmap idiom): each (type, 4096-id block) holds 64
+    packed 32-bit words built by ONE bit_or aggregate; AND/OR between two
+    types' word tables then popcount gives exact |A∩B| / |A∪B| without
+    ever re-touching the events table. The bitmap table is
+    |types|·|blocks|·64 words no matter how many events flow in; set
+    operations are an equi-join on (block, word index) over it."""
+    ev = table(spark, sf_dir, "events").select("event_type", "user_id").distinct()
+    pos = ev.select(
+        "event_type",
+        (F.col("user_id") / (BM_WORDS * 32)).cast("long").alias("blk"),
+        ((F.col("user_id") % (BM_WORDS * 32)) / 32).cast("int").alias("w"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))").alias("m"),
+    )
+    words = pos.groupBy("event_type", "blk", "w").agg(F.bit_or("m").alias("word"))
+    a = words.select(
+        F.col("event_type").alias("type_a"), "blk", "w", F.col("word").alias("wa")
+    )
+    b = words.select(
+        F.col("event_type").alias("type_b"), "blk", "w", F.col("word").alias("wb")
+    )
+    j = a.join(b, ["blk", "w"]).filter(F.col("type_a") < F.col("type_b"))
+    inter = F.bit_count(F.col("wa").bitwiseAND(F.col("wb")))
+    return (
+        j.groupBy("type_a", "type_b")
+        .agg(F.sum(inter).alias("n_inter"))
+    )
+
+
+_BM_SQL = f"""
+    WITH ev AS (SELECT DISTINCT event_type, user_id FROM events),
+    pos AS (
+        SELECT event_type,
+               user_id // {BM_WORDS * 32} AS blk,
+               (user_id % {BM_WORDS * 32}) // 32 AS w,
+               (CAST(1 AS BIGINT) << CAST(user_id % 32 AS INT)) AS m
+        FROM ev
+    ),
+    words AS (
+        SELECT event_type, blk, w, bit_or(m) AS word
+        FROM pos GROUP BY 1, 2, 3
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(sum(bit_count(a.word & b.word)) AS BIGINT) AS n_inter
+    FROM words a JOIN words b ON a.blk = b.blk AND a.w = b.w
+    WHERE a.event_type < b.event_type
+    GROUP BY 1, 2
+"""
+
+QUERIES["bitmap_sets"] = q_bitmap_sets
+ORACLES["bitmap_sets"] = _BM_SQL

@@ -139,3 +139,17 @@ def test_topk_agg_matches_window_semantics(spark):
         assert len(lst) <= TOPK_AGG_K
         prices = [p for _, p in lst]
         assert prices == sorted(prices, reverse=True)
+
+
+def test_bitmap_sets_equals_exact_intersections(spark):
+    from ocr_to_csv_spark.functions.analytics2 import (
+        q_bitmap_sets,
+        q_theta_intersect,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    bm = {(r["type_a"], r["type_b"]): r["n_inter"]
+          for r in q_bitmap_sets(spark, sf).collect()}
+    exact = {(r["type_a"], r["type_b"]): r["exact_inter"]
+             for r in q_theta_intersect(spark, sf).collect()}
+    assert bm == exact  # bitmaps are exact, the sketch's audit agrees
