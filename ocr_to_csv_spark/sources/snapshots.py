@@ -611,6 +611,59 @@ class SnapshotCatalog:
             selected[d] = keep
         return {"files": selected, "total_files": total, "kept_files": kept}
 
+    def _ndv_path(self, name: str) -> str:
+        return os.path.join(self._meta_dir(name), "ndv_stats.json")
+
+    def build_ndv_stats(self, name: str) -> dict:
+        """Table-level column statistics (Iceberg's ``ANALYZE TABLE`` /
+        Puffin theta-sketch blobs): per-column approximate
+        distinct-value counts (HyperLogLog++, 2% rsd), null counts, and
+        the row count, from ONE aggregate pass over the current
+        snapshot. A cost-based planner prices joins and group-bys from
+        these without touching data (``join_card_est`` shows the
+        per-query variant); stored as a metadata sidecar stamped with
+        the snapshot it was built at, so consumers can see staleness
+        and re-run like any maintenance job."""
+        from pyspark.sql import functions as F
+
+        sid = self.current_snapshot_id(name)
+        if sid is None:
+            raise ValueError(f"unknown table '{name}'")
+        df = self.read(name, snapshot_id=sid)
+        aggs = [F.count("*").alias("__rows")]
+        for c in df.columns:
+            aggs.append(F.approx_count_distinct(c, 0.02).alias(f"ndv__{c}"))
+            aggs.append(
+                F.sum(F.col(c).isNull().cast("long")).alias(f"nulls__{c}")
+            )
+        row = df.agg(*aggs).collect()[0].asDict()
+        payload = {
+            "built_at_snapshot": sid,
+            "row_count": int(row["__rows"]),
+            "columns": {
+                c: {
+                    "ndv": int(row[f"ndv__{c}"]),
+                    "nulls": int(row[f"nulls__{c}"]),
+                }
+                for c in df.columns
+            },
+        }
+        tmp = self._ndv_path(name) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(payload, fh)
+        os.replace(tmp, self._ndv_path(name))
+        return payload
+
+    def table_stats(self, name: str) -> dict | None:
+        """The last ``build_ndv_stats`` result, or None if never built.
+        ``built_at_snapshot`` vs ``current_snapshot_id`` tells the
+        caller how stale it is."""
+        path = self._ndv_path(name)
+        if not os.path.exists(path):
+            return None
+        with open(path) as fh:
+            return json.load(fh)
+
     def read_eq(self, name: str, col: str, value) -> DataFrame:
         """Equality read through the bloom file index: scan only the
         files ``plan_files_eq`` kept, apply merge-on-read deletes, then

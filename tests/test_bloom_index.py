@@ -69,3 +69,23 @@ def test_bloom_read_applies_mor_deletes(spark, tmp_path):
     )
     after = _vals(cat.read_eq("t", "tok", probe))
     assert after == [r for r in before if r[0] != kill_id]
+
+
+def test_ndv_stats_accuracy_and_staleness(spark, tmp_path):
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    rows = [(i, f"g{i % 37}", None if i % 10 == 0 else i * 2) for i in range(3000)]
+    cat.overwrite(
+        spark.createDataFrame(rows, "id int, grp string, val int"), "t"
+    )
+    stats = cat.build_ndv_stats("t")
+    assert stats["row_count"] == 3000
+    cols = stats["columns"]
+    assert cols["grp"]["nulls"] == 0 and cols["val"]["nulls"] == 300
+    # HLL++ at 2% rsd: generous 10% tolerance on distinct counts
+    assert abs(cols["id"]["ndv"] - 3000) <= 300
+    assert abs(cols["grp"]["ndv"] - 37) <= 4
+    # sidecar readable and stamped; staleness visible after a commit
+    assert cat.table_stats("t")["built_at_snapshot"] == cat.current_snapshot_id("t")
+    cat.append(spark.createDataFrame([(9999, "new", 1)], "id int, grp string, val int"), "t")
+    assert cat.table_stats("t")["built_at_snapshot"] < cat.current_snapshot_id("t")
+    assert cat.table_stats("nope") is None
