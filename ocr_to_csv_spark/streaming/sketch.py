@@ -262,3 +262,69 @@ def stream_space_saving(
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming bitmap: EXACT distinct-user sets maintained across
+# micro-batches — the exact companion to stream_hll's estimates, viable
+# whenever ids are dense integers (the batch twin is
+# analytics2.q_bitmap_sets).
+
+BM_WORDS = 64  # 32-bit words per (type, block); block = user_id div 2048
+
+BM_OUT_SCHEMA = "event_type string, blk long, w int, word long"
+BM_STATE_SCHEMA = "word long"
+
+
+def _bm_word_group(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state,
+) -> Iterator[pd.DataFrame]:
+    acc = 0
+    for pdf in pdfs:
+        for m in pdf["m"]:
+            acc |= int(m)
+    word = (state.get[0] if state.exists else 0) | acc
+    state.update((word,))
+    yield pd.DataFrame(
+        [(str(key[0]), int(key[1]), int(key[2]), int(word))],
+        columns=["event_type", "blk", "w", "word"],
+    )
+
+
+def stream_bitmap(
+    spark,
+    events_stream_dir: str,
+    event_schema: str,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming user-set bitmaps per event type: one packed 32-bit
+    word of state per (type, block, word-index) group, OR-accumulated
+    across micro-batches. Bitmap words are monotone under OR (like HLL
+    registers under max), so the final table is the per-key max of the
+    emitted updates and unions losslessly with batch-built bitmaps —
+    downstream AND+popcount answers exact audience intersections over a
+    stream that never stores raw user ids beyond the constant-size word
+    table. Bit math stays JVM-side, identical to the batch
+    ``bitmap_sets`` expressions; only (blk, w, m) ints cross into
+    Python."""
+    from pyspark.sql import functions as F
+
+    reader = spark.readStream.schema(event_schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    events = reader.parquet(events_stream_dir)
+    pos = events.select(
+        "event_type",
+        (F.col("user_id") / (BM_WORDS * 32)).cast("long").alias("blk"),
+        ((F.col("user_id") % (BM_WORDS * 32)) / 32).cast("int").alias("w"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))").alias("m"),
+    )
+    return pos.groupBy("event_type", "blk", "w").applyInPandasWithState(
+        _bm_word_group,
+        outputStructType=BM_OUT_SCHEMA,
+        stateStructType=BM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

@@ -89,3 +89,18 @@ def test_ndv_stats_accuracy_and_staleness(spark, tmp_path):
     cat.append(spark.createDataFrame([(9999, "new", 1)], "id int, grp string, val int"), "t")
     assert cat.table_stats("t")["built_at_snapshot"] < cat.current_snapshot_id("t")
     assert cat.table_stats("nope") is None
+
+
+def test_bloom_index_conservative_after_compaction(spark, tmp_path):
+    """Compaction rewrites files, so old bloom entries orphan; the new
+    files have no entries and must be conservatively kept until the
+    index is rebuilt (run both as maintenance jobs)."""
+    cat = _make_table(spark, tmp_path)
+    cat.build_bloom_index("t", "tok")
+    want = _vals(cat.read("t").where("tok = 'tok7'"))
+    cat.compact("t", target_files=2)
+    plan = cat.plan_files_eq("t", "tok", "tok7")
+    assert plan["kept_files"] == plan["total_files"]  # no entries -> keep all
+    assert _vals(cat.read_eq("t", "tok", "tok7")) == want
+    cat.build_bloom_index("t", "tok")  # rebuild restores pruning info
+    assert _vals(cat.read_eq("t", "tok", "tok7")) == want

@@ -87,3 +87,60 @@ def test_stream_sketch_equals_batch_sketch(spark, tmp_path):
     for t, rcs in probe_cells.items():
         est = min(stream_cells.get(rc, 0) for rc in rcs)
         assert est >= exact.get(t, 0), t
+
+
+def test_stream_bitmap_equals_batch_bitmap(spark, tmp_path):
+    """Stream-accumulated bitmap words must equal the batch bitmap over
+    the same rows, cell for cell (OR is monotone: final = max ver rows
+    == per-key OR of updates)."""
+    from pyspark.sql import functions as F
+
+    from ocr_to_csv_spark.streaming.sketch import BM_WORDS, stream_bitmap
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    src = str(tmp_path / "bm_stream")
+    os.makedirs(src)
+    events.where("event_id % 2 = 0").coalesce(1).write.mode("append").parquet(src)
+    events.where("event_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+
+    schema = ("event_id bigint, ts timestamp, user_id bigint,"
+              " event_type string, value double, props string")
+    q = (
+        stream_bitmap(spark, src, schema, max_files_per_trigger=1)
+        .writeStream.format("memory")
+        .queryName("bm_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "bm_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {}
+    for r in spark.sql("SELECT * FROM bm_out").collect():
+        k = (r["event_type"], r["blk"], r["w"])
+        got[k] = got.get(k, 0) | r["word"]
+
+    batch = (
+        events.select(
+            "event_type",
+            (F.col("user_id") / (BM_WORDS * 32)).cast("long").alias("blk"),
+            ((F.col("user_id") % (BM_WORDS * 32)) / 32).cast("int").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))").alias("m"),
+        )
+        .groupBy("event_type", "blk", "w")
+        .agg(F.bit_or("m").alias("word"))
+        .collect()
+    )
+    want = {(r["event_type"], r["blk"], r["w"]): r["word"] for r in batch}
+    assert got == want
+    # popcounts recover the exact per-type distinct-user counts
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    by_type = {}
+    for (t, _, _), word in got.items():
+        by_type[t] = by_type.get(t, 0) + bin(word & ((1 << 64) - 1)).count("1")
+    assert by_type == exact
