@@ -165,7 +165,76 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+TD_BUCKETS = 64
+TD_MUT = 97   # replica corruption: text perturbed where doc_id % 97 == 3
+TD_DROP = 101  # replica loss: row missing where doc_id % 101 == 7
+
+
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checksum-based table reconciliation (the data-diff idiom): to
+    verify a 100 TB replica you never sort-merge both copies — each
+    side aggregates (row count, sum of row hashes) into 64 key-hash
+    buckets, the bucket summaries join (tiny), and ONLY the buckets
+    whose checksums disagree get re-read at row grain to name the
+    differing keys. Here the "replica" is derived deterministically
+    from documents (text perturbed on one residue class, rows dropped
+    on another) so the oracle can replicate it; the plan is the real
+    one — two map-side bucket aggregates, a 64-row join, then row-grain
+    work confined to mismatched buckets via an equi semi-join on the
+    bucket id. Emits one row per differing doc_id with its status."""
+    d = table(spark, sf_dir, "documents")
+    src = d.select("doc_id", "text")
+    rep = (
+        d.filter(F.col("doc_id") % TD_DROP != 7)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % TD_MUT == 3,
+                F.concat(F.col("text"), F.lit(" CORRUPTED")),
+            ).otherwise(F.col("text")).alias("text"),
+        )
+    )
+
+    def summarize(t: DataFrame, side: str) -> DataFrame:
+        rh = hex32(F.concat(F.col("doc_id").cast("string"), F.lit("|"), F.col("text")))
+        b = F.pmod(hex32(F.col("doc_id").cast("string")), F.lit(TD_BUCKETS))
+        return (
+            t.select(b.alias("b"), rh.alias("rh"))
+            .groupBy("b")
+            .agg(F.count("*").alias(f"cnt_{side}"), F.sum("rh").alias(f"sum_{side}"))
+        )
+    sa = summarize(src, "a")
+    sb = summarize(rep, "b")
+    bad = (
+        sa.join(sb, "b", "full")
+        .filter(
+            (F.col("cnt_a").isNull() | F.col("cnt_b").isNull())
+            | (F.col("cnt_a") != F.col("cnt_b"))
+            | (F.col("sum_a") != F.col("sum_b"))
+        )
+        .select("b")
+    )
+    bcol = F.pmod(hex32(F.col("doc_id").cast("string")), F.lit(TD_BUCKETS)).alias("b")
+    rha = hex32(F.concat(F.col("doc_id").cast("string"), F.lit("|"), F.col("text")))
+    left = src.select("doc_id", bcol, rha.alias("ha")).join(bad, "b", "semi")
+    right = rep.select("doc_id", bcol, rha.alias("hb")).join(bad, "b", "semi")
+    j = left.join(right.select("doc_id", "hb"), "doc_id", "full")
+    return (
+        j.filter(F.col("ha").isNull() | F.col("hb").isNull() | (F.col("ha") != F.col("hb")))
+        .select(
+            "doc_id",
+            F.when(F.col("hb").isNull(), F.lit("missing_in_replica"))
+            .when(F.col("ha").isNull(), F.lit("extra_in_replica"))
+            .otherwise(F.lit("changed"))
+            .alias("status"),
+        )
+    )
+
+
 QUERIES = {
+    "table_diff": q_table_diff,
     "dq_audit": q_dq_audit,
     "source_drift": q_source_drift,
     "split_assign": q_split_assign,
@@ -254,3 +323,52 @@ ORACLES["source_drift"] = f"""
                - (CAST(n_b AS DOUBLE) / CAST(t_b AS DOUBLE))) AS l1_drift
     FROM wide, tot
 """
+
+ORACLES["table_diff"] = f"""
+    WITH src AS (SELECT doc_id, text FROM documents),
+    rep AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % {TD_MUT} = 3 THEN text || ' CORRUPTED'
+                    ELSE text END AS text
+        FROM documents WHERE doc_id % {TD_DROP} != 7
+    ),
+    sa AS (
+        SELECT {DUCK_HEX32.format(x="CAST(doc_id AS VARCHAR)")} % {TD_BUCKETS} AS b,
+               count(*) AS cnt_a,
+               CAST(sum({DUCK_HEX32.format(x="CAST(doc_id AS VARCHAR) || '|' || text")}) AS BIGINT) AS sum_a
+        FROM src GROUP BY 1
+    ),
+    sb AS (
+        SELECT {DUCK_HEX32.format(x="CAST(doc_id AS VARCHAR)")} % {TD_BUCKETS} AS b,
+               count(*) AS cnt_b,
+               CAST(sum({DUCK_HEX32.format(x="CAST(doc_id AS VARCHAR) || '|' || text")}) AS BIGINT) AS sum_b
+        FROM rep GROUP BY 1
+    ),
+    bad AS (
+        SELECT coalesce(sa.b, sb.b) AS b
+        FROM sa FULL JOIN sb ON sa.b = sb.b
+        WHERE sa.cnt_a IS NULL OR sb.cnt_b IS NULL
+           OR sa.cnt_a != sb.cnt_b OR sa.sum_a != sb.sum_b
+    ),
+    l AS (
+        SELECT doc_id,
+               {DUCK_HEX32.format(x="CAST(doc_id AS VARCHAR) || '|' || text")} AS ha
+        FROM src
+        WHERE {DUCK_HEX32.format(x="CAST(doc_id AS VARCHAR)")} % {TD_BUCKETS}
+              IN (SELECT b FROM bad)
+    ),
+    r AS (
+        SELECT doc_id,
+               {DUCK_HEX32.format(x="CAST(doc_id AS VARCHAR) || '|' || text")} AS hb
+        FROM rep
+        WHERE {DUCK_HEX32.format(x="CAST(doc_id AS VARCHAR)")} % {TD_BUCKETS}
+              IN (SELECT b FROM bad)
+    )
+    SELECT coalesce(l.doc_id, r.doc_id) AS doc_id,
+           CASE WHEN r.hb IS NULL THEN 'missing_in_replica'
+                WHEN l.ha IS NULL THEN 'extra_in_replica'
+                ELSE 'changed' END AS status
+    FROM l FULL JOIN r ON l.doc_id = r.doc_id
+    WHERE l.ha IS NULL OR r.hb IS NULL OR l.ha != r.hb
+"""
+

@@ -279,7 +279,71 @@ _STREAK_SQL = f"""
 """
 
 
+
+
+GAP_SCALE = 1000  # interpolated values in exact integer milli-units
+
+
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill with LINEAR INTERPOLATION (the densify step
+    ``resample_daily``'s zero-fill cannot do for level-like metrics):
+    per user, daily value totals in integer cents; missing days get
+    prev + (next - prev)·(day - prev_day) ÷ (next_day - prev_day),
+    computed with integer division in milli-units so both engines agree
+    bit-for-bit. Leading/trailing gaps carry the single available
+    endpoint. Plan: one (user, day) aggregate, a per-user day spine
+    (sequence + explode — never a users × calendar cross join), and two
+    IGNORE-NULLS navigation windows inside the user partition; nothing
+    global."""
+    ev = table(spark, sf_dir, "events")
+    day = F.datediff(F.col("ts").cast("date"), F.lit("1995-01-01").cast("date"))
+    daily = (
+        ev.select("user_id", day.alias("day"),
+                  F.round(F.col("value") * 100).cast("long").alias("cents"))
+        .groupBy("user_id", "day")
+        .agg(F.sum("cents").alias("val"))
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    spine = span.select(
+        "user_id", F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    j = spine.join(daily, ["user_id", "day"], "left")
+    w = Window.partitionBy("user_id").orderBy("day")
+    prev_val = F.last("val", ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev_day = F.last(
+        F.when(F.col("val").isNotNull(), F.col("day")), ignorenulls=True
+    ).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    next_val = F.first("val", ignorenulls=True).over(
+        w.rowsBetween(0, Window.unboundedFollowing)
+    )
+    next_day = F.first(
+        F.when(F.col("val").isNotNull(), F.col("day")), ignorenulls=True
+    ).over(w.rowsBetween(0, Window.unboundedFollowing))
+    interp = (
+        prev_val * GAP_SCALE
+        + ((next_val - prev_val) * GAP_SCALE * (F.col("day") - prev_day))
+        .cast("long")
+        / (next_day - prev_day)
+    )
+    filled = F.when(F.col("val").isNotNull(), F.col("val") * GAP_SCALE).otherwise(
+        F.when(prev_val.isNull(), next_val * GAP_SCALE)
+        .when(next_val.isNull(), prev_val * GAP_SCALE)
+        .otherwise(F.floor(interp))
+    )
+    return j.select(
+        "user_id",
+        F.col("day").cast("long").alias("day"),
+        F.col("val").isNull().cast("int").alias("was_gap"),
+        filled.cast("long").alias("val_milli"),
+    )
+
+
 QUERIES = {
+    "gap_fill": q_gap_fill,
     "autocorr_daily": q_autocorr_daily,
     "cusum_drift": q_cusum_drift,
     "interarrival": q_interarrival,
@@ -294,3 +358,46 @@ ORACLES = {
     "seasonality_hour": _SEASONALITY_SQL,
     "active_streak": _STREAK_SQL,
 }
+
+ORACLES["gap_fill"] = f"""
+    WITH daily AS (
+        SELECT user_id,
+               date_diff('day', DATE '1995-01-01', CAST(ts AS DATE)) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS val
+        FROM events GROUP BY 1, 2
+    ), span AS (
+        SELECT user_id, min(day) AS lo, max(day) AS hi FROM daily GROUP BY 1
+    ), spine AS (
+        SELECT user_id, unnest(generate_series(lo, hi)) AS day FROM span
+    ), j AS (
+        SELECT s.user_id, s.day, d.val FROM spine s
+        LEFT JOIN daily d ON d.user_id = s.user_id AND d.day = s.day
+    ), nav AS (
+        SELECT user_id, day, val,
+               last_value(val IGNORE NULLS) OVER
+                   (PARTITION BY user_id ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+               last_value(CASE WHEN val IS NOT NULL THEN day END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+               first_value(val IGNORE NULLS) OVER
+                   (PARTITION BY user_id ORDER BY day
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+               first_value(CASE WHEN val IS NOT NULL THEN day END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY day
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+        FROM j
+    )
+    SELECT user_id, CAST(day AS BIGINT) AS day,
+           (val IS NULL)::INT AS was_gap,
+           CAST(CASE
+               WHEN val IS NOT NULL THEN val * {GAP_SCALE}
+               WHEN pv IS NULL THEN nv * {GAP_SCALE}
+               WHEN nv IS NULL THEN pv * {GAP_SCALE}
+               ELSE pv * {GAP_SCALE}
+                    + CAST(floor(((nv - pv) * {GAP_SCALE} * (day - pd))
+                                 / CAST(nd - pd AS DOUBLE)) AS BIGINT)
+           END AS BIGINT) AS val_milli
+    FROM nav
+"""
+
