@@ -572,3 +572,139 @@ _BM_SQL = f"""
 
 QUERIES["bitmap_sets"] = q_bitmap_sets
 ORACLES["bitmap_sets"] = _BM_SQL
+
+
+# ---------------------------------------------------------------- batch 29
+
+
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout (the experimentation-platform aggregate):
+    users assign to arms by hash parity (deterministic, the same
+    leakage-safe split ``split_assign`` uses), per-arm purchase-value
+    stats come from ONE map-side aggregate in exact integer cents
+    (n, Σx, Σx²), and the two-sample z statistic is assembled from
+    those six integers with a fixed IEEE parenthesization — the whole
+    experiment readout costs one scan regardless of user count. Emits
+    per-arm means plus the z numerator/denominator pieces so the oracle
+    checks the statistic, not just the sums."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    arm = F.pmod(hex32(F.col("user_id").cast("string")), F.lit(2)).alias("arm")
+    cents = F.round(F.col("value") * 100).cast("long")
+    per = (
+        ev.select(arm, cents.alias("c"))
+        .groupBy("arm")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("c").alias("sx"),
+            F.sum(F.col("c") * F.col("c")).alias("sxx"),
+        )
+    )
+    a = per.filter(F.col("arm") == 0).select(
+        F.col("n").alias("n0"), F.col("sx").alias("sx0"), F.col("sxx").alias("sxx0")
+    )
+    b = per.filter(F.col("arm") == 1).select(
+        F.col("n").alias("n1"), F.col("sx").alias("sx1"), F.col("sxx").alias("sxx1")
+    )
+    j = a.crossJoin(b)
+    mean0 = F.col("sx0") / F.col("n0")
+    mean1 = F.col("sx1") / F.col("n1")
+    var0 = (F.col("sxx0") - (F.col("sx0") * F.col("sx0")) / F.col("n0")) / (F.col("n0") - 1)
+    var1 = (F.col("sxx1") - (F.col("sx1") * F.col("sx1")) / F.col("n1")) / (F.col("n1") - 1)
+    se = F.sqrt(var0 / F.col("n0") + var1 / F.col("n1"))
+    return j.select(
+        "n0", "sx0", "sxx0", "n1", "sx1", "sxx1",
+        mean0.alias("mean0"),
+        mean1.alias("mean1"),
+        ((mean1 - mean0) / se).alias("z"),
+    )
+
+
+_AB_SQL = f"""
+    WITH per AS (
+        SELECT {DUCK_HEX32.format(x="CAST(user_id AS VARCHAR)")} % 2 AS arm,
+               count(*) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sx,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)
+                        * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sxx
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    a AS (SELECT n AS n0, sx AS sx0, sxx AS sxx0 FROM per WHERE arm = 0),
+    b AS (SELECT n AS n1, sx AS sx1, sxx AS sxx1 FROM per WHERE arm = 1)
+    SELECT n0, sx0, sxx0, n1, sx1, sxx1,
+           sx0 / CAST(n0 AS DOUBLE) AS mean0,
+           sx1 / CAST(n1 AS DOUBLE) AS mean1,
+           ((sx1 / CAST(n1 AS DOUBLE)) - (sx0 / CAST(n0 AS DOUBLE)))
+           / sqrt(((sxx0 - (sx0 * sx0) / CAST(n0 AS DOUBLE)) / (n0 - 1)) / n0
+                  + ((sxx1 - (sx1 * sx1) / CAST(n1 AS DOUBLE)) / (n1 - 1)) / n1)
+               AS z
+    FROM a, b
+"""
+
+
+ITEM_CF_SCALE = 1_000_000
+
+
+def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering over order baskets: cosine
+    similarity between parts from co-occurrence counts —
+    cooc(a,b) / sqrt(n(a)·n(b)) — the classic recsys candidate
+    generator. The pair fan-out is confined to a self-join ON ORDERKEY
+    (bounded by basket size, like ``basket_pairs``); per-item counts
+    broadcast back onto the bounded pair table; the integer-exact
+    similarity is emitted as floor(cooc²·SCALE / (n_a·n_b)) so engines
+    agree bit-for-bit (monotone in true cosine, so ranking is
+    preserved)."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    pairs = (
+        li.alias("x")
+        .join(li.alias("y"), F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .groupBy(
+            F.col("x.l_partkey").alias("pa"), F.col("y.l_partkey").alias("pb")
+        )
+        .agg(F.count("*").alias("cooc"))
+        .filter(F.col("cooc") >= 2)
+    )
+    counts = li.groupBy("l_partkey").agg(F.countDistinct("l_orderkey").alias("n"))
+    return (
+        pairs.join(
+            F.broadcast(counts.withColumnRenamed("l_partkey", "pa")
+                        .withColumnRenamed("n", "na")), "pa"
+        )
+        .join(
+            F.broadcast(counts.withColumnRenamed("l_partkey", "pb")
+                        .withColumnRenamed("n", "nb")), "pb"
+        )
+        .select(
+            "pa", "pb", "cooc", "na", "nb",
+            F.floor(
+                (F.col("cooc") * F.col("cooc") * ITEM_CF_SCALE)
+                / (F.col("na") * F.col("nb"))
+            ).cast("long").alias("cos2_fp"),
+        )
+    )
+
+
+_ICF_SQL = f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+        SELECT x.l_partkey AS pa, y.l_partkey AS pb, count(*) AS cooc
+        FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+        WHERE x.l_partkey < y.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    counts AS (
+        SELECT l_partkey, count(DISTINCT l_orderkey) AS n FROM li GROUP BY 1
+    )
+    SELECT pa, pb, cooc, ca.n AS na, cb.n AS nb,
+           CAST(floor((cooc * cooc * {ITEM_CF_SCALE})
+                      / CAST(ca.n * cb.n AS DOUBLE)) AS BIGINT) AS cos2_fp
+    FROM pairs
+    JOIN counts ca ON ca.l_partkey = pa
+    JOIN counts cb ON cb.l_partkey = pb
+"""
+
+QUERIES["ab_test"] = q_ab_test
+QUERIES["item_cf"] = q_item_cf
+ORACLES["ab_test"] = _AB_SQL
+ORACLES["item_cf"] = _ICF_SQL

@@ -46,3 +46,54 @@ def test_table_diff_statuses(spark, tmp_path):
     ).write.parquet(str(tmp_path / "documents.parquet"))
     got = {r["doc_id"]: r["status"] for r in q_table_diff(spark, str(tmp_path)).collect()}
     assert got == {changed: "changed", missing: "missing_in_replica"}
+
+
+def test_ab_test_statistic_hand_computed(spark, tmp_path):
+    import hashlib
+    import math
+
+    from ocr_to_csv_spark.functions.analytics2 import q_ab_test
+
+    def arm(u):
+        return int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) % 2
+
+    users0 = [u for u in range(40) if arm(u) == 0][:3]
+    users1 = [u for u in range(40) if arm(u) == 1][:3]
+    vals0 = [10.0, 20.0, 30.0]
+    vals1 = [20.0, 30.0, 40.0]
+    rows = []
+    eid = 0
+    for u, v in list(zip(users0, vals0)) + list(zip(users1, vals1)):
+        rows.append((eid, TS(2001, 1, 1), u, "purchase", v, "{}")); eid += 1
+        rows.append((eid, TS(2001, 1, 1), u, "click", 999.0, "{}")); eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    r = q_ab_test(spark, str(tmp_path)).collect()[0]
+    assert (r["n0"], r["n1"]) == (3, 3)
+    assert r["mean0"] == 2000.0 and r["mean1"] == 3000.0  # cents
+    # var = 1e6 cents^2 for both arms; se = sqrt(2e6/3)
+    assert abs(r["z"] - 1000.0 / math.sqrt(2_000_000.0 / 3)) < 1e-9
+
+
+def test_item_cf_cosine_fixed_point(spark, tmp_path):
+    from ocr_to_csv_spark.functions.analytics2 import ITEM_CF_SCALE, q_item_cf
+
+    li = []
+    # parts 1,2 co-occur in orders 1,2; part 3 only in order 1
+    for ok, parts in [(1, [1, 2, 3]), (2, [1, 2]), (3, [1])]:
+        for p in parts:
+            li.append((ok, p, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", TS(2001, 1, 1)))
+    spark.createDataFrame(
+        li,
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, l_linenumber bigint,"
+        " l_quantity double, l_extendedprice double, l_discount double, l_tax double,"
+        " l_returnflag string, l_linestatus string, l_shipdate timestamp",
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    got = {(r["pa"], r["pb"]): r for r in q_item_cf(spark, str(tmp_path)).collect()}
+    assert set(got) == {(1, 2)}  # only pair with cooc >= 2
+    r = got[(1, 2)]
+    assert (r["cooc"], r["na"], r["nb"]) == (2, 3, 2)
+    assert r["cos2_fp"] == (4 * ITEM_CF_SCALE) // 6
