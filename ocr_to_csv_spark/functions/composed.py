@@ -261,7 +261,57 @@ _LEAK_SQL = f"""
 """
 
 
+
+
+ER_ROUNDS = 4  # min-label propagation rounds over the linkage graph
+
+
+def q_er_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution GOLDEN RECORDS — the composition the linkage
+    score feeds: ``record_linkage``'s above-threshold pairs become an
+    undirected graph, ER_ROUNDS of min-label propagation collapse each
+    connected linkage cluster to its min doc_id (clusters are
+    block-confined and tiny, so a fixed small round count converges —
+    the same bounded-superstep idiom as ``dedup_clusters``), and one
+    row per matched doc carries its cluster id plus an ``is_golden``
+    flag on the cluster's canonical record (min doc_id — deterministic
+    survivor pick). Per round: one keyed equi-join + one min-aggregate,
+    linkage-table-sized, never corpus-sized."""
+    from .analytics2 import q_record_linkage
+
+    links = q_record_linkage(spark, sf_dir).select("doc_a", "doc_b")
+    edges = links.unionByName(
+        links.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).distinct()
+    nodes = (
+        edges.select(F.col("doc_a").alias("id"))
+        .union(edges.select(F.col("doc_b").alias("id")))
+        .distinct()
+    )
+    lab = nodes.select("id", F.col("id").alias("lab"))
+    for _ in range(ER_ROUNDS):
+        nb = (
+            edges.join(
+                lab.select(F.col("id").alias("doc_b"), F.col("lab").alias("nlab")),
+                "doc_b",
+            )
+            .groupBy("doc_a")
+            .agg(F.min("nlab").alias("m"))
+        )
+        lab = lab.join(nb, lab.id == nb.doc_a, "left").select(
+            "id", F.least(F.col("lab"), F.coalesce("m", F.col("lab"))).alias("lab")
+        )
+    return lab.select(
+        F.col("id").alias("doc_id"),
+        F.col("lab").alias("cluster_id"),
+        (F.col("id") == F.col("lab")).cast("int").alias("is_golden"),
+    )
+
+
 QUERIES = {
+    "er_golden": q_er_golden,
     "zipf_fit": q_zipf_fit,
     "hard_negatives": q_hard_negatives,
     "split_leakage_audit": q_split_leakage_audit,
@@ -272,3 +322,39 @@ ORACLES = {
     "hard_negatives": _HN_SQL,
     "split_leakage_audit": _LEAK_SQL,
 }
+
+
+def _er_golden_sql() -> str:
+    from .analytics2 import ORACLES as A2_ORACLES
+
+    from_links = A2_ORACLES["record_linkage"]
+    parts = [
+        f"WITH links AS MATERIALIZED ({from_links})",
+        """edges AS MATERIALIZED (
+            SELECT doc_a, doc_b FROM links
+            UNION SELECT doc_b AS doc_a, doc_a AS doc_b FROM links
+        )""",
+        """nodes AS MATERIALIZED (
+            SELECT DISTINCT doc_a AS id FROM edges
+            UNION SELECT DISTINCT doc_b AS id FROM edges
+        )""",
+        "l0 AS MATERIALIZED (SELECT id, id AS lab FROM nodes)",
+    ]
+    from .composed import ER_ROUNDS
+    for r in range(ER_ROUNDS):
+        parts.append(f"""l{r+1} AS MATERIALIZED (
+            SELECT l.id,
+                   least(l.lab, coalesce(m.m, l.lab)) AS lab
+            FROM l{r} l LEFT JOIN (
+                SELECT e.doc_a AS nid, min(x.lab) AS m
+                FROM edges e JOIN l{r} x ON x.id = e.doc_b
+                GROUP BY e.doc_a
+            ) m ON m.nid = l.id
+        )""")
+    body = ",\n".join(parts)
+    return (body + f"\nSELECT id AS doc_id, lab AS cluster_id, "
+            f"(id = lab)::INT AS is_golden FROM l{ER_ROUNDS}")
+
+
+ORACLES["er_golden"] = _er_golden_sql()
+

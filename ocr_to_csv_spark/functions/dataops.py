@@ -233,7 +233,69 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+K_ANON = 4  # groups smaller than this violate k-anonymity
+K_ANON_BAND = 1000  # acctbal quasi-identifier band width (dollars*100)
+
+
+def q_k_anon_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (data-governance gate next to ``dq_audit`` /
+    ``pii_scrub``): under the quasi-identifier tuple (nation, market
+    segment, account-balance band), any equivalence class smaller than
+    k re-identifies its members; the audit emits every violating class
+    with its size. ONE map-side aggregate over the quasi-identifier
+    key — at 10^12 rows the violating classes are by definition the
+    SMALL groups, so the output is tiny and the release decision
+    (suppress / generalize the band) reads straight off it."""
+    c = table(spark, sf_dir, "customer")
+    band = F.floor(F.round(F.col("c_acctbal") * 100) / K_ANON_BAND).cast("long")
+    return (
+        c.groupBy(
+            F.col("c_nationkey").cast("long").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+            band.alias("bal_band"),
+        )
+        .agg(F.count("*").alias("class_size"))
+        .filter(F.col("class_size") < K_ANON)
+    )
+
+
+def q_consistent_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-preserving UNIVERSE sampling (BlinkDB / quickstep idiom):
+    sampling each table independently destroys joins (P(keep pair) =
+    p²); sampling the JOIN KEY's hash universe keeps every row of both
+    sides for the sampled keys, so per-key joins survive intact and
+    join aggregates scale by 1/p unbiased. Emits the audit: exact join
+    count, universe-sample estimate (count/p on the key-sampled join),
+    and the estimator bias — all deterministic (hash sampling, no
+    RNG; at 10^12 rows the universe sample is the only way a join
+    aggregate survives sampling)."""
+    p_mod, p_keep = 10, 1  # keep keys with hash % 10 == 0 (p = 1/10)
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey")
+    keyhash = lambda c: F.pmod(hex32(F.col(c).cast("string")), F.lit(p_mod))
+    exact = li.join(o, li.l_orderkey == o.o_orderkey).agg(
+        F.count("*").alias("exact_join_rows")
+    )
+    uni = (
+        li.filter(keyhash("l_orderkey") < p_keep)
+        .join(
+            o.filter(keyhash("o_orderkey") < p_keep),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .agg((F.count("*") * p_mod).alias("universe_est_rows"))
+    )
+    return exact.crossJoin(uni).select(
+        "exact_join_rows",
+        "universe_est_rows",
+        (F.col("universe_est_rows") - F.col("exact_join_rows")).alias("bias_rows"),
+    )
+
+
 QUERIES = {
+    "k_anon_audit": q_k_anon_audit,
+    "consistent_sample": q_consistent_sample,
     "table_diff": q_table_diff,
     "dq_audit": q_dq_audit,
     "source_drift": q_source_drift,
@@ -370,5 +432,34 @@ ORACLES["table_diff"] = f"""
                 ELSE 'changed' END AS status
     FROM l FULL JOIN r ON l.doc_id = r.doc_id
     WHERE l.ha IS NULL OR r.hb IS NULL OR l.ha != r.hb
+"""
+
+ORACLES["k_anon_audit"] = f"""
+    SELECT CAST(c_nationkey AS BIGINT) AS nation,
+           c_mktsegment AS segment,
+           CAST(floor(CAST(round(c_acctbal * 100) AS BIGINT) / {K_ANON_BAND}.0)
+                AS BIGINT) AS bal_band,
+           count(*) AS class_size
+    FROM customer
+    GROUP BY 1, 2, 3
+    HAVING count(*) < {K_ANON}
+"""
+
+ORACLES["consistent_sample"] = f"""
+    WITH ex AS (
+        SELECT count(*) AS exact_join_rows
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    uni AS (
+        SELECT CAST(count(*) * 10 AS BIGINT) AS universe_est_rows
+        FROM (SELECT l_orderkey FROM lineitem
+              WHERE {DUCK_HEX32.format(x="CAST(l_orderkey AS VARCHAR)")} % 10 < 1) l
+        JOIN (SELECT o_orderkey FROM orders
+              WHERE {DUCK_HEX32.format(x="CAST(o_orderkey AS VARCHAR)")} % 10 < 1) o
+          ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT exact_join_rows, universe_est_rows,
+           CAST(universe_est_rows - exact_join_rows AS BIGINT) AS bias_rows
+    FROM ex, uni
 """
 

@@ -97,3 +97,52 @@ def test_item_cf_cosine_fixed_point(spark, tmp_path):
     r = got[(1, 2)]
     assert (r["cooc"], r["na"], r["nb"]) == (2, 3, 2)
     assert r["cos2_fp"] == (4 * ITEM_CF_SCALE) // 6
+
+
+def test_er_golden_transitive_cluster(spark, tmp_path):
+    """Docs linked a-b and b-c (never a-c directly, they sit in
+    different length buckets via b's doubled block membership... here
+    simply identical docs) must land in ONE cluster with min id
+    golden."""
+    import hashlib
+
+    from ocr_to_csv_spark.functions.analytics2 import FS_PREFIX
+    from ocr_to_csv_spark.functions.composed import q_er_golden
+
+    def half(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 2
+
+    evens = [i for i in range(60) if half(i) == 0]
+    odds = [i for i in range(60) if half(i) == 1]
+    base = "link me " + "x " * 30
+    docs = [
+        (evens[0], base, "en", "s1", len(base)),
+        (odds[0], base, "en", "s1", len(base)),
+        (evens[1], base, "en", "s1", len(base)),
+        (odds[1], base, "en", "s1", len(base)),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {r["doc_id"]: (r["cluster_id"], r["is_golden"])
+           for r in q_er_golden(spark, str(tmp_path)).collect()}
+    ids = sorted(got)
+    root = min(ids)
+    assert all(c == root for c, _ in got.values())
+    assert [v[1] for _, v in sorted(got.items())] == [
+        1 if i == root else 0 for i in ids
+    ]
+
+
+def test_k_anon_flags_small_classes(spark, tmp_path):
+    from ocr_to_csv_spark.functions.dataops import K_ANON, q_k_anon_audit
+
+    rows = [(i, f"Customer#{i:09d}", 1, 5.00, "B") for i in range(K_ANON)]  # safe
+    rows += [(100 + j, f"Customer#{100+j:09d}", 2, 5.00, "B") for j in range(K_ANON - 1)]
+    spark.createDataFrame(
+        rows, "c_custkey bigint, c_name string, c_nationkey bigint,"
+        " c_acctbal double, c_mktsegment string"
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+    got = q_k_anon_audit(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    assert (got[0]["nation"], got[0]["class_size"]) == (2, K_ANON - 1)
