@@ -1168,12 +1168,15 @@ class SnapshotCatalog:
         self, df: DataFrame, name: str,
         partition_by: list[str] | None = None,
         branch: str | None = None,
+        summary: dict | None = None,
     ) -> int:
         """Overwrite as a new snapshot; an explicit ``partition_by``
         (re)defines the table's hive-style partition layout (the Iceberg
         identity partition transform — new spec allowed here because
         overwrite replaces every data dir). ``branch=`` stages the
-        overwrite on that branch (WAP) instead of main."""
+        overwrite on that branch (WAP) instead of main; ``summary``
+        lands in the snapshot summary (commit metadata, e.g. the
+        resumable-iteration round marker)."""
         pb = list(partition_by) if partition_by is not None else (
             self._parent_partition_by(name, None, branch=branch)
         )
@@ -1182,6 +1185,7 @@ class SnapshotCatalog:
         return self._commit(
             name, "overwrite", [rel], n, partition_by=pb,
             schema_json=df.schema.json(), branch=branch,
+            summary=summary,
             extra={
                 "dir_seqs": {rel: sid},
                 "delete_files": [],
