@@ -356,3 +356,159 @@ ORACLES = {
     "spearman_ranks": _SPEARMAN_SQL,
     "weighted_median": _WMEDIAN_SQL,
 }
+
+
+# ---------------------------------------------------------------- batch 31
+
+TS_FROM, TS_TO = "2024-01-01", "2024-02-01"
+
+
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend: the MEDIAN of all pairwise slopes of the
+    daily-revenue series — immune to the outlier days that wreck
+    ``ols_fit``'s least squares. The O(n²) pair set is confined to the
+    DAY-grain aggregate (a two-month window → bounded pairs; at any
+    corpus size the day table stays calendar-sized), slopes compare as
+    the same IEEE division in both engines, and the median picks the
+    middle slope with a (dy, dx) tie-break so the answer is exact.
+    Emits the slope as an exact (dy, dx) integer pair plus its double."""
+    ev = table(spark, sf_dir, "events").filter(
+        (F.col("ts") >= F.lit(TS_FROM).cast("timestamp"))
+        & (F.col("ts") < F.lit(TS_TO).cast("timestamp"))
+    )
+    day = F.datediff(F.col("ts").cast("date"), F.lit("1995-01-01").cast("date"))
+    daily = ev.groupBy(day.alias("d")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("v")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(b, F.col("a.d") < F.col("b.d")).select(
+        (F.col("b.v") - F.col("a.v")).alias("dy"),
+        (F.col("b.d") - F.col("a.d")).alias("dx"),
+    )
+    w = Window.orderBy(
+        (F.col("dy") / F.col("dx")).asc(), F.col("dy").asc(), F.col("dx").asc()
+    )
+    n = pairs.count()
+    mid = (n + 1) // 2
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == mid)
+        .select(
+            "dy",
+            "dx",
+            (F.col("dy") / F.col("dx")).alias("slope"),
+            F.lit(n).cast("long").alias("n_pairs"),
+        )
+    )
+
+
+_TS_SQL = f"""
+    WITH daily AS (
+        SELECT date_diff('day', DATE '1995-01-01', CAST(ts AS DATE)) AS d,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+        FROM events
+        WHERE ts >= TIMESTAMP '{TS_FROM}' AND ts < TIMESTAMP '{TS_TO}'
+        GROUP BY 1
+    ),
+    pairs AS (
+        SELECT CAST(b.v - a.v AS BIGINT) AS dy, CAST(b.d - a.d AS BIGINT) AS dx
+        FROM daily a JOIN daily b ON a.d < b.d
+    ),
+    ranked AS (
+        SELECT dy, dx,
+               row_number() OVER (ORDER BY dy / CAST(dx AS DOUBLE) ASC,
+                                  dy ASC, dx ASC) AS rn,
+               count(*) OVER () AS n
+        FROM pairs
+    )
+    SELECT dy, dx, dy / CAST(dx AS DOUBLE) AS slope,
+           CAST(n AS BIGINT) AS n_pairs
+    FROM ranked WHERE rn = (n + 1) // 2
+"""
+
+
+CAL_BINS = 10
+
+
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier calibration (reliability diagram input): bucket the
+    hashing-trick quality score into CAL_BINS equal-width bins and
+    compare each bin's mean score against its empirical positive rate
+    (label = lang == 'en', the same deterministic label
+    quality_classifier trains against). One scored scan + one bin
+    aggregate; counts/sums exact integers, the two rates divide with
+    the same parenthesization in both engines."""
+    from .textops import q_quality_classifier
+
+    lab = table(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("lang") == "en").cast("long").alias("label")
+    )
+    scored = (
+        q_quality_classifier(spark, sf_dir)
+        .select("doc_id", "score")
+        .join(lab, "doc_id")
+    )
+    mm = scored.agg(F.min("score").alias("lo"), F.max("score").alias("hi"))
+    binned = scored.crossJoin(F.broadcast(mm)).select(
+        F.least(
+            F.lit(CAL_BINS - 1),
+            F.floor(
+                ((F.col("score") - F.col("lo")).cast("double") * CAL_BINS)
+                / (F.col("hi") - F.col("lo") + 1)
+            ).cast("int"),
+        ).alias("bin"),
+        "score",
+        "label",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("label").alias("n_pos"),
+            F.sum("score").alias("sum_score"),
+        )
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            (F.col("n_pos") / F.col("n")).alias("pos_rate"),
+            (F.col("sum_score") / F.col("n")).alias("mean_score"),
+        )
+    )
+
+
+QUERIES["theil_sen"] = q_theil_sen
+QUERIES["calibration_bins"] = q_calibration_bins
+ORACLES["theil_sen"] = _TS_SQL
+
+
+def _calibration_sql() -> str:
+    from .textops import ORACLES as TX_ORACLES
+
+    qc = TX_ORACLES["quality_classifier"]
+    return f"""
+        WITH qc AS MATERIALIZED ({qc}),
+        scored AS (
+            SELECT qc.doc_id, qc.score,
+                   (d.lang = 'en')::BIGINT AS label
+            FROM qc JOIN documents d ON d.doc_id = qc.doc_id
+        ),
+        mm AS (SELECT min(score) AS lo, max(score) AS hi FROM scored),
+        binned AS (
+            SELECT least({CAL_BINS} - 1,
+                       CAST(floor(((score - lo) * {CAL_BINS})
+                                  / CAST(hi - lo + 1 AS DOUBLE)) AS INT))
+                       AS bin,
+                   score, label
+            FROM scored, mm
+        )
+        SELECT bin, count(*) AS n,
+               CAST(sum(label) AS BIGINT) AS n_pos,
+               CAST(sum(label) AS BIGINT) / CAST(count(*) AS DOUBLE) AS pos_rate,
+               CAST(sum(score) AS BIGINT) / CAST(count(*) AS DOUBLE) AS mean_score
+        FROM binned GROUP BY bin
+    """
+
+
+ORACLES["calibration_bins"] = _calibration_sql()
+

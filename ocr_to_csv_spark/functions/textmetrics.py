@@ -394,3 +394,123 @@ ORACLES = {
     "hapax_ratio": _HAPAX_SQL,
     "doc_tfidf_keywords": _KW_SQL,
 }
+
+
+# ---------------------------------------------------------------- batch 31
+
+NDCG_K = 10
+# 1/log2(r+1) gain discounts, precomputed so both engines use the SAME
+# double literals (no libm log at query time)
+NDCG_W = [1.0 / __import__("math").log2(r + 1) for r in range(1, NDCG_K + 1)]
+
+
+def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of the tf-ranking against first-position-derived graded
+    relevance (rel 3/2/1 for fpos ≤20 / ≤100 / else) for each probe
+    token — THE standard ranking-quality metric, closing the IR-eval
+    family (rrf_fusion, rbo_overlap, ann_recall). DCG and the ideal DCG
+    are sequential folds over the per-query top-10 arrays with
+    precomputed discount literals, so both engines accumulate identical
+    doubles; everything before the fold is one (tok, doc) aggregate +
+    one rank window (WindowGroupLimit prunes map-side)."""
+    d = table(spark, sf_dir, "documents", spread=True)
+    tk = d.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+    ).filter(F.col("tok").isin(RBO_PROBES))
+    g = tk.groupBy("tok", "doc_id").agg(
+        F.count("*").alias("tf"), (F.min("pos") + 1).alias("fpos")
+    )
+    rel = (
+        F.when(F.col("fpos") <= 20, 3)
+        .when(F.col("fpos") <= 100, 2)
+        .otherwise(1)
+        .cast("long")
+    )
+    w1 = Window.partitionBy("tok").orderBy(F.desc("tf"), F.asc("doc_id"))
+    top = (
+        g.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= NDCG_K)
+        .select("tok", "r1", rel.alias("rel"))
+    )
+    warr = F.array(*[F.lit(w) for w in NDCG_W])
+    lists = top.groupBy("tok").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("r1", "rel"))),
+            lambda s: s["rel"],
+        ).alias("rels")
+    )
+
+    def fold(arr):
+        return F.aggregate(
+            F.sequence(F.lit(1), F.size(arr)),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + F.element_at(warr, i) * F.element_at(arr, i).cast("double"),
+        )
+
+    ideal = F.reverse(F.array_sort(F.col("rels")))
+    return lists.select(
+        F.col("tok").alias("token"),
+        F.size("rels").cast("long").alias("depth"),
+        fold(F.col("rels")).alias("dcg"),
+        fold(ideal).alias("idcg"),
+        (fold(F.col("rels")) / fold(ideal)).alias("ndcg"),
+    )
+
+
+_NDCG_W_SQL = "[" + ", ".join(f"{w:.17e}" for w in NDCG_W) + "]"
+
+_NDCG_SQL = f"""
+    WITH t AS (
+        SELECT doc_id, {DUCK_TOKENS.format(x='text')} AS toks FROM documents
+    ),
+    ix AS (
+        SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM t
+    ),
+    tk AS (
+        SELECT doc_id, toks[i] AS tok, i FROM ix
+        WHERE toks[i] IN ({_RBO_PROBES_SQL})
+    ),
+    g AS (
+        SELECT tok, doc_id, count(*)::BIGINT AS tf, min(i) AS fpos
+        FROM tk GROUP BY tok, doc_id
+    ),
+    top AS (
+        SELECT tok,
+               row_number() OVER (
+                   PARTITION BY tok ORDER BY tf DESC, doc_id ASC
+               ) AS r1,
+               CAST(CASE WHEN fpos <= 20 THEN 3
+                         WHEN fpos <= 100 THEN 2 ELSE 1 END AS BIGINT) AS rel
+        FROM g
+        QUALIFY r1 <= {NDCG_K}
+    ),
+    lists AS (
+        SELECT tok, list(rel ORDER BY r1) AS rels FROM top GROUP BY tok
+    )
+    SELECT tok AS token,
+           len(rels)::BIGINT AS depth,
+           list_reduce(
+               list_prepend(0.0::DOUBLE, generate_series(1, len(rels))),
+               (acc, i) -> acc + ({_NDCG_W_SQL}::DOUBLE[])[i::BIGINT]
+                   * rels[i::BIGINT]::DOUBLE
+           ) AS dcg,
+           list_reduce(
+               list_prepend(0.0::DOUBLE, generate_series(1, len(rels))),
+               (acc, i) -> acc + ({_NDCG_W_SQL}::DOUBLE[])[i::BIGINT]
+                   * (list_reverse(list_sort(rels)))[i::BIGINT]::DOUBLE
+           ) AS idcg,
+           list_reduce(
+               list_prepend(0.0::DOUBLE, generate_series(1, len(rels))),
+               (acc, i) -> acc + ({_NDCG_W_SQL}::DOUBLE[])[i::BIGINT]
+                   * rels[i::BIGINT]::DOUBLE
+           ) / list_reduce(
+               list_prepend(0.0::DOUBLE, generate_series(1, len(rels))),
+               (acc, i) -> acc + ({_NDCG_W_SQL}::DOUBLE[])[i::BIGINT]
+                   * (list_reverse(list_sort(rels)))[i::BIGINT]::DOUBLE
+           ) AS ndcg
+    FROM lists
+"""
+
+QUERIES["ndcg"] = q_ndcg
+ORACLES["ndcg"] = _NDCG_SQL

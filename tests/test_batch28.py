@@ -146,3 +146,35 @@ def test_k_anon_flags_small_classes(spark, tmp_path):
     got = q_k_anon_audit(spark, str(tmp_path)).collect()
     assert len(got) == 1
     assert (got[0]["nation"], got[0]["class_size"]) == (2, K_ANON - 1)
+
+
+def test_theil_sen_robust_to_outlier_day(spark, tmp_path):
+    from ocr_to_csv_spark.functions.statsops import q_theil_sen
+
+    # days 0,1,2,3 with values 100,200,300,99900 (cents: x100):
+    # OLS would be wrecked; pairwise slopes median stays near 100/day
+    rows = []
+    eid = 0
+    for d, v in [(1, 1.00), (2, 2.00), (3, 3.00), (4, 999.00)]:
+        rows.append((eid, TS(2024, 1, d), 1, "click", v, "{}")); eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    r = q_theil_sen(spark, str(tmp_path)).collect()[0]
+    assert r["n_pairs"] == 6
+    # sorted slopes (cents/day): 100,100,100, 49850, 49900, 99600 -> median rank 3
+    assert (r["dy"], r["dx"]) in {(100, 1), (200, 2), (300, 3)}
+    assert r["slope"] == 100.0
+
+
+def test_ndcg_perfect_and_bounds(spark):
+    from ocr_to_csv_spark.functions.textmetrics import q_ndcg
+
+    rows = q_ndcg(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r["ndcg"] <= 1.0
+        assert r["idcg"] >= r["dcg"] > 0.0
+        assert 1 <= r["depth"] <= 10

@@ -44,6 +44,7 @@ BNLJ_ALLOWED = {
     "join_card_est": "cross of two single-row count aggregates",
     "ab_test": "cross of the two single-row per-arm aggregates",
     "consistent_sample": "cross of two single-row count aggregates",
+    "calibration_bins": "single-row score-min/max stats cross",
     "decontam": "broadcast eval-set n-gram table (bounded by eval size)",
     "minhash_jaccard_est": "bounded sample pair baseline vs estimate",
     "mix_sample": "single-row totals cross for mixture shares",
