@@ -376,3 +376,237 @@ ORACLES = {
     "vocab_coverage": _VOCAB_SQL,
     "lag_delta": _LAG_SQL,
 }
+
+
+# ---------------------------------------------------------------- batch 32
+
+RX_PROBES = ["data", "merge"]
+RX_SCALE = 1024  # embedding quantization (same as pca_cov)
+RX_TOP = 10
+RX_RRF_K = 60
+
+
+def q_rocchio_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+dense retrieval via pseudo-relevance feedback
+    (Rocchio): per probe token, the lexical tf-ranking picks matching
+    docs, their quantized embeddings SUM into an exact integer query
+    centroid (cosine is scale-invariant, so the un-divided sum IS the
+    centroid — no float accumulation order anywhere), every doc then
+    ranks by cosine to that centroid, and the lexical and dense
+    rankings fuse with RRF. This is the dense-expansion step BM25-only
+    retrieval lacks: docs that never contain the token surface through
+    embedding similarity. Plan: the centroid is a (token, dim)-keyed
+    integer aggregate (bounded by |probes|·64 rows); the dense scan is
+    one pass over embeddings per token with the centroid broadcast."""
+    d = table(spark, sf_dir, "documents", spread=True)
+    tk = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    ).filter(F.col("tok").isin(RX_PROBES))
+    g = tk.groupBy("tok", "doc_id").agg(F.count("*").alias("tf"))
+    wl = Window.partitionBy("tok").orderBy(F.desc("tf"), F.asc("doc_id"))
+    lex = g.select(
+        "tok", "doc_id", F.row_number().over(wl).cast("long").alias("rank_lex")
+    )
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * RX_SCALE).cast("long"),
+        ).alias("q"),
+    )
+    # integer query centroid: elementwise sum over the lexically-matched
+    # docs' quantized vectors
+    cent = (
+        lex.join(emb, "doc_id")
+        .select("tok", F.posexplode("q").alias("dim", "v"))
+        .groupBy("tok", "dim")
+        .agg(F.sum("v").alias("s"))
+        .groupBy("tok")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "s"))),
+                lambda st: st["s"],
+            ).alias("cv")
+        )
+    )
+    dots = emb.crossJoin(F.broadcast(cent)).select(
+        "tok",
+        "doc_id",
+        F.aggregate(
+            F.zip_with(F.col("q"), F.col("cv"), lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("dot"),
+        F.aggregate(
+            F.col("q"), F.lit(0).cast("long"), lambda acc, x: acc + x * x
+        ).alias("nq"),
+        F.aggregate(
+            F.col("cv"), F.lit(0).cast("long"), lambda acc, x: acc + x * x
+        ).alias("nc"),
+    )
+    dense = dots.select(
+        "tok",
+        "doc_id",
+        F.round(
+            F.col("dot") / (F.sqrt(F.col("nq").cast("double"))
+                            * F.sqrt(F.col("nc").cast("double"))),
+            4,
+        ).alias("sim"),
+    )
+    wd = Window.partitionBy("tok").orderBy(F.desc("sim"), F.asc("doc_id"))
+    dr = dense.select(
+        "tok", "doc_id", F.row_number().over(wd).cast("long").alias("rank_dense")
+    )
+    fused = (
+        dr.join(lex, ["tok", "doc_id"], "left")
+        .na.fill({"rank_lex": 100000})
+        .withColumn(
+            "rrf",
+            F.lit(1.0) / (F.lit(RX_RRF_K) + F.col("rank_lex")).cast("double")
+            + F.lit(1.0) / (F.lit(RX_RRF_K) + F.col("rank_dense")).cast("double"),
+        )
+    )
+    wf = Window.partitionBy("tok").orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") <= RX_TOP)
+        .select(
+            F.col("tok").alias("token"),
+            "doc_id",
+            F.col("rn").alias("rank"),
+            "rank_lex",
+            "rank_dense",
+            "rrf",
+        )
+    )
+
+
+_RX_PROBES_SQL = ", ".join(f"'{t}'" for t in RX_PROBES)
+
+_RX_SQL = f"""
+    WITH tk AS (
+        SELECT doc_id, unnest({DUCK_TOKENS.format(x='text')}) AS tok
+        FROM documents
+    ),
+    g AS (
+        SELECT tok, doc_id, count(*) AS tf FROM tk
+        WHERE tok IN ({_RX_PROBES_SQL}) GROUP BY 1, 2
+    ),
+    lex AS (
+        SELECT tok, doc_id,
+               CAST(row_number() OVER (PARTITION BY tok
+                    ORDER BY tf DESC, doc_id ASC) AS BIGINT) AS rank_lex
+        FROM g
+    ),
+    emb AS (
+        SELECT vec_id AS doc_id,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * {RX_SCALE}) AS BIGINT)) AS q
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT tok, dim, CAST(sum(v) AS BIGINT) AS s
+        FROM (
+            SELECT l.tok, gs.dim, e.q[gs.dim + 1] AS v
+            FROM lex l JOIN emb e ON e.doc_id = l.doc_id,
+                 LATERAL (SELECT unnest(generate_series(0, len(e.q) - 1)) AS dim) gs
+        ) GROUP BY 1, 2
+    ),
+    cvec AS (
+        SELECT tok, list(s ORDER BY dim) AS cv FROM cent GROUP BY tok
+    ),
+    dots AS (
+        SELECT c.tok, e.doc_id,
+               CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(generate_series(1, len(e.q)),
+                        i -> e.q[i] * c.cv[i])), (a, x) -> a + x) AS BIGINT) AS dot,
+               CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(e.q, x -> x * x)), (a, x) -> a + x) AS BIGINT) AS nq,
+               CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(c.cv, x -> x * x)), (a, x) -> a + x) AS BIGINT) AS nc
+        FROM emb e CROSS JOIN cvec c
+    ),
+    dense AS (
+        SELECT tok, doc_id,
+               round(dot / (sqrt(CAST(nq AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE))), 4)
+                   AS sim
+        FROM dots
+    ),
+    dr AS (
+        SELECT tok, doc_id,
+               CAST(row_number() OVER (PARTITION BY tok
+                    ORDER BY sim DESC, doc_id ASC) AS BIGINT) AS rank_dense
+        FROM dense
+    ),
+    fused AS (
+        SELECT dr.tok, dr.doc_id,
+               coalesce(l.rank_lex, 100000) AS rank_lex,
+               dr.rank_dense,
+               1.0 / ({RX_RRF_K} + coalesce(l.rank_lex, 100000))
+               + 1.0 / ({RX_RRF_K} + dr.rank_dense) AS rrf
+        FROM dr LEFT JOIN lex l ON l.tok = dr.tok AND l.doc_id = dr.doc_id
+    )
+    SELECT tok AS token, doc_id,
+           CAST(row_number() OVER (PARTITION BY tok
+                ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS rank,
+           rank_lex, rank_dense, rrf
+    FROM fused
+    QUALIFY rank <= {RX_TOP}
+"""
+
+
+DP_CLAMP = 10000  # per-user contribution cap, integer cents
+
+
+def q_bounded_contrib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contribution bounding — the deterministic half of a
+    differentially-private aggregate: before any noise is added, each
+    user's total contribution to the statistic must be CLAMPED so one
+    user cannot dominate the sensitivity. Per event type: raw sum,
+    clamped sum (Σ min(user_total, C)), users clipped, and the clipped
+    fraction — one user-keyed aggregate then one type-keyed aggregate,
+    both map-side combinable."""
+    ev = table(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("tot")
+    )
+    return (
+        per_user.groupBy("event_type")
+        .agg(
+            F.sum("tot").alias("raw_sum"),
+            F.sum(F.least(F.col("tot"), F.lit(DP_CLAMP))).alias("bounded_sum"),
+            F.count("*").alias("n_users"),
+            F.sum((F.col("tot") > DP_CLAMP).cast("long")).alias("n_clipped"),
+        )
+        .select(
+            "event_type",
+            "raw_sum",
+            "bounded_sum",
+            "n_users",
+            "n_clipped",
+            (F.col("n_clipped") / F.col("n_users")).alias("clip_frac"),
+        )
+    )
+
+
+_DP_SQL = f"""
+    WITH per_user AS (
+        SELECT event_type, user_id,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS tot
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(sum(tot) AS BIGINT) AS raw_sum,
+           CAST(sum(least(tot, {DP_CLAMP})) AS BIGINT) AS bounded_sum,
+           count(*) AS n_users,
+           CAST(sum((tot > {DP_CLAMP})::BIGINT) AS BIGINT) AS n_clipped,
+           CAST(sum((tot > {DP_CLAMP})::BIGINT) AS BIGINT)
+               / CAST(count(*) AS DOUBLE) AS clip_frac
+    FROM per_user GROUP BY event_type
+"""
+
+QUERIES["rocchio_expand"] = q_rocchio_expand
+QUERIES["bounded_contrib"] = q_bounded_contrib
+ORACLES["rocchio_expand"] = _RX_SQL
+ORACLES["bounded_contrib"] = _DP_SQL
