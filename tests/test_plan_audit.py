@@ -68,6 +68,8 @@ BNLJ_ALLOWED = {
     "cusum_drift": "single-row (n_days, total) aggregate cross (temporal.py)",
     "weighted_median": "single-row total-weight aggregate cross (statsops.py)",
     "doc_tfidf_keywords": "single-row n_docs cross (textmetrics.py)",
+    "theil_sen": "day-grain pair self-join, calendar-bounded (statsops.py)",
+    "rocchio_expand": "broadcast |probes|-row query-centroid cross (irops.py)",
 }
 
 
