@@ -31,6 +31,7 @@ from ocr_to_csv_spark.functions import (
     textmetrics,
     tpch,
     tpch3,
+    tpch4,
     engagement,
     statsops,
     temporal,
@@ -322,6 +323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(irops.QUERIES)
     out.update(tpch.QUERIES)
     out.update(tpch3.QUERIES)
+    out.update(tpch4.QUERIES)
     out.update(engagement.QUERIES)
     out.update(statsops.QUERIES)
     out.update(temporal.QUERIES)
@@ -364,6 +366,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(irops.ORACLES)
     out.update(tpch.ORACLES)
     out.update(tpch3.ORACLES)
+    out.update(tpch4.ORACLES)
     out.update(engagement.ORACLES)
     out.update(statsops.ORACLES)
     out.update(temporal.ORACLES)

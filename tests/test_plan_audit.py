@@ -70,6 +70,7 @@ BNLJ_ALLOWED = {
     "doc_tfidf_keywords": "single-row n_docs cross (textmetrics.py)",
     "theil_sen": "day-grain pair self-join, calendar-bounded (statsops.py)",
     "rocchio_expand": "broadcast |probes|-row query-centroid cross (irops.py)",
+    "important_stock": "single-row national-total aggregate cross (tpch4.py)",
 }
 
 
