@@ -20,6 +20,7 @@ from ocr_to_csv_spark.functions import (
     analytics2,
     curation,
     dataops,
+    dataops2,
     curation4,
     curation5,
     composed,
@@ -319,6 +320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(analytics.QUERIES)
     out.update(analytics2.QUERIES)
     out.update(dataops.QUERIES)
+    out.update(dataops2.QUERIES)
     out.update(graphtext.QUERIES)
     out.update(irops.QUERIES)
     out.update(tpch.QUERIES)
@@ -362,6 +364,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(analytics.ORACLES)
     out.update(analytics2.ORACLES)
     out.update(dataops.ORACLES)
+    out.update(dataops2.ORACLES)
     out.update(graphtext.ORACLES)
     out.update(irops.ORACLES)
     out.update(tpch.ORACLES)
