@@ -1459,3 +1459,88 @@ ORACLES["sq_search"] = _SQ_CTE + """
         FROM sims
     ) WHERE rank <= 5
 """
+
+
+# ---------------------------------------------------------------- batch 35
+
+
+def _bq_masks(df: DataFrame, id_alias: str) -> DataFrame:
+    """Binary-quantization encode: the 64-dim float vector collapses to
+    64 SIGN BITS packed as two 32-bit words (kept in separate longs so
+    no mask ever touches the int64 sign bit — two's-complement parity
+    across engines is then irrelevant). 16x smaller than SQ codes,
+    512x smaller than the float vector; the encode is one codegen'd
+    integer fold per row, no shuffle."""
+    word = (
+        "aggregate(sequence(1, 32), cast(0 as bigint), (acc, i) -> acc + "
+        "if(element_at(embedding, i + {off}) > cast(0 as float), "
+        "shiftleft(cast(1 as bigint), i - 1), cast(0 as bigint)))"
+    )
+    return df.select(
+        F.col("vec_id").alias(id_alias),
+        F.expr(word.format(off=0)).alias("lo"),
+        F.expr(word.format(off=32)).alias("hi"),
+    )
+
+
+def q_bq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized ANN top-k (Faiss BINARY_FLAT / Milvus BQ idiom,
+    completing the quantization family next to pq_search/sq_search):
+    both sides collapse to 64 sign bits, distance is Hamming =
+    popcount(xor) on the two packed words — exact integers, bit-exact
+    across engines. The 10-query side broadcasts (documented cross);
+    the candidate scan carries only (vec_id, lo, hi) — at 10^12
+    vectors the candidate table is 24 bytes/row, and popcount-xor is
+    the cheapest distance any ANN index family offers. Rerank of the
+    Hamming top-k with exact cosine (the standard two-stage BQ
+    pipeline) is q_cosine_topk run on this output's candidate set."""
+    e = table(spark, sf_dir, "embeddings")
+    qs = _bq_masks(
+        e.filter(F.col("vec_id") < N_QUERIES), "query_id"
+    ).withColumnRenamed("lo", "q_lo").withColumnRenamed("hi", "q_hi")
+    cand = _bq_masks(e.filter(F.col("vec_id") >= N_QUERIES), "neighbor_id")
+    ham = (
+        F.bit_count(F.col("q_lo").bitwiseXOR(F.col("lo")))
+        + F.bit_count(F.col("q_hi").bitwiseXOR(F.col("hi")))
+    ).cast("long")
+    sims = cand.crossJoin(F.broadcast(qs)).select(
+        "query_id", "neighbor_id", ham.alias("hamming")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("neighbor_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "hamming")
+    )
+
+
+_BQ_WORD = (
+    "list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(1, 32), "
+    "i -> CASE WHEN embedding[i + {off}] > 0 THEN (1::BIGINT << (i - 1)) "
+    "ELSE 0::BIGINT END)), (x, y) -> x + y)"
+)
+
+ORACLES["bq_search"] = f"""
+    WITH masks AS (
+        SELECT vec_id, {_BQ_WORD.format(off=0)} AS lo,
+               {_BQ_WORD.format(off=32)} AS hi
+        FROM embeddings
+    ),
+    sims AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(bit_count(xor(q.lo, c.lo))
+                    + bit_count(xor(q.hi, c.hi)) AS BIGINT) AS hamming
+        FROM masks q, masks c
+        WHERE q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+    )
+    SELECT query_id, neighbor_id, rank, hamming FROM (
+        SELECT query_id, neighbor_id, hamming,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY hamming, neighbor_id) AS rank
+        FROM sims
+    ) WHERE rank <= {TOP_K}
+"""
+
+QUERIES["bq_search"] = q_bq_search

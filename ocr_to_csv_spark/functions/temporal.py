@@ -401,3 +401,97 @@ ORACLES["gap_fill"] = f"""
     FROM nav
 """
 
+
+
+# ---------------------------------------------------------------- batch 36
+
+REACH_SRC_MOD = 37  # users with user_id % 37 == 0 are the seed set
+REACH_ROUNDS = 3
+
+
+def q_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RESPECTING reachability over a temporal contact graph — the
+    epidemiology / information-cascade primitive static BFS (bfs_dist)
+    cannot express: u reaches w through v only if the v→w contact
+    happens AFTER u's contact with v. Contacts are derived
+    deterministically from the event stream (consecutive events within
+    an event_type = one directed contact at that timestamp); each
+    propagation round is ONE keyed equi-join on the contact's source +
+    one min-aggregate, with the time constraint (contact_ts >= arrival)
+    riding the join as a residual — the Pregel-shaped plan that holds
+    at 10^9 edges/round. REACH_ROUNDS rounds unrolled identically in
+    both engines; arrival = earliest time-respecting reach in epoch seconds, seeds at 0.
+    Same bounded-iteration discipline as bfs_dist/sssp_dist/scc."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "user_id",
+        F.unix_timestamp("ts").cast("long").alias("ts_s"),
+    )
+    w = Window.partitionBy("event_type").orderBy("ts_s", "event_id")
+    edges = (
+        ev.select(
+            F.lag("user_id").over(w).alias("src"),
+            F.col("user_id").alias("dst"),
+            "ts_s",
+        )
+        .filter(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
+    )
+    arr = (
+        ev.select("user_id")
+        .filter(F.col("user_id") % REACH_SRC_MOD == 0)
+        .distinct()
+        .withColumn("arrival", F.lit(0).cast("long"))
+    )
+    for _ in range(REACH_ROUNDS):
+        upd = (
+            edges.join(arr, edges.src == arr.user_id)
+            .filter(F.col("ts_s") >= F.col("arrival"))
+            .select(F.col("dst").alias("user_id"), F.col("ts_s").alias("arrival"))
+        )
+        arr = (
+            arr.unionByName(upd)
+            .groupBy("user_id")
+            .agg(F.min("arrival").alias("arrival"))
+        )
+        arr = arr.localCheckpoint()  # cut the exponential plan growth
+    return arr.select(F.col("user_id").cast("long").alias("user_id"), "arrival")
+
+
+def _reach_sql() -> str:
+    prev = "r0"
+    rounds = []
+    for k in range(1, REACH_ROUNDS + 1):
+        rounds.append(f"""
+    r{k} AS (
+        SELECT user_id, min(arrival) AS arrival FROM (
+            SELECT user_id, arrival FROM {prev}
+            UNION ALL
+            SELECT e.dst AS user_id, e.ts_s AS arrival
+            FROM edges e JOIN {prev} a
+              ON e.src = a.user_id AND e.ts_s >= a.arrival
+        ) GROUP BY user_id
+    )""")
+        prev = f"r{k}"
+    return f"""
+    WITH ev AS (
+        SELECT event_type, event_id, user_id,
+               floor(epoch(ts))::BIGINT AS ts_s
+        FROM events
+    ),
+    edges AS (
+        SELECT src, dst, ts_s FROM (
+            SELECT lag(user_id) OVER (PARTITION BY event_type
+                                      ORDER BY ts_s, event_id) AS src,
+                   user_id AS dst, ts_s
+            FROM ev
+        ) WHERE src IS NOT NULL AND src <> dst
+    ),
+    r0 AS (
+        SELECT DISTINCT user_id, 0::BIGINT AS arrival
+        FROM events WHERE user_id % {REACH_SRC_MOD} = 0
+    ),{','.join(rounds)}
+    SELECT CAST(user_id AS BIGINT) AS user_id, arrival FROM {prev}
+"""
+
+
+QUERIES["temporal_reach"] = q_temporal_reach
+ORACLES["temporal_reach"] = _reach_sql()

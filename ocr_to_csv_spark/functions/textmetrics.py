@@ -514,3 +514,78 @@ _NDCG_SQL = f"""
 
 QUERIES["ndcg"] = q_ndcg
 ORACLES["ndcg"] = _NDCG_SQL
+
+
+# ---------------------------------------------------------------- batch 35
+
+MOJI_MARKERS = ("Ã", "â€", "ï¿½", "Â ", "�")
+MOJI_PPM_DEN = 1_000_000
+
+
+def q_mojibake_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-damage (mojibake) detector — the curation gate that
+    catches UTF-8-decoded-as-Latin-1 double encoding ('Ã©', 'â€™'),
+    replacement-char damage (U+FFFD / its Latin-1 ghost 'ï¿½') and
+    NBSP ghosts ('Â '): a web-scale corpus always contains a tail of
+    mis-declared charsets, and n-gram LM or classifier filters score
+    such text as fluent garbage rather than rejecting it. Marker counts
+    are exact substring counts ((len - len(replace(s, m, ''))) /
+    len(m) — pure codegen, zero shuffles, no regex engine in the hot
+    path); the score is integer parts-per-million of damaged marker
+    chars. The synthetic corpus is clean, so damage is INJECTED
+    deterministically first (doc_id % 7 → 'Ã©' double-encoding,
+    doc_id % 11 → replacement chars) — both engines transform
+    identically, making the detector's arithmetic the thing under
+    test."""
+    d = table(spark, sf_dir, "documents")
+    damaged = F.when(
+        F.col("doc_id") % 7 == 0, F.expr("replace(text, 'e', 'Ã©')")
+    ).when(
+        F.col("doc_id") % 11 == 0, F.expr("replace(text, 'o', 'ï¿½')")
+    ).otherwise(F.col("text"))
+    d = d.select("doc_id", damaged.alias("t"))
+    hits = None
+    for m in MOJI_MARKERS:
+        esc = m.replace("'", "''")
+        c = (
+            F.length("t") - F.length(F.expr(f"replace(t, '{esc}', '')"))
+        ) / len(m)
+        h = (c.cast("long") * len(m)).cast("long")  # damaged chars
+        hits = h if hits is None else hits + h
+    out = d.select(
+        "doc_id",
+        hits.alias("damage_chars"),
+        F.floor(hits * MOJI_PPM_DEN / F.greatest(F.length("t"), F.lit(1)))
+        .cast("long")
+        .alias("damage_ppm"),
+    )
+    return out.filter(F.col("damage_chars") > 0)
+
+
+def _moji_sql() -> str:
+    hit_terms = []
+    for m in MOJI_MARKERS:
+        esc = m.replace("'", "''")
+        hit_terms.append(
+            f"(CAST((length(t) - length(replace(t, '{esc}', ''))) "
+            f"/ {len(m)} AS BIGINT) * {len(m)})"
+        )
+    hits = " + ".join(hit_terms)
+    return f"""
+    WITH dmg AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN replace(text, 'e', 'Ã©')
+                    WHEN doc_id % 11 = 0 THEN replace(text, 'o', 'ï¿½')
+                    ELSE text END AS t
+        FROM documents
+    )
+    SELECT doc_id, {hits} AS damage_chars,
+           CAST(floor(({hits}) * {MOJI_PPM_DEN}.0
+                      / greatest(length(t), 1)) AS BIGINT) AS damage_ppm
+    FROM dmg
+    WHERE {hits} > 0
+"""
+
+
+QUERIES["mojibake_score"] = q_mojibake_score
+ORACLES["mojibake_score"] = _moji_sql()

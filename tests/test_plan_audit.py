@@ -71,6 +71,7 @@ BNLJ_ALLOWED = {
     "theil_sen": "day-grain pair self-join, calendar-bounded (statsops.py)",
     "rocchio_expand": "broadcast |probes|-row query-centroid cross (irops.py)",
     "important_stock": "single-row national-total aggregate cross (tpch4.py)",
+    "bq_search": "broadcast 10-row query side (binary masks)",
 }
 
 
