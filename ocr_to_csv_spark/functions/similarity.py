@@ -1544,3 +1544,69 @@ ORACLES["bq_search"] = f"""
 """
 
 QUERIES["bq_search"] = q_bq_search
+
+
+def q_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-kNN pair filter — the standard semantic-dedup
+    refinement over any kNN output: (a, b) survives only if b is in
+    a's top-k AND a is in b's top-k. One-sided neighbors (a hub vector
+    close to everything) are the classic false-positive source in
+    embedding dedup; mutuality suppresses hubs with zero extra
+    scoring. Here the kNN table is the labeled brute-force baseline
+    (same crossJoin discipline as cosine_topk — at scale the input is
+    the LSH/IVF/BQ candidate output instead, and mutuality stays ONE
+    self-join of the rank table on the flipped key). Output is the
+    undirected survivor set with both ranks as the audit columns."""
+    e = _emb(spark, sf_dir)
+    a = e.select(F.col("vec_id").alias("src"), F.col("v").alias("av"),
+                 F.col("nrm").alias("an"))
+    b = e.select(F.col("vec_id").alias("dst"), F.col("v").alias("bv"),
+                 F.col("nrm").alias("bn"))
+    sims = (
+        a.crossJoin(b)
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            "src", "dst",
+            F.round(
+                _fold_dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn")), 4
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("sim"), F.asc("dst"))
+    ranked = sims.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= TOP_K
+    )
+    fwd = ranked.select("src", "dst", "sim", F.col("rank").alias("rank_ab"))
+    rev = ranked.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"),
+        F.col("rank").alias("rank_ba"),
+    )
+    return (
+        fwd.join(rev, ["src", "dst"])
+        .filter(F.col("src") < F.col("dst"))
+        .select(
+            F.col("src").alias("a"), F.col("dst").alias("b"),
+            "sim", "rank_ab", "rank_ba",
+        )
+    )
+
+
+ORACLES["mutual_knn"] = f"""{_E_CTE}
+    , sims AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               round({_DOT.format(a="a.v", b="b.v")} / (a.nrm * b.nrm), 4) AS sim
+        FROM e a, e b WHERE a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+        SELECT src, dst, sim,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY sim DESC, dst ASC) AS rank
+        FROM sims
+    )
+    SELECT f.src AS a, f.dst AS b, f.sim,
+           f.rank AS rank_ab, r.rank AS rank_ba
+    FROM ranked f JOIN ranked r ON f.src = r.dst AND f.dst = r.src
+    WHERE f.rank <= {TOP_K} AND r.rank <= {TOP_K} AND f.src < f.dst
+"""
+
+QUERIES["mutual_knn"] = q_mutual_knn

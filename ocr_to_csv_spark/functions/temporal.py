@@ -495,3 +495,82 @@ def _reach_sql() -> str:
 
 QUERIES["temporal_reach"] = q_temporal_reach
 ORACLES["temporal_reach"] = _reach_sql()
+
+
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend, α=β=1/4) over
+    each user's daily-total series — the trend-aware forecaster ewma
+    (level-only) cannot express. The recurrence is order-dependent, so
+    it folds sequentially over the day-sorted array per user with an
+    ARRAY-VALUED accumulator [level, trend] (Spark ``F.aggregate`` with
+    an array<long> state == DuckDB ``list_reduce`` over BIGINT[2]
+    elements — the bit-exact two-variable generalization of the ewma
+    fold); all updates are exact fixed-point cents with floor(IEEE /4)
+    parity. One keyed shuffle to day grain, one to the user fold —
+    state per user is calendar-sized, never event-sized."""
+    e = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    day = F.floor(F.unix_timestamp("ts").cast("long") / 86400).cast("long")
+    daily = e.groupBy(F.col("user_id"), day.alias("day")).agg(
+        F.sum(cents).alias("x")
+    )
+    xs = F.transform(
+        F.sort_array(F.collect_list(F.struct("day", "x"))), lambda s: s["x"]
+    )
+    per_user = daily.groupBy("user_id").agg(
+        xs.alias("xs"), F.count("*").alias("n_days")
+    )
+    first = F.element_at("xs", 1)
+    rest = F.slice(F.col("xs"), 2, F.greatest(F.size("xs") - 1, F.lit(0)))
+
+    def step(acc, x):
+        s = F.element_at(acc, 1) + F.element_at(acc, 2)
+        lvl = F.floor((x + 3 * s) / 4).cast("long")
+        trend = F.floor(
+            (lvl - F.element_at(acc, 1) + 3 * F.element_at(acc, 2)) / 4
+        ).cast("long")
+        return F.array(lvl, trend)
+
+    state = F.aggregate(
+        rest, F.array(first, F.lit(0).cast("long")), step
+    )
+    return per_user.select(
+        "user_id",
+        F.element_at(state, 1).alias("level_cents"),
+        F.element_at(state, 2).alias("trend_cents"),
+        (F.element_at(state, 1) + F.element_at(state, 2)).alias("forecast_cents"),
+        "n_days",
+    )
+
+
+_HOLT_STEP = (
+    "[CAST(floor((e[1] + 3 * (acc[1] + acc[2])) / 4.0) AS BIGINT), "
+    "CAST(floor((CAST(floor((e[1] + 3 * (acc[1] + acc[2])) / 4.0) AS BIGINT)"
+    " - acc[1] + 3 * acc[2]) / 4.0) AS BIGINT)]"
+)
+
+ORACLES["holt_forecast"] = f"""
+    WITH daily AS (
+        SELECT user_id,
+               CAST(floor(floor(epoch(ts))::BIGINT / 86400.0) AS BIGINT) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    arrs AS (
+        SELECT user_id, list(x ORDER BY day) AS xs, count(*) AS n_days
+        FROM daily GROUP BY user_id
+    ),
+    folded AS (
+        SELECT user_id, n_days,
+               list_reduce(
+                   list_prepend([xs[1], 0::BIGINT],
+                       list_transform(xs[2:], x -> [x, 0::BIGINT])),
+                   (acc, e) -> {_HOLT_STEP}) AS st
+        FROM arrs
+    )
+    SELECT user_id, st[1] AS level_cents, st[2] AS trend_cents,
+           st[1] + st[2] AS forecast_cents, n_days
+    FROM folded
+"""
+
+QUERIES["holt_forecast"] = q_holt_forecast

@@ -72,6 +72,7 @@ BNLJ_ALLOWED = {
     "rocchio_expand": "broadcast |probes|-row query-centroid cross (irops.py)",
     "important_stock": "single-row national-total aggregate cross (tpch4.py)",
     "bq_search": "broadcast 10-row query side (binary masks)",
+    "mutual_knn": "labeled brute-force kNN baseline (ANN-gated at scale)",
 }
 
 
