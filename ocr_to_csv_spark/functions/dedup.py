@@ -722,3 +722,101 @@ ORACLES["lsh_incremental"] = f"""{_BUCKET_SQL}
       ON d.band = x.band AND d.band_key = x.band_key
     WHERE d.doc_id % 10 = 0 AND x.doc_id % 10 <> 0
 """
+
+
+# ---------------------------------------------------------------- batch 38
+
+CONT_PPK = 500  # keep pairs where either direction's containment ≥ 50%
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTAINMENT near-dup pairs — the subset-duplication detector
+    Jaccard structurally misses: a short document quoted whole inside a
+    long one has tiny |A∩B|/|A∪B| but containment |A∩B|/|A| ≈ 1. The
+    quadratic phase never runs: candidates come from the SAME MinHash
+    band equi-join as lsh_pairs, then the exact shingle-set overlap is
+    counted by joining the candidate list through the (doc, shingle
+    hash) table — only hashes of LSH-candidate docs cross the shuffle,
+    never text, never non-candidates. Containments and Jaccard are
+    exact integer parts-per-thousand; the output keeps pairs where
+    either direction clears CONT_PPK, with Jaccard as the audit column
+    showing what a Jaccard-only gate would have scored."""
+    cand = q_lsh_pairs(spark, sf_dir)
+    d = table(spark, sf_dir, "documents", spread=True)
+    ex = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(_shingles(F.col("text")), lambda s: hex32(s))
+            )
+        ).alias("h"),
+    )
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    ea = ex.select(F.col("doc_id").alias("doc_a"), "h")
+    eb = ex.select(F.col("doc_id").alias("doc_b"), "h")
+    inter = (
+        cand.join(ea, "doc_a")
+        .join(eb, ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("size_b"))
+    out = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b", "inter", "size_a", "size_b",
+            F.floor(F.col("inter") * 1000 / F.col("size_a"))
+            .cast("long").alias("cont_a_ppk"),
+            F.floor(F.col("inter") * 1000 / F.col("size_b"))
+            .cast("long").alias("cont_b_ppk"),
+            F.floor(
+                F.col("inter") * 1000
+                / (F.col("size_a") + F.col("size_b") - F.col("inter"))
+            ).cast("long").alias("jaccard_ppk"),
+        )
+        .filter(
+            F.greatest(F.col("cont_a_ppk"), F.col("cont_b_ppk")) >= CONT_PPK
+        )
+    )
+    return out
+
+
+ORACLES["containment_pairs"] = f"""{_BUCKET_SQL}
+    , pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+        FROM buckets a JOIN buckets c
+          ON a.band = c.band AND a.band_key = c.band_key
+        WHERE a.doc_id < c.doc_id
+    ),
+    ex AS (
+        SELECT DISTINCT doc_id, {DUCK_HEX32.format(x="sh")} AS h FROM (
+            SELECT doc_id, unnest({DUCK_SHINGLES}) AS sh FROM (
+                SELECT doc_id, {DUCK_TOKS} AS toks FROM documents
+            )
+        )
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
+    inter AS (
+        SELECT p.doc_a, p.doc_b, count(*) AS inter
+        FROM pairs p
+        JOIN ex a ON a.doc_id = p.doc_a
+        JOIN ex b ON b.doc_id = p.doc_b AND b.h = a.h
+        GROUP BY p.doc_a, p.doc_b
+    )
+    SELECT i.doc_a, i.doc_b, i.inter,
+           sa.sz AS size_a, sb.sz AS size_b,
+           CAST(floor(i.inter * 1000.0 / sa.sz) AS BIGINT) AS cont_a_ppk,
+           CAST(floor(i.inter * 1000.0 / sb.sz) AS BIGINT) AS cont_b_ppk,
+           CAST(floor(i.inter * 1000.0 / (sa.sz + sb.sz - i.inter))
+                AS BIGINT) AS jaccard_ppk
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE greatest(CAST(floor(i.inter * 1000.0 / sa.sz) AS BIGINT),
+                   CAST(floor(i.inter * 1000.0 / sb.sz) AS BIGINT))
+          >= {CONT_PPK}
+"""
+
+QUERIES["containment_pairs"] = q_containment_pairs

@@ -512,3 +512,89 @@ def _calibration_sql() -> str:
 
 ORACLES["calibration_bins"] = _calibration_sql()
 
+
+
+# ---------------------------------------------------------------- batch 38
+
+WINS_LO_PCT, WINS_HI_PCT = 5, 95
+
+
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized aggregate per event type: clamp values to the exact
+    [p5, p95] ORDER STATISTICS before summing — the robust-mean
+    companion to mad_outliers (which flags) and bounded_contrib (which
+    clamps per USER); winsorizing clamps per VALUE, the standard move
+    before any mean-based metric on heavy-tailed web data. Bounds are
+    exact order statistics at rank ceil(n·p/100) — one row_number
+    window per type (partitioned, never global) feeds a per-type bound
+    row, broadcast back for the clamped re-aggregate. All integer
+    cents; at 10^12 rows the window pass is the exact path, and the
+    documented production alternative is approx_percentile bounds with
+    this same re-aggregate."""
+    e = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    v = e.select("event_type", cents.alias("c"), "event_id")
+    w = Window.partitionBy("event_type").orderBy(F.asc("c"), F.asc("event_id"))
+    ranked = v.withColumn("rn", F.row_number().over(w))
+    n = v.groupBy("event_type").agg(F.count("*").alias("n"))
+    ranked = ranked.join(F.broadcast(n), "event_type")
+    lo_rank = F.ceil(F.col("n") * WINS_LO_PCT / 100).cast("long")
+    hi_rank = F.ceil(F.col("n") * WINS_HI_PCT / 100).cast("long")
+    bounds = (
+        ranked.filter((F.col("rn") == lo_rank) | (F.col("rn") == hi_rank))
+        .groupBy("event_type")
+        .agg(F.min("c").alias("lo_cents"), F.max("c").alias("hi_cents"))
+    )
+    clamped = v.join(F.broadcast(bounds), "event_type").select(
+        "event_type", "lo_cents", "hi_cents",
+        F.greatest(F.least(F.col("c"), F.col("hi_cents")), F.col("lo_cents"))
+        .alias("wc"),
+        F.col("c"),
+    )
+    return clamped.groupBy("event_type").agg(
+        F.min("lo_cents").alias("lo_cents"),
+        F.max("hi_cents").alias("hi_cents"),
+        F.sum("c").alias("raw_sum_cents"),
+        F.sum("wc").alias("wins_sum_cents"),
+        F.sum(
+            F.when(F.col("wc") != F.col("c"), F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_clipped"),
+        F.count("*").alias("n"),
+    )
+
+
+ORACLES["winsorize"] = f"""
+    WITH v AS (
+        SELECT event_type, event_id,
+               CAST(round(value * 100) AS BIGINT) AS c
+        FROM events
+    ),
+    ranked AS (
+        SELECT event_type, c,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY c ASC, event_id ASC) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM v
+    ),
+    bounds AS (
+        SELECT event_type,
+               min(c) AS lo_cents, max(c) AS hi_cents
+        FROM ranked
+        WHERE rn = CAST(ceil(n * {WINS_LO_PCT} / 100.0) AS BIGINT)
+           OR rn = CAST(ceil(n * {WINS_HI_PCT} / 100.0) AS BIGINT)
+        GROUP BY event_type
+    )
+    SELECT v.event_type,
+           min(b.lo_cents) AS lo_cents,
+           max(b.hi_cents) AS hi_cents,
+           CAST(sum(v.c) AS BIGINT) AS raw_sum_cents,
+           CAST(sum(greatest(least(v.c, b.hi_cents), b.lo_cents))
+                AS BIGINT) AS wins_sum_cents,
+           CAST(sum(CASE WHEN greatest(least(v.c, b.hi_cents), b.lo_cents)
+                              <> v.c THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+           count(*) AS n
+    FROM v JOIN bounds b ON v.event_type = b.event_type
+    GROUP BY v.event_type
+"""
+
+QUERIES["winsorize"] = q_winsorize
