@@ -261,3 +261,75 @@ ORACLES = {
     "above_avg_subquery": _ABOVE_AVG_SQL,
     "curriculum_order": _CURRICULUM_SQL,
 }
+
+
+# ---------------------------------------------------------------- batch 39
+
+NEG_PER_NODE = 4
+
+
+def q_edge_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic NEGATIVE sampling for link-prediction training —
+    the other half of the training pairs common_neighbors scores: per
+    node, NEG_PER_NODE hash-derived candidate partners, normalized
+    undirected, with TRUE edges removed by a keyed left-anti join.
+    Hash-based (no RNG) so every epoch, engine, and retry draws the
+    SAME negatives — the reproducibility property epoch_shuffle
+    establishes for ordering, applied to sampling; at 10^12 edges the
+    candidate fan-out is a constant per node and the anti-join is the
+    only shuffle. Self-pairs and hash collisions dedup before the
+    anti-join so the output is a clean (a, b) negative set."""
+    from .util import DUCK_HEX32, hex32  # noqa: F401 (oracle uses DUCK_HEX32)
+
+    d = table(spark, sf_dir, "documents")
+    n = d.count()
+    ue = _undirected_edges(spark, sf_dir)
+    probes = (
+        d.select(F.col("doc_id").cast("long").alias("id"))
+        .select("id", F.explode(F.sequence(F.lit(1), F.lit(NEG_PER_NODE))).alias("j"))
+        .select(
+            "id",
+            (
+                hex32(
+                    F.concat(
+                        F.col("id").cast("string"), F.lit(":"),
+                        F.col("j").cast("string"),
+                    )
+                ) % n
+            ).alias("cand"),
+        )
+        .filter(F.col("cand") != F.col("id"))
+        .select(
+            F.least("id", "cand").alias("lo"),
+            F.greatest("id", "cand").alias("hi"),
+        )
+        .distinct()
+    )
+    return probes.join(ue, ["lo", "hi"], "left_anti").select(
+        F.col("lo").alias("a"), F.col("hi").alias("b")
+    )
+
+
+def _neg_sql() -> str:
+    from .util import DUCK_HEX32
+
+    h = DUCK_HEX32.format(x="(CAST(id AS VARCHAR) || ':' || CAST(j AS VARCHAR))")
+    return f"""
+    {_EDGES_SQL},
+    ids AS (SELECT doc_id::BIGINT AS id FROM documents),
+    probes AS (
+        SELECT DISTINCT least(id, cand) AS lo, greatest(id, cand) AS hi
+        FROM (
+            SELECT id, {h} % (SELECT n FROM nn) AS cand
+            FROM ids, unnest(generate_series(1, {NEG_PER_NODE})) AS t(j)
+        ) WHERE cand <> id
+    )
+    SELECT p.lo AS a, p.hi AS b
+    FROM probes p
+    LEFT JOIN ue ON p.lo = ue.lo AND p.hi = ue.hi
+    WHERE ue.lo IS NULL
+"""
+
+
+QUERIES["edge_negatives"] = q_edge_negatives
+ORACLES["edge_negatives"] = _neg_sql()

@@ -589,3 +589,79 @@ def _moji_sql() -> str:
 
 QUERIES["mojibake_score"] = q_mojibake_score
 ORACLES["mojibake_score"] = _moji_sql()
+
+
+# ---------------------------------------------------------------- batch 39
+
+PRK_K = 10
+PRK_REL_FPOS = 100  # binary relevance: token appears in the first 100 tokens
+
+
+def q_pr_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision@k / recall@k of the tf-ranking against binary
+    relevance (token within the first PRK_REL_FPOS positions) — the
+    set-based half of the IR-eval family next to ndcg's graded
+    ranking. All counts are exact integers; precision/recall are
+    integer parts-per-thousand with fixed denominators (k, |rel|), so
+    no float crosses an ORDER BY. One (tok, doc) aggregate + one
+    per-token rank window (WindowGroupLimit prunes map-side), then two
+    tiny per-token aggregates."""
+    d = table(spark, sf_dir, "documents", spread=True)
+    tk = d.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+    ).filter(F.col("tok").isin(RBO_PROBES))
+    g = tk.groupBy("tok", "doc_id").agg(
+        F.count("*").alias("tf"), (F.min("pos") + 1).alias("fpos")
+    )
+    rel = (F.col("fpos") <= PRK_REL_FPOS).cast("long")
+    w = Window.partitionBy("tok").orderBy(F.desc("tf"), F.asc("doc_id"))
+    ranked = g.withColumn("r1", F.row_number().over(w)).withColumn("rel", rel)
+    hits = (
+        ranked.filter(F.col("r1") <= PRK_K)
+        .groupBy("tok")
+        .agg(F.sum("rel").alias("hits"))
+    )
+    nrel = ranked.groupBy("tok").agg(F.sum("rel").alias("n_rel"))
+    return hits.join(nrel, "tok").select(
+        "tok", "hits", "n_rel",
+        F.floor(F.col("hits") * 1000 / PRK_K).cast("long").alias("precision_ppk"),
+        F.floor(F.col("hits") * 1000 / F.greatest(F.col("n_rel"), F.lit(1)))
+        .cast("long").alias("recall_ppk"),
+    )
+
+
+_PRK_PROBES_SQL = ", ".join(f"'{p}'" for p in RBO_PROBES)
+
+ORACLES["pr_at_k"] = f"""
+    WITH t AS (
+        SELECT doc_id, {DUCK_TOKENS.format(x="text")} AS toks FROM documents
+    ),
+    ix AS (
+        SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM t
+    ),
+    tk AS (
+        SELECT doc_id, toks[i] AS tok, i FROM ix
+        WHERE toks[i] IN ({_PRK_PROBES_SQL})
+    ),
+    g AS (
+        SELECT tok, doc_id, count(*) AS tf, min(i) AS fpos
+        FROM tk GROUP BY tok, doc_id
+    ),
+    ranked AS (
+        SELECT tok, doc_id,
+               CASE WHEN fpos <= {PRK_REL_FPOS} THEN 1 ELSE 0 END AS rel,
+               row_number() OVER (PARTITION BY tok
+                                  ORDER BY tf DESC, doc_id ASC) AS r1
+        FROM g
+    )
+    SELECT h.tok, h.hits, n.n_rel,
+           CAST(floor(h.hits * 1000.0 / {PRK_K}) AS BIGINT) AS precision_ppk,
+           CAST(floor(h.hits * 1000.0 / greatest(n.n_rel, 1))
+                AS BIGINT) AS recall_ppk
+    FROM (SELECT tok, CAST(sum(rel) AS BIGINT) AS hits
+          FROM ranked WHERE r1 <= {PRK_K} GROUP BY tok) h
+    JOIN (SELECT tok, CAST(sum(rel) AS BIGINT) AS n_rel
+          FROM ranked GROUP BY tok) n ON h.tok = n.tok
+"""
+
+QUERIES["pr_at_k"] = q_pr_at_k
