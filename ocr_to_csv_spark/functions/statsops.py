@@ -598,3 +598,114 @@ ORACLES["winsorize"] = f"""
 """
 
 QUERIES["winsorize"] = q_winsorize
+
+
+# ---------------------------------------------------------------- batch 40
+
+BOOT_B = 40  # bootstrap resamples
+# Poisson(1) CDF in per-mille (floor literals — identical in both engines):
+# P(X<=0)=.3679, <=1=.7358, <=2=.9197, <=3=.9810, <=4=.9963, else 5
+BOOT_CDF = (367, 735, 919, 981, 996)
+BOOT_LO_RANK, BOOT_MID_RANK, BOOT_HI_RANK = 2, 20, 39  # of B=40 sorted means
+
+
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-bootstrap confidence interval for the per-type mean —
+    WITHOUT distributed RNG state: the classic scale trick replaces
+    sample-with-replacement by a per-(row, resample) Poisson(1) weight
+    (Chamandy et al., "Estimating Uncertainty for Massively Parallel
+    Algorithms", and the streaming-bootstrap literature), and the
+    Poisson draw here is a HASH of (event_id, resample) against fixed
+    CDF literals — deterministic across engines, epochs, and retries
+    like every sampler in this library. Plan: one map-side explode
+    (×B), immediate partial aggregation on (type, resample) — nothing
+    row-grain crosses the shuffle — then a B-sized sorted array per
+    type gives the percentile bounds. Resample means are exact integer
+    milli-cents (floor(Σk·c·1000 / Σk)); bounds are order statistics
+    of 40 integers."""
+    from .util import hex32
+
+    e = table(spark, sf_dir, "events", spread=True)
+    cents = F.round(F.col("value") * 100).cast("long")
+    b = F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b")
+    rows = e.select("event_type", "event_id", cents.alias("c")).select(
+        "event_type", "event_id", "c", b
+    )
+    u = hex32(
+        F.concat(F.col("event_id").cast("string"), F.lit(":"),
+                 F.col("b").cast("string"))
+    ) % 1000
+    k = (
+        F.when(u < BOOT_CDF[0], 0)
+        .when(u < BOOT_CDF[1], 1)
+        .when(u < BOOT_CDF[2], 2)
+        .when(u < BOOT_CDF[3], 3)
+        .when(u < BOOT_CDF[4], 4)
+        .otherwise(5)
+        .cast("long")
+    )
+    per_rs = (
+        rows.select("event_type", "b", (k * F.col("c")).alias("kc"), k.alias("k"))
+        .groupBy("event_type", "b")
+        .agg(F.sum("kc").alias("skc"), F.sum("k").alias("sk"))
+        .select(
+            "event_type",
+            F.floor(F.col("skc") * 1000 / F.col("sk")).cast("long").alias("m"),
+        )
+    )
+    arr = per_rs.groupBy("event_type").agg(
+        F.sort_array(F.collect_list("m")).alias("ms")
+    )
+    return arr.select(
+        "event_type",
+        F.element_at("ms", BOOT_LO_RANK).alias("ci_lo_milli"),
+        F.element_at("ms", BOOT_MID_RANK).alias("boot_median_milli"),
+        F.element_at("ms", BOOT_HI_RANK).alias("ci_hi_milli"),
+        F.size("ms").cast("long").alias("n_resamples"),
+    )
+
+
+def _boot_sql() -> str:
+    from .util import DUCK_HEX32
+
+    h = DUCK_HEX32.format(
+        x="(CAST(event_id AS VARCHAR) || ':' || CAST(b AS VARCHAR))"
+    )
+    c0, c1, c2, c3, c4 = BOOT_CDF
+    return f"""
+    WITH rs AS (
+        SELECT event_type, event_id,
+               CAST(round(value * 100) AS BIGINT) AS c,
+               unnest(generate_series(0, {BOOT_B - 1})) AS b
+        FROM events
+    ),
+    weighted AS (
+        SELECT event_type, b, c,
+               CASE WHEN {h} % 1000 < {c0} THEN 0
+                    WHEN {h} % 1000 < {c1} THEN 1
+                    WHEN {h} % 1000 < {c2} THEN 2
+                    WHEN {h} % 1000 < {c3} THEN 3
+                    WHEN {h} % 1000 < {c4} THEN 4
+                    ELSE 5 END::BIGINT AS k
+        FROM rs
+    ),
+    means AS (
+        SELECT event_type, b,
+               CAST(floor(sum(k * c) * 1000.0 / sum(k)) AS BIGINT) AS m
+        FROM weighted GROUP BY event_type, b
+    ),
+    arrs AS (
+        SELECT event_type, list(m ORDER BY m) AS ms FROM means
+        GROUP BY event_type
+    )
+    SELECT event_type,
+           ms[{BOOT_LO_RANK}] AS ci_lo_milli,
+           ms[{BOOT_MID_RANK}] AS boot_median_milli,
+           ms[{BOOT_HI_RANK}] AS ci_hi_milli,
+           len(ms)::BIGINT AS n_resamples
+    FROM arrs
+"""
+
+
+QUERIES["bootstrap_ci"] = q_bootstrap_ci
+ORACLES["bootstrap_ci"] = _boot_sql()
