@@ -435,6 +435,26 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     in any engine). The DuckDB oracle unrolls the same 3 iterations.
     Output: per-centroid member count + exact integer inertia +
     centroid checksum."""
+    final, cents = _kmeans_final_assign(spark, sf_dir)
+    checksums = {
+        cid: sum(abs(x) for x in c) % 1_000_000_007
+        for cid, c in cents.items()
+    }
+    chk = F.create_map(
+        *[F.lit(v_) for kv in checksums.items() for v_ in kv]
+    )
+    return final.groupBy("cid").agg(
+        F.count("*").alias("n_members"),
+        F.sum("dist").alias("inertia"),
+    ).withColumn("centroid_checksum", chk[F.col("cid")]).select(
+        "cid", "n_members", "inertia", "centroid_checksum"
+    )
+
+
+def _kmeans_final_assign(spark: SparkSession, sf_dir: str):
+    """Shared Lloyd driver loop: returns (final assignment DataFrame
+    (vec_id, cid, dist), final centroid dict) — consumed by q_kmeans
+    (inertia/checksum rollup) and q_cluster_purity (label eval)."""
     e = table(spark, sf_dir, "embeddings", spread=True)
     v = e.select(
         "vec_id",
@@ -492,20 +512,7 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 new_cents[cid] = cents[cid]
         cents = new_cents
 
-    final = assign(cents).select("vec_id", "cid", "dist")
-    checksums = {
-        cid: sum(abs(x) for x in c) % 1_000_000_007
-        for cid, c in cents.items()
-    }
-    chk = F.create_map(
-        *[F.lit(v_) for kv in checksums.items() for v_ in kv]
-    )
-    return final.groupBy("cid").agg(
-        F.count("*").alias("n_members"),
-        F.sum("dist").alias("inertia"),
-    ).withColumn("centroid_checksum", chk[F.col("cid")]).select(
-        "cid", "n_members", "inertia", "centroid_checksum"
-    )
+    return assign(cents).select("vec_id", "cid", "dist"), cents
 
 
 SD_K = 8  # semantic-dedup clusters (centroids = vectors 0..SD_K-1)
@@ -950,10 +957,12 @@ QUERIES = {
 }
 
 
-def _kmeans_oracle_sql() -> str:
-    """DuckDB oracle for q_kmeans: the same KM_ITERS Lloyd iterations
-    unrolled as CTEs — exact integer distances, floor(IEEE-division)
-    centroid updates, empty clusters keep their previous position."""
+def _kmeans_cte_chain() -> str:
+    """Shared DuckDB CTE chain for the Lloyd iterations (through the
+    ``afinal`` assignment) — composed by the kmeans and cluster_purity
+    oracles. Same KM_ITERS unrolled rounds as the Spark driver loop:
+    exact integer distances, floor(IEEE-division) centroid updates,
+    empty clusters keep their previous position."""
     int_dist = (
         "list_reduce(list_prepend(0::BIGINT, "
         "list_transform(generate_series(1, 64), "
@@ -1004,7 +1013,13 @@ def _kmeans_oracle_sql() -> str:
                     FROM v CROSS JOIN c{T} c
                 )
             ) WHERE rn = 1
-        ),
+        )"""
+
+
+def _kmeans_oracle_sql() -> str:
+    """q_kmeans oracle: the shared Lloyd chain + checksum rollup."""
+    T = KM_ITERS
+    return f"""{_kmeans_cte_chain()},
         chk AS (
             SELECT cid,
                    list_reduce(list_prepend(0::BIGINT,
@@ -1610,3 +1625,69 @@ ORACLES["mutual_knn"] = f"""{_E_CTE}
 """
 
 QUERIES["mutual_knn"] = q_mutual_knn
+
+
+# ---------------------------------------------------------------- batch 41
+
+
+def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality eval: per-cluster PURITY of the k-means
+    assignment against the embeddings' ground-truth labels — the eval
+    step that tells a curation pipeline whether its semantic clusters
+    (semdedup buckets, data-mixture domains) actually track the
+    latent classes. Reuses the EXACT Lloyd assignment q_kmeans runs
+    (shared driver loop / shared unrolled-CTE oracle chain); purity is
+    the majority-label share per cluster in integer parts-per-thousand
+    (min-label tie-break so both engines pick the same majority).
+    Everything after the assignment is two cluster-sized aggregates."""
+    final, _ = _kmeans_final_assign(spark, sf_dir)
+    lab = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("label").cast("long").alias("label")
+    )
+    cl = (
+        final.join(lab, "vec_id")
+        .groupBy("cid", "label")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("cid").orderBy(F.desc("cnt"), F.asc("label"))
+    top = cl.withColumn("rn_", F.row_number().over(w)).filter(
+        F.col("rn_") == 1
+    )
+    tot = cl.groupBy("cid").agg(F.sum("cnt").alias("n_members"))
+    return top.join(tot, "cid").select(
+        "cid", "n_members",
+        F.col("label").alias("top_label"),
+        F.col("cnt").alias("top_label_n"),
+        F.floor(F.col("cnt") * 1000 / F.col("n_members"))
+        .cast("long").alias("purity_ppk"),
+    )
+
+
+def _purity_oracle_sql() -> str:
+    return f"""{_kmeans_cte_chain()},
+        cl AS (
+            SELECT a.cid, CAST(e.label AS BIGINT) AS label,
+                   count(*) AS cnt
+            FROM afinal a JOIN embeddings e ON e.vec_id = a.vec_id
+            GROUP BY a.cid, e.label
+        ),
+        top AS (
+            SELECT cid, label, cnt FROM (
+                SELECT cid, label, cnt,
+                       row_number() OVER (PARTITION BY cid
+                                          ORDER BY cnt DESC, label ASC) AS rn
+                FROM cl
+            ) WHERE rn = 1
+        ),
+        tot AS (SELECT cid, CAST(sum(cnt) AS BIGINT) AS n_members
+                FROM cl GROUP BY cid)
+        SELECT t.cid, tot.n_members, t.label AS top_label,
+               t.cnt AS top_label_n,
+               CAST(floor(t.cnt * 1000.0 / tot.n_members) AS BIGINT)
+                   AS purity_ppk
+        FROM top t JOIN tot ON tot.cid = t.cid
+    """
+
+
+QUERIES["cluster_purity"] = q_cluster_purity
+ORACLES["cluster_purity"] = _purity_oracle_sql()

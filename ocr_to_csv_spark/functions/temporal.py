@@ -574,3 +574,114 @@ ORACLES["holt_forecast"] = f"""
 """
 
 QUERIES["holt_forecast"] = q_holt_forecast
+
+
+# ---------------------------------------------------------------- batch 41
+
+
+def q_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware outlier gate: an event is anomalous relative
+    to its OWN (event_type, hour-of-day) cell, not the global
+    distribution — a value normal at the daily peak is an outlier at
+    4am (the flaw in mad_outliers' global gate, which this composes
+    with seasonality_hour to fix). Per cell: exact LOW median (rank
+    ⌊(n+1)/2⌋ — single deterministic order statistic, same rule both
+    engines), LOW-median absolute deviation, and the count of events
+    with |c − med| > 3·MAD. All integers; two partitioned rank windows
+    (never global) and cell-sized joins; the output is |types|·24
+    rows at any event volume."""
+    e = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    hour = (F.floor(F.unix_timestamp("ts").cast("long") / 3600) % 24).cast("long")
+    base = e.select(
+        "event_type", hour.alias("hh"), cents.alias("c"), "event_id"
+    )
+    cell = ["event_type", "hh"]
+    w1 = Window.partitionBy(*cell).orderBy(F.asc("c"), F.asc("event_id"))
+    cw = Window.partitionBy(*cell)
+    r1 = base.select(
+        *cell, "c",
+        F.row_number().over(w1).cast("long").alias("rn"),
+        F.count("*").over(cw).alias("n"),
+    )
+    med = (
+        r1.filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        .select(*cell, F.col("c").alias("med_cents"), "n")
+    )
+    dev = base.join(med, cell).select(
+        *cell, "event_id", "n", "med_cents",
+        F.abs(F.col("c") - F.col("med_cents")).alias("d"),
+    )
+    w2 = Window.partitionBy(*cell).orderBy(F.asc("d"), F.asc("event_id"))
+    r2 = dev.select(
+        *cell, "d", "n", "med_cents",
+        F.row_number().over(w2).cast("long").alias("rn"),
+    )
+    mad = (
+        r2.filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        .select(*cell, F.col("d").alias("mad_cents"))
+    )
+    return (
+        dev.join(mad, cell)
+        .groupBy(*cell)
+        .agg(
+            F.max("n").alias("n"),
+            F.max("med_cents").alias("med_cents"),
+            F.max("mad_cents").alias("mad_cents"),
+            F.sum(
+                F.when(F.col("d") > 3 * F.col("mad_cents"), 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+        )
+        .select("event_type", F.col("hh").alias("hour"),
+                "n", "med_cents", "mad_cents", "n_outliers")
+    )
+
+
+ORACLES["seasonal_outliers"] = """
+    WITH base AS (
+        SELECT event_type,
+               CAST(floor(floor(epoch(ts))::BIGINT / 3600.0) AS BIGINT) % 24
+                   AS hh,
+               CAST(round(value * 100) AS BIGINT) AS c, event_id
+        FROM events
+    ),
+    r1 AS (
+        SELECT event_type, hh, c,
+               row_number() OVER (PARTITION BY event_type, hh
+                                  ORDER BY c ASC, event_id ASC) AS rn,
+               count(*) OVER (PARTITION BY event_type, hh) AS n
+        FROM base
+    ),
+    med AS (
+        SELECT event_type, hh, c AS med_cents, n FROM r1
+        WHERE rn = CAST(floor((n + 1) / 2.0) AS BIGINT)
+    ),
+    dev AS (
+        SELECT b.event_type, b.hh, b.event_id, m.n, m.med_cents,
+               abs(b.c - m.med_cents) AS d
+        FROM base b JOIN med m
+          ON b.event_type = m.event_type AND b.hh = m.hh
+    ),
+    r2 AS (
+        SELECT event_type, hh, d,
+               row_number() OVER (PARTITION BY event_type, hh
+                                  ORDER BY d ASC, event_id ASC) AS rn,
+               n
+        FROM dev
+    ),
+    mad AS (
+        SELECT event_type, hh, d AS mad_cents FROM r2
+        WHERE rn = CAST(floor((n + 1) / 2.0) AS BIGINT)
+    )
+    SELECT dev.event_type, dev.hh AS hour,
+           CAST(max(dev.n) AS BIGINT) AS n,
+           max(dev.med_cents) AS med_cents,
+           max(mad.mad_cents) AS mad_cents,
+           CAST(sum(CASE WHEN dev.d > 3 * mad.mad_cents THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev JOIN mad
+      ON dev.event_type = mad.event_type AND dev.hh = mad.hh
+    GROUP BY dev.event_type, dev.hh
+"""
+
+QUERIES["seasonal_outliers"] = q_seasonal_outliers
