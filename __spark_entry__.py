@@ -26,6 +26,7 @@ from ocr_to_csv_spark.functions import (
     composed,
     curation6,
     curation7,
+    curation8,
     dedup,
     graphtext,
     irops,
@@ -42,6 +43,7 @@ from ocr_to_csv_spark.functions import (
     codecs,
     relational,
     similarity,
+    sketchops,
     textops,
 )
 
@@ -335,6 +337,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(codecs.QUERIES)
     out.update(textmetrics.QUERIES)
     out.update(composed.QUERIES)
+    out.update(sketchops.QUERIES)
+    out.update(curation8.QUERIES)
     out.update(
         {
             "extract_spans": q_extract_spans,
@@ -379,6 +383,8 @@ def oracle_sql() -> dict[str, str]:
     out.update(codecs.ORACLES)
     out.update(textmetrics.ORACLES)
     out.update(composed.ORACLES)
+    out.update(sketchops.ORACLES)
+    out.update(curation8.ORACLES)
     # flagship oracles: the deterministic golden fixtures (absolute path —
     # generated on demand so DuckDB can read them even if queries() ran in
     # another process)

@@ -73,6 +73,8 @@ BNLJ_ALLOWED = {
     "important_stock": "single-row national-total aggregate cross (tpch4.py)",
     "bq_search": "broadcast 10-row query side (binary masks)",
     "mutual_knn": "labeled brute-force kNN baseline (ANN-gated at scale)",
+    "ams_f2": "cross of two single-row aggregates (exact F2 vs sketch est)",
+    "cluster_purity": "assignment reuses kmeans' broadcast k-row centroid cross",
 }
 
 
