@@ -286,6 +286,97 @@ def q_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_near_dup(video_signatures(blobs, every_n=3), top=10)
 
 
+N_WARC = 10
+WARC_STAGE_V = 1  # bump when synth_warc or the parse/strip rules change
+
+
+def _staged_warc_paths() -> tuple[str, str]:
+    """Deterministic WARC blob table + golden record table (expected
+    rows computed at synthesis time from the pre-encode page text — the
+    audio/video golden convention). Mix: plain .warc (even seeds) and
+    multi-member-gzip .warc.gz (odd seeds, the Common Crawl layout);
+    one blob truncated mid-final-record (prefix records recover + one
+    corrupt_warc marker) and one pure-junk blob (marker only)."""
+    import pandas as pd
+
+    from ocr_to_csv_spark.sources.warc import synth_warc
+
+    d = _corpus_dir()
+    blobs_p = os.path.join(d, f"warc_blobs_v{WARC_STAGE_V}.parquet")
+    gold_p = os.path.join(d, f"expected_warc_records_v{WARC_STAGE_V}.parquet")
+    if not all(os.path.exists(p) for p in (blobs_p, gold_p)):
+        blobs, gold = [], []
+        for s in range(N_WARC):
+            if s == N_WARC - 1:  # undecodable container
+                ref = f"warc-{s}"
+                blobs.append({"warc_ref": ref,
+                              "content": b"not a warc stream"})
+                gold.append({
+                    "warc_ref": ref, "rec_idx": -1,
+                    "rec_type": "corrupt_warc", "url": None, "host": None,
+                    "status": -1, "mime": "", "payload_bytes": -1,
+                    "text": "", "n_tokens": -1,
+                })
+                continue
+            data, exp = synth_warc(s, n_pages=5 + s % 4,
+                                   gzip_members=bool(s % 2))
+            if s == N_WARC - 2 and not s % 2:
+                # clip the final record's terminator: every earlier
+                # record parses, the last one quarantines the blob tail
+                data = data[:-3]
+                exp = exp[:-1] + [{
+                    "warc_ref": exp[0]["warc_ref"], "rec_idx": -1,
+                    "rec_type": "corrupt_warc", "url": None, "host": None,
+                    "status": -1, "mime": "", "payload_bytes": -1,
+                    "text": "", "n_tokens": -1,
+                }]
+            blobs.append({"warc_ref": exp[0]["warc_ref"], "content": data})
+            gold.extend(exp)
+        pd.DataFrame(blobs).to_parquet(blobs_p, index=False)
+        pd.DataFrame(gold).to_parquet(gold_p, index=False)
+    return blobs_p, gold_p
+
+
+def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC source: stdlib multi-member-gzip + record framing parse,
+    HTTP response split, HTML→text strip — one row per crawl record
+    (mapInPandas; per-segment parallelism at crawl scale). Oracle =
+    golden records from synthesis time."""
+    from ocr_to_csv_spark.sources.warc import warc_records
+
+    blobs_p, _ = _staged_warc_paths()
+    blobs = spark.read.parquet(blobs_p)
+    return warc_records(blobs).select(
+        "warc_ref",
+        F.col("rec_idx").cast("long").alias("rec_idx"),
+        "rec_type", "url", "host",
+        F.col("status").cast("long").alias("status"),
+        "mime", "payload_bytes", "text", "n_tokens",
+    )
+
+
+def q_warc_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl rollup over the WARC record stream: page count,
+    payload bytes, 200-rate, token volume — the first aggregate any
+    crawl-curation pipeline runs (host-level quality gates). One
+    map-side-partial groupBy downstream of the record parse. Oracle =
+    the same rollup in DuckDB over the golden record fixture."""
+    from ocr_to_csv_spark.sources.warc import warc_records
+
+    blobs_p, _ = _staged_warc_paths()
+    recs = warc_records(spark.read.parquet(blobs_p))
+    return (
+        recs.filter(F.col("rec_type") == "response")
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.sum("payload_bytes").alias("total_bytes"),
+            F.sum(F.when(F.col("status") == 200, 1).otherwise(0)).alias("n_ok"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+
+
 def q_multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-dup over extracted 264-dim features via banded
     hyperplane LSH (no cross join — the 100 TB path). Oracle = the same
@@ -349,6 +440,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "audio_near_dup": q_audio_near_dup,
             "video_meta": q_video_meta,
             "video_near_dup": q_video_near_dup,
+            "warc_extract": q_warc_extract,
+            "warc_hosts": q_warc_hosts,
         }
     )
     return out
@@ -438,6 +531,24 @@ def oracle_sql() -> dict[str, str]:
         f"{d}/expected_media_feat.parquet"
     )
     out["video_near_dup"] = _near_dup_oracle_sql(video_sig)
+    _, warc_gold = _staged_warc_paths()
+    out["warc_extract"] = f"""
+        SELECT warc_ref, rec_idx::BIGINT AS rec_idx, rec_type, url, host,
+               status::BIGINT AS status, mime,
+               payload_bytes::BIGINT AS payload_bytes,
+               text, n_tokens::BIGINT AS n_tokens
+        FROM '{warc_gold}'
+    """
+    out["warc_hosts"] = f"""
+        SELECT host,
+               count(*)::BIGINT AS n_pages,
+               sum(payload_bytes)::BIGINT AS total_bytes,
+               sum(CASE WHEN status = 200 THEN 1 ELSE 0 END)::BIGINT AS n_ok,
+               sum(n_tokens)::BIGINT AS total_tokens
+        FROM '{warc_gold}'
+        WHERE rec_type = 'response'
+        GROUP BY host
+    """
     return out
 
 
