@@ -44,6 +44,7 @@ from ocr_to_csv_spark.functions import (
     relational,
     similarity,
     sketchops,
+    statsops2,
     textops,
 )
 
@@ -430,6 +431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(composed.QUERIES)
     out.update(sketchops.QUERIES)
     out.update(curation8.QUERIES)
+    out.update(statsops2.QUERIES)
     out.update(
         {
             "extract_spans": q_extract_spans,
@@ -478,6 +480,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(composed.ORACLES)
     out.update(sketchops.ORACLES)
     out.update(curation8.ORACLES)
+    out.update(statsops2.ORACLES)
     # flagship oracles: the deterministic golden fixtures (absolute path —
     # generated on demand so DuckDB can read them even if queries() ran in
     # another process)
