@@ -43,6 +43,7 @@ from ocr_to_csv_spark.functions import (
     codecs,
     relational,
     similarity,
+    projops,
     sketchops,
     statsops2,
     textops,
@@ -432,6 +433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(sketchops.QUERIES)
     out.update(curation8.QUERIES)
     out.update(statsops2.QUERIES)
+    out.update(projops.QUERIES)
     out.update(
         {
             "extract_spans": q_extract_spans,
@@ -481,6 +483,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(sketchops.ORACLES)
     out.update(curation8.ORACLES)
     out.update(statsops2.ORACLES)
+    out.update(projops.ORACLES)
     # flagship oracles: the deterministic golden fixtures (absolute path —
     # generated on demand so DuckDB can read them even if queries() ran in
     # another process)
