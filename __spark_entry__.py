@@ -379,6 +379,102 @@ def q_warc_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+JSONL_STAGE_V = 1
+JSONL_SCHEMA = (
+    "doc_id bigint, text string, score double, published boolean, ts string"
+)
+
+
+def _staged_jsonl_paths() -> tuple[str, str]:
+    """Deterministic JSONL fixture (the corpus-release interchange
+    format): 12 typed lines — one with a missing field (→ null), one
+    with an unknown extra field (→ ignored) — plus two malformed lines
+    (invalid JSON; a type-mismatched number) that must quarantine, and
+    the golden quarantine table."""
+    import pandas as pd
+
+    d = _corpus_dir()
+    jl_p = os.path.join(d, f"fixture_v{JSONL_STAGE_V}.jsonl")
+    gold_q = os.path.join(d, f"expected_jsonl_quarantine_v{JSONL_STAGE_V}.parquet")
+    if not all(os.path.exists(p) for p in (jl_p, gold_q)):
+        lines = []
+        for i in range(12):
+            if i == 3:  # missing score → null
+                lines.append(
+                    f'{{"doc_id": {i}, "text": "doc {i} body", '
+                    f'"published": {str(i % 2 == 0).lower()}, '
+                    f'"ts": "2026-01-{i + 1:02d}"}}'
+                )
+            elif i == 4:  # unknown extra field → ignored
+                lines.append(
+                    f'{{"doc_id": {i}, "text": "doc {i} body", '
+                    f'"score": {i * 0.5}, "published": '
+                    f'{str(i % 2 == 0).lower()}, '
+                    f'"ts": "2026-01-{i + 1:02d}", "extra": 99}}'
+                )
+            else:
+                lines.append(
+                    f'{{"doc_id": {i}, "text": "doc {i} body", '
+                    f'"score": {i * 0.5}, "published": '
+                    f'{str(i % 2 == 0).lower()}, '
+                    f'"ts": "2026-01-{i + 1:02d}"}}'
+                )
+        bad = [
+            '{"doc_id": 12, "text": "bad score", "score": "not-a-number", '
+            '"published": true, "ts": "2026-02-01"}',
+            '{this is not json at all',
+        ]
+        with open(jl_p, "w") as f:
+            f.write("\n".join(lines + bad) + "\n")
+        pd.DataFrame({"raw_line": bad}).to_parquet(gold_q, index=False)
+    return jl_p, gold_q
+
+
+def q_jsonl_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL ingest, good-row side: Spark's native PERMISSIVE json
+    reader with explicit schema. Oracle = DuckDB read_json with
+    ignore_errors (drops exactly what Spark quarantines)."""
+    from ocr_to_csv_spark.sources.jsonl import read_jsonl_quarantine
+
+    jl_p, _ = _staged_jsonl_paths()
+    good, _ = read_jsonl_quarantine(spark, jl_p, JSONL_SCHEMA)
+    return good
+
+
+def q_jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL ingest, quarantine side: malformed lines preserved raw for
+    replay. Oracle = golden quarantine fixture."""
+    from ocr_to_csv_spark.sources.jsonl import read_jsonl_quarantine
+
+    jl_p, _ = _staged_jsonl_paths()
+    _, bad = read_jsonl_quarantine(spark, jl_p, JSONL_SCHEMA)
+    return bad
+
+
+def q_mor_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read equality deletes (Iceberg v2 delete files): base
+    table staged once from orders (o_orderkey % 10 < 3), one delete
+    commit (o_orderkey % 20 == 1); the read is base LEFT ANTI JOIN
+    deletes with the delete set broadcast — the base is never
+    rewritten. Oracle = the same predicates straight in SQL."""
+    from ocr_to_csv_spark.sources.catalog import Catalog
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "default"
+    cat = Catalog(spark, os.path.join(_corpus_dir(), f"mor_v1_{tag}"))
+    if not cat.exists("orders_sub"):
+        orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        cat.append(
+            orders.filter(F.col("o_orderkey") % 10 < 3), "orders_sub"
+        )
+        cat.delete_where(
+            "orders_sub", F.col("o_orderkey") % 20 == 1, ["o_orderkey"]
+        )
+    return cat.read_mor("orders_sub", ["o_orderkey"]).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority",
+    )
+
+
 def q_multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-dup over extracted 264-dim features via banded
     hyperplane LSH (no cross join — the 100 TB path). Oracle = the same
@@ -446,6 +542,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "video_near_dup": q_video_near_dup,
             "warc_extract": q_warc_extract,
             "warc_hosts": q_warc_hosts,
+            "jsonl_parse": q_jsonl_parse,
+            "jsonl_quarantine": q_jsonl_quarantine,
+            "mor_read": q_mor_read,
         }
     )
     return out
@@ -554,6 +653,41 @@ def oracle_sql() -> dict[str, str]:
         FROM '{warc_gold}'
         WHERE rec_type = 'response'
         GROUP BY host
+    """
+    # strict-parse oracle over RAW lines: a line is good iff valid JSON
+    # AND every present field carries the schema's JSON type — exactly
+    # Spark's PERMISSIVE good/quarantine split (DuckDB's read_json
+    # ignore_errors instead NULLs bad fields, a different contract)
+    jl_p, jl_gold_q = _staged_jsonl_paths()
+    out["jsonl_parse"] = f"""
+        WITH raw AS (
+            SELECT line FROM read_csv('{jl_p}', delim='\x01', header=false,
+                quote='', escape='', columns={{'line': 'VARCHAR'}})
+        ),
+        ok AS (
+            SELECT line FROM raw
+            WHERE json_valid(line)
+              AND coalesce(json_type(line, '$.doc_id')
+                           IN ('BIGINT', 'UBIGINT'), true)
+              AND coalesce(json_type(line, '$.text') = 'VARCHAR', true)
+              AND coalesce(json_type(line, '$.score')
+                           IN ('DOUBLE', 'BIGINT', 'UBIGINT'), true)
+              AND coalesce(json_type(line, '$.published') = 'BOOLEAN', true)
+              AND coalesce(json_type(line, '$.ts') = 'VARCHAR', true)
+        )
+        SELECT json_extract(line, '$.doc_id')::BIGINT AS doc_id,
+               json_extract_string(line, '$.text') AS text,
+               json_extract(line, '$.score')::DOUBLE AS score,
+               json_extract_string(line, '$.published')::BOOLEAN AS published,
+               json_extract_string(line, '$.ts') AS ts
+        FROM ok
+    """
+    out["jsonl_quarantine"] = f"SELECT raw_line FROM '{jl_gold_q}'"
+    out["mor_read"] = """
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderpriority
+        FROM orders
+        WHERE o_orderkey % 10 < 3 AND NOT o_orderkey % 20 = 1
     """
     return out
 

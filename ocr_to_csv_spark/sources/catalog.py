@@ -349,3 +349,60 @@ class Catalog:
             "files_after": files_after,
             "bytes": total,
         }
+
+    # ------------------------------------------------ merge-on-read deletes
+
+    def _deletes_dir(self, name: str) -> str:
+        # SIBLING of the table dir — inside it, the base reader would
+        # pick the delete files up as data
+        return self.path(name) + ".deletes"
+
+    def delete_keys(self, keys_df: DataFrame, name: str,
+                    key_cols: list[str]) -> None:
+        """Merge-on-read EQUALITY DELETE (Iceberg v2 equality-delete
+        file): append the doomed keys to a delete table next to the
+        base; readers anti-join, writers never touch the base. Cost is
+        O(|deletes|) regardless of table size — the point at 100 TB,
+        where rewriting the base per delete (copy-on-write) is a full
+        table rewrite. Repeated calls accumulate commits; run
+        ``apply_deletes`` periodically (the Iceberg
+        ``rewrite_position_delete_files`` + major-compaction analogue)."""
+        keys_df.select(*key_cols).distinct().write.mode("append").parquet(
+            self._deletes_dir(name)
+        )
+
+    def delete_where(self, name: str, condition, key_cols: list[str]) -> None:
+        """Predicate delete: resolve the condition to keys (one scan,
+        filter pushed down), then record them as an equality delete."""
+        self.delete_keys(
+            self.read(name).filter(condition), name, key_cols
+        )
+
+    def read_mor(self, name: str, key_cols: list[str],
+                 broadcast_deletes: bool = True) -> DataFrame:
+        """Read base MINUS accumulated equality deletes: one left_anti
+        join on the key. Delete sets are usually tiny relative to the
+        base → broadcast by default (no shuffle of the base); pass
+        broadcast_deletes=False after mass deletes and let AQE pick."""
+        from pyspark.sql import functions as F
+
+        base = self.read(name)
+        d = self._deletes_dir(name)
+        if not os.path.exists(d):
+            return base
+        dels = self.spark.read.parquet(d).distinct()
+        if broadcast_deletes:
+            dels = F.broadcast(dels)
+        return base.join(dels, key_cols, "left_anti")
+
+    def apply_deletes(self, name: str, key_cols: list[str]) -> dict:
+        """Major compaction of the delete queue: rewrite the base with
+        deletes applied (atomic swap), drop the delete files. Restores
+        pure-scan reads until the next delete."""
+        d = self._deletes_dir(name)
+        if not os.path.exists(d):
+            return {"applied": False}
+        merged = self.read_mor(name, key_cols)
+        self._swap_write(merged, name)
+        shutil.rmtree(d, ignore_errors=True)
+        return {"applied": True}

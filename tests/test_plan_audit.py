@@ -75,6 +75,7 @@ BNLJ_ALLOWED = {
     "mutual_knn": "labeled brute-force kNN baseline (ANN-gated at scale)",
     "ams_f2": "cross of two single-row aggregates (exact F2 vs sketch est)",
     "cluster_purity": "assignment reuses kmeans' broadcast k-row centroid cross",
+    "chi2_cells": "single-row grand-total aggregate cross (statsops2.py)",
 }
 
 
