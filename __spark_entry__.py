@@ -451,6 +451,56 @@ def q_jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bad
 
 
+CSV_STAGE_V = 1
+CSV_SCHEMA = "id bigint, name string, score double, flag boolean"
+
+
+def _staged_csv_paths() -> tuple[str, str]:
+    """Deterministic CSV fixture: 10 good rows (one with a QUOTED
+    delimiter), plus an extra-column row, a bad-cast row, and a
+    short row — each malformed per Spark's PERMISSIVE contract — and
+    the golden quarantine table."""
+    import pandas as pd
+
+    d = _corpus_dir()
+    csv_p = os.path.join(d, f"fixture_v{CSV_STAGE_V}.csv")
+    gold_q = os.path.join(d, f"expected_csv_quarantine_v{CSV_STAGE_V}.parquet")
+    if not all(os.path.exists(p) for p in (csv_p, gold_q)):
+        good = [
+            f"{i},name{i},{i * 0.5},{'true' if i % 2 == 0 else 'false'}"
+            for i in range(9)
+        ] + ['9,"name,with,commas",4.5,false']
+        bad = [
+            "10,extra,5.0,true,SURPLUS",
+            "not-a-number,badcast,5.5,true",
+            "12,short,6.0",
+        ]
+        with open(csv_p, "w") as f:
+            f.write("\n".join(good + bad) + "\n")
+        pd.DataFrame({"raw_line": bad}).to_parquet(gold_q, index=False)
+    return csv_p, gold_q
+
+
+def q_csv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV ingest, good-row side: native PERMISSIVE csv reader with
+    explicit schema. Oracle = DuckDB strict read_csv(ignore_errors),
+    which drops exactly what Spark quarantines."""
+    from ocr_to_csv_spark.sources.csv_ingest import read_csv_quarantine
+
+    csv_p, _ = _staged_csv_paths()
+    good, _ = read_csv_quarantine(spark, csv_p, CSV_SCHEMA)
+    return good
+
+
+def q_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV ingest, quarantine side: malformed rows preserved raw."""
+    from ocr_to_csv_spark.sources.csv_ingest import read_csv_quarantine
+
+    csv_p, _ = _staged_csv_paths()
+    _, bad = read_csv_quarantine(spark, csv_p, CSV_SCHEMA)
+    return bad
+
+
 def q_mor_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge-on-read equality deletes (Iceberg v2 delete files): base
     table staged once from orders (o_orderkey % 10 < 3), one delete
@@ -545,6 +595,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "jsonl_parse": q_jsonl_parse,
             "jsonl_quarantine": q_jsonl_quarantine,
             "mor_read": q_mor_read,
+            "csv_parse": q_csv_parse,
+            "csv_quarantine": q_csv_quarantine,
         }
     )
     return out
@@ -689,6 +741,15 @@ def oracle_sql() -> dict[str, str]:
         FROM orders
         WHERE o_orderkey % 10 < 3 AND NOT o_orderkey % 20 = 1
     """
+    csv_p, csv_gold_q = _staged_csv_paths()
+    out["csv_parse"] = f"""
+        SELECT id, name, score, flag
+        FROM read_csv('{csv_p}', header=false, ignore_errors=true,
+                      null_padding=false, auto_detect=false,
+                      columns={{'id': 'BIGINT', 'name': 'VARCHAR',
+                                'score': 'DOUBLE', 'flag': 'BOOLEAN'}})
+    """
+    out["csv_quarantine"] = f"SELECT raw_line FROM '{csv_gold_q}'"
     return out
 
 
