@@ -351,6 +351,14 @@ class Catalog:
         }
 
     # ------------------------------------------------ merge-on-read deletes
+    #
+    # Lightweight path-only variant for plain-Catalog tables (one delete
+    # queue, no commit sequencing): right when the table has a single
+    # logical writer, e.g. the pipeline's output tables. For sequenced
+    # semantics — deletes that only mask data dirs committed BEFORE
+    # them, so re-appending a deleted key is visible again — use
+    # ``SnapshotCatalog.delete_where`` (sources/snapshots.py), which
+    # carries Iceberg v2 sequence numbers.
 
     def _deletes_dir(self, name: str) -> str:
         # SIBLING of the table dir — inside it, the base reader would
