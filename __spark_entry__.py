@@ -43,6 +43,7 @@ from ocr_to_csv_spark.functions import (
     codecs,
     relational,
     similarity,
+    geoops,
     projops,
     sketchops,
     statsops2,
@@ -501,6 +502,52 @@ def q_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bad
 
 
+XML_STAGE_V = 1
+XML_SCHEMA = "id bigint, title string, score double"
+N_XML = 10
+
+
+def _staged_xml_paths() -> tuple[str, str]:
+    """Deterministic XML fixture (rowTag=doc): N_XML docs with known
+    fields — one with a MISSING element (→ null, not malformed) — plus
+    one type-mismatched doc that must quarantine; golden good-row table
+    written from the pre-encode values."""
+    import pandas as pd
+
+    d = _corpus_dir()
+    xml_p = os.path.join(d, f"fixture_v{XML_STAGE_V}.xml")
+    gold_p = os.path.join(d, f"expected_xml_rows_v{XML_STAGE_V}.parquet")
+    if not all(os.path.exists(p) for p in (xml_p, gold_p)):
+        rows, gold = [], []
+        for i in range(N_XML):
+            if i == 7:  # missing score element → null
+                rows.append(f"<doc><id>{i}</id><title>t{i}</title></doc>")
+                gold.append({"id": i, "title": f"t{i}", "score": None})
+            else:
+                rows.append(
+                    f"<doc><id>{i}</id><title>t{i}</title>"
+                    f"<score>{i * 0.5}</score></doc>"
+                )
+                gold.append({"id": i, "title": f"t{i}", "score": i * 0.5})
+        rows.append("<doc><id>oops</id><title>bad</title>"
+                    "<score>9.5</score></doc>")  # type mismatch → quarantine
+        with open(xml_p, "w") as f:
+            f.write("<docs>\n" + "\n".join(rows) + "\n</docs>\n")
+        pd.DataFrame(gold).to_parquet(gold_p, index=False)
+    return xml_p, gold_p
+
+
+def q_xml_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingest, good-row side: Spark 4's native xml source
+    (rowTag streaming parse), PERMISSIVE quarantine split. Oracle =
+    golden rows from synthesis time (DuckDB has no XML reader)."""
+    from ocr_to_csv_spark.sources.xml_ingest import read_xml_quarantine
+
+    xml_p, _ = _staged_xml_paths()
+    good, _ = read_xml_quarantine(spark, xml_p, XML_SCHEMA, row_tag="doc")
+    return good
+
+
 def q_mor_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge-on-read equality deletes (Iceberg v2 delete files): base
     table staged once from orders (o_orderkey % 10 < 3), one delete
@@ -580,6 +627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(curation8.QUERIES)
     out.update(statsops2.QUERIES)
     out.update(projops.QUERIES)
+    out.update(geoops.QUERIES)
     out.update(
         {
             "extract_spans": q_extract_spans,
@@ -597,6 +645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "mor_read": q_mor_read,
             "csv_parse": q_csv_parse,
             "csv_quarantine": q_csv_quarantine,
+            "xml_parse": q_xml_parse,
         }
     )
     return out
@@ -635,6 +684,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(curation8.ORACLES)
     out.update(statsops2.ORACLES)
     out.update(projops.ORACLES)
+    out.update(geoops.ORACLES)
     # flagship oracles: the deterministic golden fixtures (absolute path —
     # generated on demand so DuckDB can read them even if queries() ran in
     # another process)
@@ -750,6 +800,11 @@ def oracle_sql() -> dict[str, str]:
                                 'score': 'DOUBLE', 'flag': 'BOOLEAN'}})
     """
     out["csv_quarantine"] = f"SELECT raw_line FROM '{csv_gold_q}'"
+    _, xml_gold = _staged_xml_paths()
+    out["xml_parse"] = f"""
+        SELECT id::BIGINT AS id, title, score::DOUBLE AS score
+        FROM '{xml_gold}'
+    """
     return out
 
 
