@@ -54,9 +54,12 @@ def main() -> None:
         curation5,
         dataops,
         dedup,
+        geoops,
+        projops,
         relational,
         similarity,
         statsops,
+        statsops2,
         textops,
     )
     from ocr_to_csv_spark.session import get_spark, sf_dir
@@ -122,6 +125,10 @@ def main() -> None:
         "range_window": statsops.q_range_window,
         "theta_intersect": analytics2.q_theta_intersect,
         "pca_cov": analytics2.q_pca_cov,
+        "ks_test": statsops2.q_ks_test,
+        "auc_roc": projops.q_auc_roc,
+        "rp_embed": projops.q_rp_embed,
+        "geo_grid_join": geoops.q_geo_grid_join,
     }
     for name, fn in headline.items():
         best = float("inf")
