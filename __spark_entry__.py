@@ -47,6 +47,7 @@ from ocr_to_csv_spark.functions import (
     projops,
     sketchops,
     statsops2,
+    sweepops,
     textops,
 )
 
@@ -628,6 +629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(statsops2.QUERIES)
     out.update(projops.QUERIES)
     out.update(geoops.QUERIES)
+    out.update(sweepops.QUERIES)
     out.update(
         {
             "extract_spans": q_extract_spans,
@@ -685,6 +687,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(statsops2.ORACLES)
     out.update(projops.ORACLES)
     out.update(geoops.ORACLES)
+    out.update(sweepops.ORACLES)
     # flagship oracles: the deterministic golden fixtures (absolute path —
     # generated on demand so DuckDB can read them even if queries() ran in
     # another process)
