@@ -44,6 +44,7 @@ from ocr_to_csv_spark.functions import (
     relational,
     similarity,
     geoops,
+    hierops,
     projops,
     sketchops,
     statsops2,
@@ -630,6 +631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(projops.QUERIES)
     out.update(geoops.QUERIES)
     out.update(sweepops.QUERIES)
+    out.update(hierops.QUERIES)
     out.update(
         {
             "extract_spans": q_extract_spans,
@@ -688,6 +690,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(projops.ORACLES)
     out.update(geoops.ORACLES)
     out.update(sweepops.ORACLES)
+    out.update(hierops.ORACLES)
     # flagship oracles: the deterministic golden fixtures (absolute path —
     # generated on demand so DuckDB can read them even if queries() ran in
     # another process)
