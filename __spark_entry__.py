@@ -50,6 +50,7 @@ from ocr_to_csv_spark.functions import (
     statsops2,
     sweepops,
     textops,
+    windowdistinct,
 )
 
 CORPUS_DOCS = 40
@@ -632,6 +633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(geoops.QUERIES)
     out.update(sweepops.QUERIES)
     out.update(hierops.QUERIES)
+    out.update(windowdistinct.QUERIES)
     out.update(
         {
             "extract_spans": q_extract_spans,
@@ -691,6 +693,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(geoops.ORACLES)
     out.update(sweepops.ORACLES)
     out.update(hierops.ORACLES)
+    out.update(windowdistinct.ORACLES)
     # flagship oracles: the deterministic golden fixtures (absolute path —
     # generated on demand so DuckDB can read them even if queries() ran in
     # another process)
