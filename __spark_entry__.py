@@ -27,6 +27,7 @@ from ocr_to_csv_spark.functions import (
     curation6,
     curation7,
     curation8,
+    dagops,
     dedup,
     graphtext,
     irops,
@@ -634,6 +635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(sweepops.QUERIES)
     out.update(hierops.QUERIES)
     out.update(windowdistinct.QUERIES)
+    out.update(dagops.QUERIES)
     out.update(
         {
             "extract_spans": q_extract_spans,
@@ -694,6 +696,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(sweepops.ORACLES)
     out.update(hierops.ORACLES)
     out.update(windowdistinct.ORACLES)
+    out.update(dagops.ORACLES)
     # flagship oracles: the deterministic golden fixtures (absolute path —
     # generated on demand so DuckDB can read them even if queries() ran in
     # another process)
