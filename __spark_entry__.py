@@ -49,6 +49,7 @@ from ocr_to_csv_spark.functions import (
     projops,
     sketchops,
     statsops2,
+    survival,
     sweepops,
     textops,
     windowdistinct,
@@ -636,6 +637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(hierops.QUERIES)
     out.update(windowdistinct.QUERIES)
     out.update(dagops.QUERIES)
+    out.update(survival.QUERIES)
     out.update(
         {
             "extract_spans": q_extract_spans,
@@ -697,6 +699,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(hierops.ORACLES)
     out.update(windowdistinct.ORACLES)
     out.update(dagops.ORACLES)
+    out.update(survival.ORACLES)
     # flagship oracles: the deterministic golden fixtures (absolute path —
     # generated on demand so DuckDB can read them even if queries() ran in
     # another process)

@@ -76,6 +76,7 @@ BNLJ_ALLOWED = {
     "ams_f2": "cross of two single-row aggregates (exact F2 vs sketch est)",
     "cluster_purity": "assignment reuses kmeans' broadcast k-row centroid cross",
     "chi2_cells": "single-row grand-total aggregate cross (statsops2.py)",
+    "kaplan_meier": "single-row corpus-horizon aggregate cross (survival.py)",
 }
 
 
