@@ -246,6 +246,9 @@ def parse_warc(ref: str, data: bytes) -> list[tuple]:
     streams yield recovered records + one corrupt_warc marker."""
     rows: list[tuple] = []
     try:
+        # broad except is the contract: ANY parse failure (bad framing
+        # ValueError, zlib.error from a corrupted gzip member, hostile
+        # header values) quarantines the tail — never a task failure
         for idx, (headers, payload) in enumerate(iter_warc_records(data)):
             rtype = headers.get("warc-type", "unknown")
             url = headers.get("warc-target-uri")
@@ -267,7 +270,7 @@ def parse_warc(ref: str, data: bytes) -> list[tuple]:
                 _host(url) if url else None, status, mime,
                 len(payload), text, len(text.split()),
             ))
-    except ValueError:
+    except Exception:
         rows.append((ref, -1, "corrupt_warc", None, None, -1, "",
                      -1, "", -1))
     return rows
