@@ -36,6 +36,7 @@ from ocr_to_csv_spark.functions import (
     tpch3,
     tpch4,
     engagement,
+    gameops,
     statsops,
     temporal,
     linkpred,
@@ -638,6 +639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(windowdistinct.QUERIES)
     out.update(dagops.QUERIES)
     out.update(survival.QUERIES)
+    out.update(gameops.QUERIES)
     out.update(
         {
             "extract_spans": q_extract_spans,
@@ -700,6 +702,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(windowdistinct.ORACLES)
     out.update(dagops.ORACLES)
     out.update(survival.ORACLES)
+    out.update(gameops.ORACLES)
     # flagship oracles: the deterministic golden fixtures (absolute path —
     # generated on demand so DuckDB can read them even if queries() ran in
     # another process)
