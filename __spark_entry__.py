@@ -40,6 +40,7 @@ from ocr_to_csv_spark.functions import (
     statsops,
     temporal,
     linkpred,
+    matchops,
     sqlsurface,
     attribution,
     codecs,
@@ -640,6 +641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(dagops.QUERIES)
     out.update(survival.QUERIES)
     out.update(gameops.QUERIES)
+    out.update(matchops.QUERIES)
     out.update(
         {
             "extract_spans": q_extract_spans,
@@ -703,6 +705,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(dagops.ORACLES)
     out.update(survival.ORACLES)
     out.update(gameops.ORACLES)
+    out.update(matchops.ORACLES)
     # flagship oracles: the deterministic golden fixtures (absolute path —
     # generated on demand so DuckDB can read them even if queries() ran in
     # another process)

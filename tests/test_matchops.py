@@ -1,0 +1,52 @@
+"""Batch 57: matching-round invariants on the sf candidates and a
+hand-computed Cohen's kappa identity check."""
+
+from ocr_to_csv_spark.functions.geoops import q_geo_grid_join
+from ocr_to_csv_spark.functions.matchops import (
+    q_cohens_kappa,
+    q_stable_match_round,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_match_round_invariants(spark):
+    cand = {
+        (r["s_suppkey"], r["c_custkey"]): r["dist2"]
+        for r in q_geo_grid_join(spark, SF).collect()
+    }
+    got = q_stable_match_round(spark, SF).collect()
+    assert got, "no matches at sf0.001 — candidate radius too small?"
+    # one customer per supplier; every match is a real candidate pair;
+    # the accepted distance is the candidate distance
+    assert len({r["s_suppkey"] for r in got}) == len(got)
+    for r in got:
+        assert cand[(r["s_suppkey"], r["c_custkey"])] == r["dist2"]
+    # acceptance: no supplier's accepted proposer is farther than
+    # another customer who PROPOSED to that supplier (propose = the
+    # customer's own nearest supplier)
+    prop_best = {}
+    for (s, c), d in cand.items():
+        cur = prop_best.get(c)
+        if cur is None or (d, s) < cur:
+            prop_best[c] = (d, s)
+    proposals = {}
+    for c, (d, s) in prop_best.items():
+        proposals.setdefault(s, []).append((d, c))
+    for r in got:
+        best = min(proposals[r["s_suppkey"]])
+        assert (r["dist2"], r["c_custkey"]) == best
+
+
+def test_cohens_kappa_identity(spark):
+    r = q_cohens_kappa(spark, SF).collect()[0]
+    n = r["n11"] + r["n10"] + r["n01"] + r["n00"]
+    assert n > 0
+    sum_rc = (r["n11"] + r["n10"]) * (r["n11"] + r["n01"]) + (
+        r["n01"] + r["n00"]
+    ) * (r["n10"] + r["n00"])
+    assert r["kappa_num"] == n * (r["n11"] + r["n00"]) - sum_rc
+    assert r["kappa_den"] == n * n - sum_rc
+    # kappa ≤ 1 always; den > 0 unless a rater is constant
+    if r["kappa_den"] > 0:
+        assert r["kappa_num"] <= r["kappa_den"]
