@@ -133,12 +133,153 @@ def _kappa_sql() -> str:
     """
 
 
+def q_stable_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL Gale–Shapley deferred acceptance over the in-radius
+    candidates (customers propose): iterate the propose-accept round,
+    rejected proposals accumulate, freed customers re-propose to their
+    next-nearest supplier, until no proposal is rejected. Strict
+    preferences ((dist2, key) total order) make the customer-optimal
+    outcome unique, so the pure-Python textbook implementation is an
+    independent oracle.
+
+    Scale shape: per round two keyed aggregations + one anti-join
+    against the rejected-pair set (bounded by |candidates|);
+    ``localCheckpoint`` truncates lineage; rounds ≤ max candidates per
+    customer (a constant of the radius, not of data size)."""
+    cand = q_geo_grid_join(spark, sf_dir).localCheckpoint()
+    rejected = None  # (c_custkey, s_suppkey) pairs
+    tentative = None  # (s_suppkey, c_custkey, dist2)
+    for _ in range(64):
+        avail = cand
+        if rejected is not None:
+            avail = cand.join(
+                rejected, ["c_custkey", "s_suppkey"], "left_anti"
+            )
+        if tentative is not None:
+            held = tentative.select("c_custkey")
+            avail = avail.join(held, "c_custkey", "left_anti")
+        props = avail.groupBy("c_custkey").agg(
+            F.min_by(
+                "s_suppkey",
+                F.struct(F.col("dist2").alias("d"),
+                         F.col("s_suppkey").alias("k")),
+            ).alias("s_suppkey"),
+            F.min(F.struct(F.col("dist2").alias("d"),
+                           F.col("s_suppkey").alias("k"))).alias("pd"),
+        ).select("c_custkey", "s_suppkey", F.col("pd.d").alias("dist2"))
+        if props.isEmpty():
+            break
+        pool = (
+            props.unionByName(tentative) if tentative is not None else props
+        )
+        new_tent = pool.groupBy("s_suppkey").agg(
+            F.min_by(
+                "c_custkey",
+                F.struct(F.col("dist2").alias("d"),
+                         F.col("c_custkey").alias("k")),
+            ).alias("c_custkey"),
+            F.min(F.struct(F.col("dist2").alias("d"),
+                           F.col("c_custkey").alias("k"))).alias("ad"),
+        ).select("s_suppkey", "c_custkey", F.col("ad.d").alias("dist2"))
+        losers = pool.join(
+            new_tent, ["s_suppkey", "c_custkey"], "left_anti"
+        ).select("c_custkey", "s_suppkey")
+        tentative = new_tent.localCheckpoint()
+        if losers.isEmpty():
+            break
+        rejected = (
+            losers if rejected is None
+            else rejected.unionByName(losers)
+        ).localCheckpoint()
+    return tentative.select("s_suppkey", "c_custkey", "dist2")
+
+
+def _py_points_and_candidates(sf_dir: str):
+    """Pure-Python recomputation of the geo candidates from first
+    principles (keys → modular points → in-radius pairs) — fully
+    independent of the Spark plan."""
+    import glob
+
+    import pandas as pd
+
+    def keys(tbl, col):
+        files = sorted(glob.glob(f"{sf_dir}/{tbl}.parquet")) or sorted(
+            glob.glob(f"{sf_dir}/{tbl}.parquet/*.parquet")
+        )
+        return pd.concat([pd.read_parquet(f, columns=[col])
+                          for f in files])[col].tolist()
+
+    cust = {k: (k * 37 % 1000, k * 91 % 1000)
+            for k in keys("customer", "c_custkey")}
+    supp = {k: (k * 53 % 1000, k * 17 % 1000)
+            for k in keys("supplier", "s_suppkey")}
+    cand = {}
+    for c, (cx, cy) in cust.items():
+        for s, (sx, sy) in supp.items():
+            d2 = (cx - sx) ** 2 + (cy - sy) ** 2
+            if d2 <= 64:
+                cand[(c, s)] = d2
+    return cand
+
+
+def _py_gale_shapley(cand: dict) -> list[tuple]:
+    """Textbook customer-proposing deferred acceptance."""
+    prefs: dict = {}
+    for (c, s), d in cand.items():
+        prefs.setdefault(c, []).append((d, s))
+    for c in prefs:
+        prefs[c].sort()
+    nxt = {c: 0 for c in prefs}
+    held: dict = {}  # s -> (d, c)
+    free = list(prefs)
+    while free:
+        c = free.pop()
+        while nxt[c] < len(prefs[c]):
+            d, s = prefs[c][nxt[c]]
+            nxt[c] += 1
+            cur = held.get(s)
+            if cur is None or (d, c) < cur:
+                if cur is not None:
+                    free.append(cur[1])
+                held[s] = (d, c)
+                break
+    return sorted((s, c, d) for s, (d, c) in held.items())
+
+
+def _staged_matching_gold(sf_dir: str) -> str:
+    """Golden stable matching from the independent pure-Python
+    implementation, staged per sf dir."""
+    import os
+
+    import pandas as pd
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "default"
+    p = f"/tmp/ocr2csv_match_gold_{tag}.parquet"
+    if not os.path.exists(p):
+        rows = _py_gale_shapley(_py_points_and_candidates(sf_dir))
+        pd.DataFrame(
+            rows, columns=["s_suppkey", "c_custkey", "dist2"]
+        ).to_parquet(p, index=False)
+    return p
+
+
+def _matching_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    gold = _staged_matching_gold(sf_dir)
+    return f"""
+        SELECT s_suppkey::BIGINT AS s_suppkey,
+               c_custkey::BIGINT AS c_custkey, dist2::BIGINT AS dist2
+        FROM '{gold}'
+    """
+
+
 QUERIES = {
     "stable_match_round": q_stable_match_round,
     "cohens_kappa": q_cohens_kappa,
+    "stable_matching": q_stable_matching,
 }
 
 ORACLES = {
     "stable_match_round": _MATCH_SQL,
     "cohens_kappa": _kappa_sql(),
+    "stable_matching": _matching_oracle_sql(),
 }

@@ -50,3 +50,35 @@ def test_cohens_kappa_identity(spark):
     # kappa ≤ 1 always; den > 0 unless a rater is constant
     if r["kappa_den"] > 0:
         assert r["kappa_num"] <= r["kappa_den"]
+
+
+def test_python_gale_shapley_hand_case():
+    from ocr_to_csv_spark.functions.matchops import _py_gale_shapley
+
+    # c1 prefers s1 (d=1); c2 prefers s1 too but farther (d=2) →
+    # s1 takes c1, c2 falls back to s2 (d=5); displacement: seed c2
+    # into s1 first is impossible here (order-free outcome is unique)
+    cand = {(1, 10): 1, (2, 10): 2, (2, 20): 5, (3, 10): 9}
+    got = _py_gale_shapley(cand)
+    assert got == [(10, 1, 1), (20, 2, 5)]  # c3 unmatched (s1 full)
+
+
+def test_stable_matching_has_no_blocking_pair(spark):
+    from ocr_to_csv_spark.functions.matchops import q_stable_matching
+
+    cand = {
+        (r["s_suppkey"], r["c_custkey"]): r["dist2"]
+        for r in q_geo_grid_join(spark, SF).collect()
+    }
+    got = q_stable_matching(spark, SF).collect()
+    assert got
+    match_of_c = {r["c_custkey"]: (r["dist2"], r["s_suppkey"]) for r in got}
+    match_of_s = {r["s_suppkey"]: (r["dist2"], r["c_custkey"]) for r in got}
+    for (s, c), d in cand.items():
+        c_cur = match_of_c.get(c)
+        s_cur = match_of_s.get(s)
+        c_prefers = c_cur is None or (d, s) < c_cur
+        s_prefers = s_cur is None or (d, c) < s_cur
+        assert not (c_prefers and s_prefers), (
+            f"blocking pair: supplier {s}, customer {c}, d2={d}"
+        )
