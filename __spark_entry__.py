@@ -41,6 +41,7 @@ from ocr_to_csv_spark.functions import (
     temporal,
     linkpred,
     matchops,
+    privops,
     sqlsurface,
     attribution,
     codecs,
@@ -642,6 +643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(survival.QUERIES)
     out.update(gameops.QUERIES)
     out.update(matchops.QUERIES)
+    out.update(privops.QUERIES)
     out.update(
         {
             "extract_spans": q_extract_spans,
@@ -706,6 +708,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(survival.ORACLES)
     out.update(gameops.ORACLES)
     out.update(matchops.ORACLES)
+    out.update(privops.ORACLES)
     # flagship oracles: the deterministic golden fixtures (absolute path —
     # generated on demand so DuckDB can read them even if queries() ran in
     # another process)
