@@ -52,6 +52,7 @@ from ocr_to_csv_spark.functions import (
     projops,
     sketchops,
     statsops2,
+    statsops3,
     survival,
     sweepops,
     textops,
@@ -634,6 +635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(sketchops.QUERIES)
     out.update(curation8.QUERIES)
     out.update(statsops2.QUERIES)
+    out.update(statsops3.QUERIES)
     out.update(projops.QUERIES)
     out.update(geoops.QUERIES)
     out.update(sweepops.QUERIES)
@@ -699,6 +701,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(sketchops.ORACLES)
     out.update(curation8.ORACLES)
     out.update(statsops2.ORACLES)
+    out.update(statsops3.ORACLES)
     out.update(projops.ORACLES)
     out.update(geoops.ORACLES)
     out.update(sweepops.ORACLES)
