@@ -42,6 +42,7 @@ from ocr_to_csv_spark.functions import (
     linkpred,
     matchops,
     privops,
+    privops2,
     sqlsurface,
     attribution,
     codecs,
@@ -646,6 +647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(gameops.QUERIES)
     out.update(matchops.QUERIES)
     out.update(privops.QUERIES)
+    out.update(privops2.QUERIES)
     out.update(
         {
             "extract_spans": q_extract_spans,
@@ -712,6 +714,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(gameops.ORACLES)
     out.update(matchops.ORACLES)
     out.update(privops.ORACLES)
+    out.update(privops2.ORACLES)
     # flagship oracles: the deterministic golden fixtures (absolute path —
     # generated on demand so DuckDB can read them even if queries() ran in
     # another process)
