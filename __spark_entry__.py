@@ -40,6 +40,7 @@ from ocr_to_csv_spark.functions import (
     statsops,
     temporal,
     linkpred,
+    graphstats,
     matchops,
     privops,
     privops2,
@@ -628,6 +629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(statsops.QUERIES)
     out.update(temporal.QUERIES)
     out.update(linkpred.QUERIES)
+    out.update(graphstats.QUERIES)
     out.update(sqlsurface.QUERIES)
     out.update(attribution.QUERIES)
     out.update(codecs.QUERIES)
@@ -695,6 +697,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(statsops.ORACLES)
     out.update(temporal.ORACLES)
     out.update(linkpred.ORACLES)
+    out.update(graphstats.ORACLES)
     out.update(sqlsurface.ORACLES)
     out.update(attribution.ORACLES)
     out.update(codecs.ORACLES)

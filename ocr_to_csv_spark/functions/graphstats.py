@@ -1,0 +1,212 @@
+"""Graph-structure operators, batch 62: Adamic-Adar link scoring and
+the degree assortativity coefficient.
+
+Scale design (100 TB):
+- ``adamic_adar`` (Adamic & Adar 2003): like ``common_neighbors``'s
+  resource-allocation score but weighting each shared neighbor z by
+  1/ln(deg(z)). The transcendental is kept OUT of both engines: the
+  per-degree weight round(SCALE/ln(d)) is precomputed once in Python
+  and embedded as the SAME integer lookup literal in the Spark plan
+  and the DuckDB oracle (the ``ring_assign`` precedent), so the score
+  is an exact int64 sum — no cross-engine libm, no float-order
+  dependence. Degrees above the LUT bound clamp to the last entry
+  (contribution is monotone-decreasing; documented fixed-point
+  semantics). Same shuffle shape as ``common_neighbors``: the pair
+  candidates come from one equi-join of the adjacency list with
+  itself ON THE SHARED NEIGHBOR — per-neighbor cost deg², the honest
+  scale lever being a hub-degree cap, and nothing quadratic crosses
+  the shuffle un-keyed.
+- ``assortativity`` (Newman 2002): Pearson correlation of the degrees
+  at the two ends of every edge. With the sums taken over ordered
+  edge endpoints the coefficient reduces to the FULLY RATIONAL form
+    r = (4M·Σjk − (Σ(j+k))²) / (2M·Σ(j²+k²) − (Σ(j+k))²)
+  — every term an exact int64 (bounds: with max degree d and M edges
+  the largest term is 4M²d², far under 2^63 for any per-partition
+  graph this engine materializes), one IEEE division at the end. Plan
+  shape: degree table (one groupBy), two broadcast-joins of the edge
+  list against it (degree table is node-sized but the join is a
+  keyed equi-join, broadcast only when small), and a single global
+  aggregate of four integer sums — constant-width shuffle.
+
+Reference parity: no graph layer in the reference; extends the
+link-prediction family (``common_neighbors``, ``edge_negatives``,
+``pr_at_k``) with the classic weighted score and the global-structure
+audit used to characterize crawl/link graphs before training on them.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .linkpred import _EDGES_SQL, _undirected_edges
+from .util import table
+
+AA_SCALE = 1_000_000
+AA_MAX_DEG = 64
+# weight LUT: deg -> round(SCALE / ln(deg)), deg in [2, AA_MAX_DEG]
+AA_LUT = {
+    d: int(round(AA_SCALE / math.log(d))) for d in range(2, AA_MAX_DEG + 1)
+}
+AA_TOP = 50
+
+
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar scores for non-adjacent pairs on the doc link graph;
+    top AA_TOP by (aa desc, a, b). See module docstring."""
+    ue = _undirected_edges(spark, sf_dir).cache()
+    adj = ue.select(
+        F.col("lo").alias("node"), F.col("hi").alias("nbr")
+    ).unionByName(ue.select(F.col("hi").alias("node"), F.col("lo").alias("nbr")))
+    deg = adj.groupBy("nbr").agg(F.count(F.lit(1)).alias("deg"))
+    lut = F.create_map(
+        *[x for d, w in AA_LUT.items() for x in (F.lit(d), F.lit(w))]
+    )
+    clamped = F.least(F.col("deg"), F.lit(AA_MAX_DEG))
+    wdeg = deg.select(
+        F.col("nbr").alias("z"), lut[clamped].cast("long").alias("w")
+    )
+    left = adj.select(F.col("nbr").alias("z"), F.col("node").alias("a"))
+    right = adj.select(F.col("nbr").alias("z"), F.col("node").alias("b"))
+    cand = (
+        left.join(right, "z")
+        .filter(F.col("a") < F.col("b"))
+        .join(wdeg, "z")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cn"), F.sum("w").alias("aa_scaled"))
+    )
+    fresh = cand.join(
+        ue, (cand.a == ue.lo) & (cand.b == ue.hi), "left_anti"
+    )
+    return (
+        fresh.select(
+            "a",
+            "b",
+            "cn",
+            "aa_scaled",
+            (F.col("aa_scaled").cast("double") / F.lit(float(AA_SCALE))).alias(
+                "aa"
+            ),
+        )
+        .orderBy(F.desc("aa_scaled"), F.asc("a"), F.asc("b"))
+        .limit(AA_TOP)
+    )
+
+
+_AA_CASE = (
+    "CASE least(deg, " + str(AA_MAX_DEG) + ") "
+    + " ".join(f"WHEN {d} THEN {w}" for d, w in AA_LUT.items())
+    + " END"
+)
+
+_AA_SQL = (
+    _EDGES_SQL
+    + f""",
+    adj AS (
+        SELECT lo AS node, hi AS nbr FROM ue
+        UNION ALL
+        SELECT hi, lo FROM ue
+    ),
+    deg AS (SELECT nbr, count(*)::BIGINT AS deg FROM adj GROUP BY nbr),
+    wdeg AS (SELECT nbr AS z, CAST({_AA_CASE} AS BIGINT) AS w FROM deg),
+    cand AS (
+        SELECT l.node AS a, r.node AS b,
+               count(*)::BIGINT AS cn,
+               CAST(sum(w.w) AS BIGINT) AS aa_scaled
+        FROM adj l
+        JOIN adj r ON l.nbr = r.nbr AND l.node < r.node
+        JOIN wdeg w ON w.z = l.nbr
+        GROUP BY 1, 2
+    ),
+    fresh AS (
+        SELECT c.* FROM cand c
+        ANTI JOIN ue ON c.a = ue.lo AND c.b = ue.hi
+    )
+    SELECT a, b, cn, aa_scaled,
+           CAST(aa_scaled AS DOUBLE) / {float(AA_SCALE)} AS aa
+    FROM fresh
+    ORDER BY aa_scaled DESC, a ASC, b ASC
+    LIMIT {AA_TOP}
+"""
+)
+
+
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the doc link graph as an exact rational
+    (see module docstring)."""
+    ue = _undirected_edges(spark, sf_dir).cache()
+    adj = ue.select(
+        F.col("lo").alias("node"), F.col("hi").alias("nbr")
+    ).unionByName(ue.select(F.col("hi").alias("node"), F.col("lo").alias("nbr")))
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    dj = deg.select(F.col("node").alias("lo"), F.col("deg").alias("j"))
+    dk = deg.select(F.col("node").alias("hi"), F.col("deg").alias("k"))
+    per_edge = ue.join(dj, "lo").join(dk, "hi")
+    s = per_edge.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.col("j") * F.col("k")).alias("s_jk"),
+        F.sum(F.col("j") + F.col("k")).alias("s_sum"),
+        F.sum(F.col("j") * F.col("j") + F.col("k") * F.col("k")).alias(
+            "s_sq"
+        ),
+    )
+    num = F.lit(4) * F.col("m") * F.col("s_jk") - F.col("s_sum") * F.col(
+        "s_sum"
+    )
+    den = F.lit(2) * F.col("m") * F.col("s_sq") - F.col("s_sum") * F.col(
+        "s_sum"
+    )
+    return s.select(
+        "m",
+        "s_jk",
+        "s_sum",
+        "s_sq",
+        num.alias("r_num"),
+        den.alias("r_den"),
+        (num.cast("double") / den.cast("double")).alias("r"),
+    )
+
+
+_ASSORT_SQL = (
+    _EDGES_SQL
+    + """,
+    adj AS (
+        SELECT lo AS node, hi AS nbr FROM ue
+        UNION ALL
+        SELECT hi, lo FROM ue
+    ),
+    deg AS (SELECT node, count(*)::BIGINT AS deg FROM adj GROUP BY node),
+    per_edge AS (
+        SELECT dj.deg AS j, dk.deg AS k
+        FROM ue
+        JOIN deg dj ON dj.node = ue.lo
+        JOIN deg dk ON dk.node = ue.hi
+    ),
+    s AS (
+        SELECT count(*)::BIGINT AS m,
+               CAST(sum(j * k) AS BIGINT) AS s_jk,
+               CAST(sum(j + k) AS BIGINT) AS s_sum,
+               CAST(sum(j * j + k * k) AS BIGINT) AS s_sq
+        FROM per_edge
+    )
+    SELECT m, s_jk, s_sum, s_sq,
+           CAST(4 * m * s_jk - s_sum * s_sum AS BIGINT) AS r_num,
+           CAST(2 * m * s_sq - s_sum * s_sum AS BIGINT) AS r_den,
+           CAST(4 * m * s_jk - s_sum * s_sum AS DOUBLE)
+               / CAST(2 * m * s_sq - s_sum * s_sum AS DOUBLE) AS r
+    FROM s
+"""
+)
+
+
+QUERIES = {
+    "adamic_adar": q_adamic_adar,
+    "assortativity": q_assortativity,
+}
+
+ORACLES = {
+    "adamic_adar": _AA_SQL,
+    "assortativity": _ASSORT_SQL,
+}
