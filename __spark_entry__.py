@@ -41,6 +41,7 @@ from ocr_to_csv_spark.functions import (
     temporal,
     linkpred,
     graphstats,
+    basketops,
     matchops,
     privops,
     privops2,
@@ -630,6 +631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(temporal.QUERIES)
     out.update(linkpred.QUERIES)
     out.update(graphstats.QUERIES)
+    out.update(basketops.QUERIES)
     out.update(sqlsurface.QUERIES)
     out.update(attribution.QUERIES)
     out.update(codecs.QUERIES)
@@ -698,6 +700,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(temporal.ORACLES)
     out.update(linkpred.ORACLES)
     out.update(graphstats.ORACLES)
+    out.update(basketops.ORACLES)
     out.update(sqlsurface.ORACLES)
     out.update(attribution.ORACLES)
     out.update(codecs.ORACLES)
