@@ -32,6 +32,20 @@ Reference parity: no graph layer in the reference; extends the
 link-prediction family (``common_neighbors``, ``edge_negatives``,
 ``pr_at_k``) with the classic weighted score and the global-structure
 audit used to characterize crawl/link graphs before training on them.
+
+Batch 64 adds two more structure audits:
+- ``edge_support``: per-edge triangle support — the k-truss peel step
+  (Cohen 2008). Wedges come from the adjacency self-join ON THE SHARED
+  NEIGHBOR (the ``triangles`` shape), then close against the edge set
+  with one keyed equi-join; support counting is a groupBy on the edge
+  key. Each edge also gets its k-truss-(K_TRUSS) survival flag. At
+  10^12 edges the wedge join is the standard degree-capped triangle
+  plan — nothing leaves the (lo, hi) key space un-keyed.
+- ``ball2_size``: exact 1-hop and 2-hop neighborhood sizes per node
+  (the first two points of the neighborhood function that HyperANF
+  approximates; exact here because the audit is per-node and the
+  2-hop frontier is one adjacency-adjacency equi-join + distinct).
+  Used to spot crawl-graph hubs before sampling.
 """
 
 from __future__ import annotations
@@ -201,12 +215,120 @@ _ASSORT_SQL = (
 )
 
 
+K_TRUSS = 3  # survival flag: edge belongs to the 3-truss (support ≥ 1)
+
+
+def q_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle support per edge + k-truss peel flag (module doc)."""
+    ue = _undirected_edges(spark, sf_dir).cache()
+    adj = ue.select(
+        F.col("lo").alias("node"), F.col("hi").alias("nbr")
+    ).unionByName(ue.select(F.col("hi").alias("node"), F.col("lo").alias("nbr")))
+    # wedges a < b sharing z, closed by the (a, b) edge
+    left = adj.select(F.col("nbr").alias("z"), F.col("node").alias("a"))
+    right = adj.select(F.col("nbr").alias("z"), F.col("node").alias("b"))
+    wedges = left.join(right, "z").filter(F.col("a") < F.col("b"))
+    closed = wedges.join(
+        ue, (wedges.a == ue.lo) & (wedges.b == ue.hi), "left_semi"
+    )
+    sup = closed.groupBy("a", "b").agg(F.count(F.lit(1)).alias("support"))
+    out = ue.join(
+        sup, (ue.lo == sup.a) & (ue.hi == sup.b), "left"
+    ).select(
+        "lo",
+        "hi",
+        F.coalesce(F.col("support"), F.lit(0)).alias("support"),
+    )
+    return out.withColumn(
+        "in_truss", (F.col("support") >= K_TRUSS - 2).cast("long")
+    ).orderBy("lo", "hi")
+
+
+_SUPPORT_SQL = (
+    _EDGES_SQL
+    + f""",
+    adj AS (
+        SELECT lo AS node, hi AS nbr FROM ue
+        UNION ALL
+        SELECT hi, lo FROM ue
+    ),
+    closed AS (
+        SELECT l.node AS a, r.node AS b
+        FROM adj l
+        JOIN adj r ON l.nbr = r.nbr AND l.node < r.node
+        SEMI JOIN ue ON l.node = ue.lo AND r.node = ue.hi
+    ),
+    sup AS (SELECT a, b, count(*)::BIGINT AS support
+            FROM closed GROUP BY a, b)
+    SELECT ue.lo, ue.hi,
+           COALESCE(sup.support, 0)::BIGINT AS support,
+           CAST(COALESCE(sup.support, 0) >= {K_TRUSS - 2} AS BIGINT)
+               AS in_truss
+    FROM ue LEFT JOIN sup ON ue.lo = sup.a AND ue.hi = sup.b
+    ORDER BY lo, hi
+"""
+)
+
+
+def q_ball2_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-hop and 2-hop neighborhood sizes per node (module doc)."""
+    ue = _undirected_edges(spark, sf_dir).cache()
+    adj = ue.select(
+        F.col("lo").alias("node"), F.col("hi").alias("nbr")
+    ).unionByName(ue.select(F.col("hi").alias("node"), F.col("lo").alias("nbr")))
+    two_hop = adj.select(F.col("node"), F.col("nbr").alias("mid")).join(
+        adj.select(F.col("node").alias("mid"), F.col("nbr").alias("far")),
+        "mid",
+    ).select("node", F.col("far").alias("nbr"))
+    ball = (
+        adj.select("node", "nbr")
+        .unionByName(two_hop)
+        .filter(F.col("node") != F.col("nbr"))
+        .distinct()
+    )
+    b1 = adj.groupBy("node").agg(F.count(F.lit(1)).alias("ball1"))
+    b2 = ball.groupBy("node").agg(F.count(F.lit(1)).alias("ball2"))
+    return b1.join(b2, "node").orderBy("node")
+
+
+_BALL2_SQL = (
+    _EDGES_SQL
+    + """,
+    adj AS (
+        SELECT lo AS node, hi AS nbr FROM ue
+        UNION ALL
+        SELECT hi, lo FROM ue
+    ),
+    two_hop AS (
+        SELECT a.node, b.nbr
+        FROM adj a JOIN adj b ON a.nbr = b.node
+    ),
+    ball AS (
+        SELECT DISTINCT node, nbr FROM (
+            SELECT node, nbr FROM adj
+            UNION ALL
+            SELECT node, nbr FROM two_hop
+        ) WHERE node <> nbr
+    ),
+    b1 AS (SELECT node, count(*)::BIGINT AS ball1 FROM adj GROUP BY node),
+    b2 AS (SELECT node, count(*)::BIGINT AS ball2 FROM ball GROUP BY node)
+    SELECT b1.node AS node, b1.ball1, b2.ball2
+    FROM b1 JOIN b2 ON b1.node = b2.node
+    ORDER BY b1.node
+"""
+)
+
+
 QUERIES = {
     "adamic_adar": q_adamic_adar,
     "assortativity": q_assortativity,
+    "edge_support": q_edge_support,
+    "ball2_size": q_ball2_size,
 }
 
 ORACLES = {
     "adamic_adar": _AA_SQL,
     "assortativity": _ASSORT_SQL,
+    "edge_support": _SUPPORT_SQL,
+    "ball2_size": _BALL2_SQL,
 }

@@ -9,6 +9,9 @@ implementation in plain Python."""
 import math
 
 from ocr_to_csv_spark.functions.graphstats import (
+    K_TRUSS,
+    q_ball2_size,
+    q_edge_support,
     AA_LUT,
     AA_MAX_DEG,
     AA_SCALE,
@@ -112,3 +115,39 @@ def test_assortativity_textbook(spark, tmp_path):
     cov = sum(j * k for j, k in pairs) / len(pairs) - mean_j**2
     var = sum(j * j for j, _ in pairs) / len(pairs) - mean_j**2
     assert abs(row["r"] - cov / var) < 1e-9
+
+
+def test_edge_support_textbook(spark, tmp_path):
+    n = 12
+    sf = _write_docs(spark, tmp_path, n)
+    edges = _edges(n)
+    nbrs = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    expect = {
+        (a, b): len(nbrs[a] & nbrs[b]) for a, b in edges
+    }
+    rows = q_edge_support(spark, sf).collect()
+    got = {(r["lo"], r["hi"]): r["support"] for r in rows}
+    assert got == expect
+    for r in rows:
+        assert r["in_truss"] == (1 if r["support"] >= K_TRUSS - 2 else 0)
+
+
+def test_ball2_size_textbook(spark, tmp_path):
+    n = 12
+    sf = _write_docs(spark, tmp_path, n)
+    edges = _edges(n)
+    nbrs = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    rows = q_ball2_size(spark, sf).collect()
+    for r in rows:
+        node = r["node"]
+        one = nbrs[node]
+        two = set().union(*(nbrs[z] for z in one)) | one
+        two.discard(node)
+        assert r["ball1"] == len(one)
+        assert r["ball2"] == len(two)
