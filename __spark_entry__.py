@@ -42,6 +42,7 @@ from ocr_to_csv_spark.functions import (
     linkpred,
     graphstats,
     basketops,
+    evalops,
     matchops,
     privops,
     privops2,
@@ -632,6 +633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(linkpred.QUERIES)
     out.update(graphstats.QUERIES)
     out.update(basketops.QUERIES)
+    out.update(evalops.QUERIES)
     out.update(sqlsurface.QUERIES)
     out.update(attribution.QUERIES)
     out.update(codecs.QUERIES)
@@ -701,6 +703,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(linkpred.ORACLES)
     out.update(graphstats.ORACLES)
     out.update(basketops.ORACLES)
+    out.update(evalops.ORACLES)
     out.update(sqlsurface.ORACLES)
     out.update(attribution.ORACLES)
     out.update(codecs.ORACLES)
