@@ -302,6 +302,72 @@ def q_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_near_dup(video_signatures(blobs, every_n=3), top=10)
 
 
+N_WEBP = 12
+WEBP_STAGE_V = 1  # bump when encode_gray or the meta formulas change
+
+
+def _staged_webp_paths() -> tuple[str, str]:
+    """Deterministic WebP-lossless blob table + golden metadata table.
+    The VP8L codec is lossless, so the decode path must reproduce the
+    pre-encode arrays bit-exactly (goldens computed from the arrays at
+    synthesis time — the PNG/WAV convention). Mix: full-range noise and
+    binarized scan-like frames, varied dims; one deliberately truncated
+    blob that must land as fmt='corrupt_webp'."""
+    import numpy as np
+    import pandas as pd
+
+    from ocr_to_csv_spark.imaging.webp import encode_gray
+
+    d = _corpus_dir()
+    blobs_p = os.path.join(d, f"webp_blobs_v{WEBP_STAGE_V}.parquet")
+    gold_p = os.path.join(d, f"expected_webp_meta_v{WEBP_STAGE_V}.parquet")
+    if not all(os.path.exists(p) for p in (blobs_p, gold_p)):
+        blobs, gold = [], []
+        for s in range(N_WEBP):
+            rng = np.random.RandomState(1000 + s)
+            h, w = 24 + 4 * (s % 5), 32 + 8 * (s % 3)
+            img = (rng.rand(h, w) * 256).astype(np.uint8)
+            if s % 3 == 0:  # binarized scan-like page
+                img = (img > 128).astype(np.uint8) * 255
+            data = encode_gray(img)
+            ref = f"webp{s:03d}"
+            if s == N_WEBP - 1:  # truncated body → corrupt_webp
+                data = data[: len(data) // 2]
+                gold.append({
+                    "media_ref": ref, "fmt": "corrupt_webp",
+                    "width": -1, "height": -1, "n_bytes": len(data),
+                    "mean_intensity": float("nan"),
+                    "fill_ratio": float("nan"),
+                })
+            else:
+                gold.append({
+                    "media_ref": ref, "fmt": "webp",
+                    "width": w, "height": h, "n_bytes": len(data),
+                    "mean_intensity": round(float(img.mean()), 4),
+                    "fill_ratio": round(float((img < 128).mean()), 4),
+                })
+            blobs.append({"media_ref": ref, "content": data})
+        pd.DataFrame(blobs).to_parquet(blobs_p, index=False)
+        pd.DataFrame(gold).to_parquet(gold_p, index=False)
+    return blobs_p, gold_p
+
+
+def q_webp_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebP modality: pure-Python VP8L decode (imaging/webp.py) through
+    the standard media_metadata mapInPandas pass; corrupt blobs yield
+    corrupt_webp rows. Oracle = golden metadata from synthesis time."""
+    from ocr_to_csv_spark.extraction.multimodal import media_metadata
+
+    blobs_p, _ = _staged_webp_paths()
+    blobs = spark.read.parquet(blobs_p)
+    return media_metadata(blobs).select(
+        "media_ref", "fmt",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "n_bytes", "mean_intensity", "fill_ratio",
+    )
+
+
 N_WARC = 10
 WARC_STAGE_V = 1  # bump when synth_warc or the parse/strip rules change
 
@@ -663,6 +729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "audio_meta": q_audio_meta,
             "audio_near_dup": q_audio_near_dup,
             "video_meta": q_video_meta,
+            "webp_meta": q_webp_meta,
             "video_near_dup": q_video_near_dup,
             "warc_extract": q_warc_extract,
             "warc_hosts": q_warc_hosts,
@@ -777,6 +844,13 @@ def oracle_sql() -> dict[str, str]:
         f"{d}/expected_media_feat.parquet"
     )
     out["video_near_dup"] = _near_dup_oracle_sql(video_sig)
+    _, webp_gold = _staged_webp_paths()
+    out["webp_meta"] = f"""
+        SELECT media_ref, fmt,
+               width::BIGINT AS width, height::BIGINT AS height,
+               n_bytes::BIGINT AS n_bytes, mean_intensity, fill_ratio
+        FROM '{webp_gold}'
+    """
     _, warc_gold = _staged_warc_paths()
     out["warc_extract"] = f"""
         SELECT warc_ref, rec_idx::BIGINT AS rec_idx, rec_type, url, host,

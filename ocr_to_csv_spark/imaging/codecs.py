@@ -16,6 +16,7 @@ import numpy as np
 from . import jpeg as jpegc
 from . import png as pngc
 from . import simple_formats as simplec
+from . import webp as webpc
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -36,6 +37,8 @@ def sniff_format(data: bytes) -> str:
             return "avi"
         if data[8:12] == b"WAVE":
             return "wav"
+        if data[8:12] == b"WEBP":
+            return "webp"
         return "riff_av"
     return "unknown"
 
@@ -52,6 +55,8 @@ def decode_image(data: bytes) -> np.ndarray:
         return simplec.decode_bmp(data)
     if fmt == "tiff":
         return simplec.decode_tiff(data)
+    if fmt == "webp":
+        return webpc.decode(data)
     raise ValueError(f"no decoder for format {fmt!r}")
 
 
@@ -85,4 +90,6 @@ def image_dims(data: bytes) -> tuple[int, int]:
         # full IFD walk (cheap — uncompressed baseline only)
         img = simplec.decode_tiff(data)
         return int(img.shape[1]), int(img.shape[0])
+    if fmt == "webp":
+        return webpc.dims(data)
     raise ValueError(f"no header parser for format {fmt!r}")

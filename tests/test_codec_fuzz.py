@@ -133,3 +133,9 @@ def test_wav_hostile_header_fields_bounded():
     row = _decode_one("hostile", bytes(data))
     assert row[1] in ("wav", "corrupt_wav")
     assert time.time() - t0 < 10
+
+
+def test_webp_fuzz_corruptions():
+    from ocr_to_csv_spark.imaging import webp
+
+    _fuzz(webp.encode_gray(_img()), webp.decode, 300, seed=6)
