@@ -368,6 +368,71 @@ def q_webp_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_GIF = 12
+GIF_STAGE_V = 1  # bump when gif.encode_gray or the meta formulas change
+
+
+def _staged_gif_paths() -> tuple[str, str]:
+    """Deterministic GIF blob table + golden metadata table (gray LZW is
+    lossless, so goldens come from the pre-encode arrays). Mix of
+    sequential and interlaced frames, varied dims; one deliberately
+    truncated blob that must land as fmt='corrupt_gif'."""
+    import numpy as np
+    import pandas as pd
+
+    from ocr_to_csv_spark.imaging.gif import encode_gray
+
+    d = _corpus_dir()
+    blobs_p = os.path.join(d, f"gif_blobs_v{GIF_STAGE_V}.parquet")
+    gold_p = os.path.join(d, f"expected_gif_meta_v{GIF_STAGE_V}.parquet")
+    if not all(os.path.exists(p) for p in (blobs_p, gold_p)):
+        blobs, gold = [], []
+        for s in range(N_GIF):
+            rng = np.random.RandomState(2000 + s)
+            h, w = 20 + 6 * (s % 4), 28 + 10 * (s % 3)
+            img = (rng.rand(h, w) * 256).astype(np.uint8)
+            if s % 4 == 0:  # binarized scan-like page
+                img = (img > 128).astype(np.uint8) * 255
+            data = encode_gray(img, interlace=(s % 2 == 1))
+            ref = f"gif{s:03d}"
+            if s == N_GIF - 1:  # truncated body -> corrupt_gif
+                data = data[: len(data) // 2]
+                gold.append({
+                    "media_ref": ref, "fmt": "corrupt_gif",
+                    "width": -1, "height": -1, "n_bytes": len(data),
+                    "mean_intensity": float("nan"),
+                    "fill_ratio": float("nan"),
+                })
+            else:
+                gold.append({
+                    "media_ref": ref, "fmt": "gif",
+                    "width": w, "height": h, "n_bytes": len(data),
+                    "mean_intensity": round(float(img.mean()), 4),
+                    "fill_ratio": round(float((img < 128).mean()), 4),
+                })
+            blobs.append({"media_ref": ref, "content": data})
+        pd.DataFrame(blobs).to_parquet(blobs_p, index=False)
+        pd.DataFrame(gold).to_parquet(gold_p, index=False)
+    return blobs_p, gold_p
+
+
+def q_gif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF modality: pure-Python LZW decode (imaging/gif.py, sequential
+    and interlaced) through the standard media_metadata mapInPandas
+    pass; corrupt blobs yield corrupt_gif rows. Oracle = golden
+    metadata from synthesis time."""
+    from ocr_to_csv_spark.extraction.multimodal import media_metadata
+
+    blobs_p, _ = _staged_gif_paths()
+    blobs = spark.read.parquet(blobs_p)
+    return media_metadata(blobs).select(
+        "media_ref", "fmt",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "n_bytes", "mean_intensity", "fill_ratio",
+    )
+
+
 N_WARC = 10
 WARC_STAGE_V = 1  # bump when synth_warc or the parse/strip rules change
 
@@ -730,6 +795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "audio_near_dup": q_audio_near_dup,
             "video_meta": q_video_meta,
             "webp_meta": q_webp_meta,
+            "gif_meta": q_gif_meta,
             "video_near_dup": q_video_near_dup,
             "warc_extract": q_warc_extract,
             "warc_hosts": q_warc_hosts,
@@ -845,6 +911,13 @@ def oracle_sql() -> dict[str, str]:
     )
     out["video_near_dup"] = _near_dup_oracle_sql(video_sig)
     _, webp_gold = _staged_webp_paths()
+    _, gif_gold = _staged_gif_paths()
+    out["gif_meta"] = f"""
+        SELECT media_ref, fmt,
+               width::BIGINT AS width, height::BIGINT AS height,
+               n_bytes::BIGINT AS n_bytes, mean_intensity, fill_ratio
+        FROM '{gif_gold}'
+    """
     out["webp_meta"] = f"""
         SELECT media_ref, fmt,
                width::BIGINT AS width, height::BIGINT AS height,

@@ -16,6 +16,7 @@ import numpy as np
 from . import jpeg as jpegc
 from . import png as pngc
 from . import simple_formats as simplec
+from . import gif as gifc
 from . import webp as webpc
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -32,6 +33,8 @@ def sniff_format(data: bytes) -> str:
         return "bmp"
     if data[:4] in (b"II*\x00", b"MM\x00*"):
         return "tiff"
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if data[:4] == b"RIFF":
         if data[8:12] == b"AVI ":
             return "avi"
@@ -57,6 +60,8 @@ def decode_image(data: bytes) -> np.ndarray:
         return simplec.decode_tiff(data)
     if fmt == "webp":
         return webpc.decode(data)
+    if fmt == "gif":
+        return gifc.decode(data)
     raise ValueError(f"no decoder for format {fmt!r}")
 
 
@@ -92,4 +97,6 @@ def image_dims(data: bytes) -> tuple[int, int]:
         return int(img.shape[1]), int(img.shape[0])
     if fmt == "webp":
         return webpc.dims(data)
+    if fmt == "gif":
+        return gifc.dims(data)
     raise ValueError(f"no header parser for format {fmt!r}")

@@ -139,3 +139,9 @@ def test_webp_fuzz_corruptions():
     from ocr_to_csv_spark.imaging import webp
 
     _fuzz(webp.encode_gray(_img()), webp.decode, 300, seed=6)
+
+
+def test_gif_fuzz_corruptions():
+    from ocr_to_csv_spark.imaging import gif
+
+    _fuzz(gif.encode_gray(_img()), gif.decode, 300, seed=7)
