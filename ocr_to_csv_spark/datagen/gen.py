@@ -26,12 +26,14 @@ import re
 import numpy as np
 import pandas as pd
 
+from ..imaging import gif as gifc
 from ..imaging import jpeg, png, render
+from ..imaging import webp as webpc
 
 # bump when generated content changes shape OR codec numerics change:
 # consumers cache corpora in /tmp keyed by (docs, seed) and regenerate
 # when the version file differs (goldens must match the current codecs)
-GEN_VERSION = 5
+GEN_VERSION = 7
 
 DATE_RE = re.compile(r"\d{1,2}\/\d{1,2}\/(\d{4}|\d{2})")
 
@@ -171,11 +173,13 @@ def _tint(page: np.ndarray) -> np.ndarray:
 def _encode_media(
     rng: random.Random, page: np.ndarray
 ) -> tuple[bytes, np.ndarray]:
-    """Encode one page in the corpus v5 format mix — every format
-    ``cv2.imread`` accepts in the reference (image_scraper.py:103-114):
-    PNG (gray + truecolor), baseline JPEG (gray, with/without restart
-    markers, and 3-component color), progressive JPEG (SOF2), BMP
-    (8-bit paletted + 24-bit BGR), TIFF (gray + RGB strips). Returns
+    """Encode one page in the corpus v6 format mix — every format
+    ``cv2.imread`` accepts in the reference (image_scraper.py:103-114)
+    plus the two remaining crawl-corpus staples: PNG (gray + truecolor),
+    baseline JPEG (gray, with/without restart markers, and 3-component
+    color), progressive JPEG (SOF2), BMP (8-bit paletted + 24-bit BGR),
+    TIFF (gray + RGB strips), lossless WebP (VP8L), and GIF (sequential
+    + interlaced LZW). Returns
     (blob, expected_decoded_plane): exact pre-encode arrays for lossless
     paths, the deterministic decode for lossy JPEG, and the truncating
     luma fold for color (matching each decoder bit-for-bit). q95 keeps
@@ -208,6 +212,10 @@ def _encode_media(
     if draw < 0.42:
         rgb = _tint(page)
         return png.encode_rgb(rgb), simplec._fold(rgb)
+    if draw < 0.47:
+        return webpc.encode_gray(page), page
+    if draw < 0.55:
+        return gifc.encode_gray(page, interlace=rng.random() < 0.5), page
     return png.encode_gray(page), page
 
 

@@ -2,14 +2,14 @@
 typed metadata, processed by Arrow-batched pandas stages (mapInPandas).
 
 The Spark-side contract — schema, partitioning, UDF signature, batch
-shape — is real and tested, and so are ALL the modality decoders: PNG
-and baseline-JPEG (pure-numpy codecs in ``imaging.png`` /
-``imaging.jpeg`` — the reference's accepted scan formats,
-image_scraper.py:103-114), WAV/PCM audio (``extraction.audio``), and
-AVI video with MJPEG or raw-Y800 frames (``extraction.video`` — frame
-sampling reuses the in-repo JPEG codec, no AV library needed). Corrupt
-or unknown blobs route to the quarantine kind instead of failing the
-job.
+shape — is real and tested, and so are ALL the modality decoders: PNG,
+JPEG (baseline + progressive + color), BMP, TIFF, lossless WebP (VP8L),
+and GIF (pure-Python codecs in ``imaging.*`` — the reference's accepted
+scan formats, image_scraper.py:103-114, plus the crawl staples), WAV/PCM
+audio (``extraction.audio``), and AVI video with MJPEG or raw-Y800
+frames (``extraction.video`` — frame sampling reuses the in-repo JPEG
+codec, no AV library needed). Corrupt or unknown blobs route to the
+quarantine kind instead of failing the job.
 """
 
 from __future__ import annotations

@@ -107,12 +107,14 @@ def test_multimodal_metadata_and_quarantine(spark, corpus_dir):
 
     media = spark.read.parquet(f"{corpus_dir}/media.parquet")
     meta = multimodal.media_metadata(media).toPandas()
-    # corpus v5 mixes every cv2.imread format: png/jpeg (incl. color +
-    # progressive), bmp, tiff images, pdf containers
-    assert set(meta["fmt"]) <= {"png", "jpeg", "bmp", "tiff", "pdf"}
-    for fmt in ("png", "jpeg", "bmp", "tiff"):
+    # corpus v6 mixes every cv2.imread format plus the crawl staples:
+    # png/jpeg (incl. color + progressive), bmp, tiff, webp, gif images,
+    # pdf containers
+    img_fmts = ("png", "jpeg", "bmp", "tiff", "webp", "gif")
+    assert set(meta["fmt"]) <= set(img_fmts) | {"pdf"}
+    for fmt in img_fmts:
         assert (meta["fmt"] == fmt).any(), f"corpus lacks {fmt} media"
-    imgs = meta[meta["fmt"].isin(["png", "jpeg", "bmp", "tiff"])]
+    imgs = meta[meta["fmt"].isin(list(img_fmts))]
     assert (imgs["width"] > 0).all() and (imgs["height"] > 0).all()
     assert imgs["fill_ratio"].between(0, 1).all()
     pdfs = meta[meta["fmt"] == "pdf"]
