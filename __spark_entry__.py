@@ -43,6 +43,7 @@ from ocr_to_csv_spark.functions import (
     graphstats,
     basketops,
     evalops,
+    erops,
     matchops,
     privops,
     privops2,
@@ -765,6 +766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(graphstats.QUERIES)
     out.update(basketops.QUERIES)
     out.update(evalops.QUERIES)
+    out.update(erops.QUERIES)
     out.update(sqlsurface.QUERIES)
     out.update(attribution.QUERIES)
     out.update(codecs.QUERIES)
@@ -837,6 +839,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(graphstats.ORACLES)
     out.update(basketops.ORACLES)
     out.update(evalops.ORACLES)
+    out.update(erops.ORACLES)
     out.update(sqlsurface.ORACLES)
     out.update(attribution.ORACLES)
     out.update(codecs.ORACLES)
