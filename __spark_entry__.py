@@ -44,6 +44,7 @@ from ocr_to_csv_spark.functions import (
     basketops,
     evalops,
     erops,
+    netops,
     matchops,
     privops,
     privops2,
@@ -767,6 +768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(basketops.QUERIES)
     out.update(evalops.QUERIES)
     out.update(erops.QUERIES)
+    out.update(netops.QUERIES)
     out.update(sqlsurface.QUERIES)
     out.update(attribution.QUERIES)
     out.update(codecs.QUERIES)
@@ -840,6 +842,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(basketops.ORACLES)
     out.update(evalops.ORACLES)
     out.update(erops.ORACLES)
+    out.update(netops.ORACLES)
     out.update(sqlsurface.ORACLES)
     out.update(attribution.ORACLES)
     out.update(codecs.ORACLES)
