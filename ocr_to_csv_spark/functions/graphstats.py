@@ -319,11 +319,111 @@ _BALL2_SQL = (
 )
 
 
+# --- TrustRank (batch 71) -------------------------------------------------
+# Personalized PageRank whose teleport mass goes ONLY to a trusted seed
+# set (Gyöngyi et al. 2004) — the standard web-spam demotion signal for
+# crawl curation. Same Pregel-in-DataFrame plan as q_pagerank (one keyed
+# join + one keyed aggregation per superstep, nothing node-sized on the
+# driver), same integer fixed-point discipline: seeds start with
+# TR_SCALE units, each superstep propagates floor(floor(r·85/100)/deg)
+# along the DIRECTED modular link graph and re-seeds floor(TR_SCALE·
+# 15/100) to seed nodes only. Deterministic floor leakage matches the
+# unrolled DuckDB oracle bit-for-bit.
+
+TR_SCALE = 1_000_000
+TR_ITERS = 3
+TR_SEED_MOD = 10  # trusted seeds: doc_id % 10 == 0
+
+
+def q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded personalized PageRank (see block comment above)."""
+    d = table(spark, sf_dir, "documents", spread=True)
+    n = d.count()
+    nodes = d.select(F.col("doc_id").cast("long").alias("id"))
+    i = F.col("id")
+    e1 = nodes.filter(i % 3 != 0).select(
+        i.alias("src"), ((i * 2 + 1) % n).alias("dst")
+    )
+    e2 = nodes.filter(i % 2 == 0).select(
+        i.alias("src"), ((i * 7 + 3) % n).alias("dst")
+    )
+    e3 = nodes.filter(i % 6 == 1).select(
+        i.alias("src"), ((i + n // 2) % n).alias("dst")
+    )
+    edges = e1.unionByName(e2).unionByName(e3)
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ed = edges.join(outdeg, "src")
+    seed = (F.col("id") % TR_SEED_MOD == 0).cast("long")
+    base = TR_SCALE * 15 // 100
+    ranks = nodes.select(
+        "id", (seed * TR_SCALE).cast("long").alias("r")
+    )
+    for _ in range(TR_ITERS):
+        inc = (
+            ed.join(ranks.withColumnRenamed("id", "src"), "src")
+            .select("dst", F.expr("(r * 85 div 100) div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inc"))
+        )
+        ranks = nodes.join(inc, nodes.id == inc.dst, "left").select(
+            "id",
+            (seed * base + F.coalesce("inc", F.lit(0))).cast("long").alias("r"),
+        )
+    return ranks.select(
+        F.col("id").alias("doc_id"),
+        F.col("r").alias("trust_units"),
+        (F.col("id") % TR_SEED_MOD == 0).cast("long").alias("is_seed"),
+    )
+
+
+_TR_STEP = """
+    r%d AS (
+        SELECT n.id,
+               (CASE WHEN n.id %% {mod} = 0 THEN {base} ELSE 0 END
+                + coalesce(c.inc, 0))::BIGINT AS r
+        FROM nodes n LEFT JOIN (
+            SELECT e.dst, sum((p.r * 85 // 100) // d.deg)::BIGINT AS inc
+            FROM edges e JOIN deg d USING (src) JOIN r%d p ON p.id = e.src
+            GROUP BY e.dst
+        ) c ON c.dst = n.id
+    )
+"""
+
+_TR_SQL = """
+    WITH nodes AS (SELECT doc_id::BIGINT AS id FROM documents),
+    nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+    edges AS (
+        SELECT id AS src, (id*2+1) %% (SELECT n FROM nn) AS dst
+        FROM nodes WHERE id %% 3 <> 0
+        UNION ALL
+        SELECT id, (id*7+3) %% (SELECT n FROM nn) FROM nodes WHERE id %% 2 = 0
+        UNION ALL
+        SELECT id, (id + (SELECT n FROM nn) // 2) %% (SELECT n FROM nn)
+        FROM nodes WHERE id %% 6 = 1
+    ),
+    deg AS (SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY src),
+    r0 AS (SELECT id, (CASE WHEN id %% {mod} = 0 THEN {scale} ELSE 0 END)::BIGINT AS r
+           FROM nodes),
+    %s
+    SELECT id AS doc_id, r AS trust_units,
+           CAST(id %% {mod} = 0 AS BIGINT) AS is_seed
+    FROM r%d
+"""
+
+
+def _trustrank_oracle_sql() -> str:
+    step = _TR_STEP.format(mod=TR_SEED_MOD, base=TR_SCALE * 15 // 100)
+    steps = ",".join(step % (k + 1, k) for k in range(TR_ITERS))
+    sql = _TR_SQL.format(mod=TR_SEED_MOD, scale=TR_SCALE)
+    return sql % (steps, TR_ITERS)  # %-format folds %% -> %
+
+
 QUERIES = {
     "adamic_adar": q_adamic_adar,
     "assortativity": q_assortativity,
     "edge_support": q_edge_support,
     "ball2_size": q_ball2_size,
+    "trustrank": q_trustrank,
 }
 
 ORACLES = {
@@ -331,4 +431,5 @@ ORACLES = {
     "assortativity": _ASSORT_SQL,
     "edge_support": _SUPPORT_SQL,
     "ball2_size": _BALL2_SQL,
+    "trustrank": _trustrank_oracle_sql(),
 }

@@ -200,12 +200,148 @@ ORDER BY digit
 """
 
 
+# --- Luhn checksum audit (batch 71) ----------------------------------------
+# The other classic financial-column DQ screen next to ``benford_audit``:
+# validate account-number check digits with the Luhn algorithm. Account
+# numbers are synthesized deterministically from the customer key (the
+# modular-arithmetic convention of the link graph): a 10-digit body with
+# a CORRECT Luhn check digit, except keys ≡ 0 (mod LUHN_BAD_MOD) whose
+# check digit is off by one — the planted corruption the audit must
+# count. Validation is a pure expression (fixed 11-digit strings →
+# digit array → conditional doubling fold → mod 10), fully map-side;
+# the only shuffle is the per-segment count aggregate.
+
+LUHN_BAD_MOD = 7
+
+
+def _luhn_check_digit(body: str) -> int:
+    total = 0
+    for pos, ch in enumerate(reversed(body)):  # pos 0 = rightmost body
+        v = int(ch)
+        if pos % 2 == 0:  # doubled positions once the check digit appends
+            v *= 2
+            if v > 9:
+                v -= 9
+        total += v
+    return (10 - total % 10) % 10
+
+
+def q_luhn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment Luhn validity counts over synthesized account
+    numbers (see block comment above)."""
+    c = table(spark, sf_dir, "customer")
+    body = F.lpad(
+        ((F.col("c_custkey") * 73 + 11) % 10_000_000_000).cast("string"),
+        10,
+        "0",
+    )
+    # correct check digit via the same fold the validator uses
+    digits = F.transform(
+        F.split(body, ""), lambda ch: ch.cast("int")
+    )  # 10 entries, left to right
+    # body position p (1-based from left); from the right: pos = 10-p.
+    # Doubled when pos % 2 == 0 (rightmost body digit doubles).
+    body_sum = F.aggregate(
+        F.sequence(F.lit(1), F.lit(10)),
+        F.lit(0),
+        lambda acc, p: acc
+        + F.when(
+            (F.lit(10) - p) % 2 == 0,
+            F.when(
+                F.element_at(digits, p) * 2 > 9,
+                F.element_at(digits, p) * 2 - 9,
+            ).otherwise(F.element_at(digits, p) * 2),
+        ).otherwise(F.element_at(digits, p)),
+    )
+    check = (F.lit(10) - body_sum % 10) % 10
+    planted_bad = F.col("c_custkey") % LUHN_BAD_MOD == 0
+    emitted = F.when(planted_bad, (check + 1) % 10).otherwise(check)
+    acct = F.concat(body, emitted.cast("string"))
+    # validator: full 11-digit Luhn (total including check ≡ 0 mod 10)
+    all_digits = F.transform(F.split(acct, ""), lambda ch: ch.cast("int"))
+    total = F.aggregate(
+        F.sequence(F.lit(1), F.lit(11)),
+        F.lit(0),
+        lambda acc, p: acc
+        + F.when(
+            (F.lit(11) - p) % 2 == 1,  # odd distance from right → doubled
+            F.when(
+                F.element_at(all_digits, p) * 2 > 9,
+                F.element_at(all_digits, p) * 2 - 9,
+            ).otherwise(F.element_at(all_digits, p) * 2),
+        ).otherwise(F.element_at(all_digits, p)),
+    )
+    valid = (total % 10 == 0).cast("long")
+    per = c.select(
+        F.col("c_mktsegment").alias("seg"), valid.alias("valid")
+    ).groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("valid").alias("n_valid"),
+        (F.count(F.lit(1)) - F.sum("valid")).alias("n_invalid"),
+    )
+    return per.orderBy("seg")
+
+
+_LUHN_SQL = f"""
+WITH acct AS (
+    SELECT c_mktsegment AS seg,
+           lpad(CAST((c_custkey * 73 + 11) % 10000000000 AS VARCHAR),
+                10, '0') AS body,
+           c_custkey AS key
+    FROM customer
+),
+withcheck AS (
+    SELECT seg, body, key,
+           list_reduce(list_prepend(0, list_transform(range(1, 11),
+               p -> CASE WHEN (10 - p) % 2 = 0
+                    THEN CASE WHEN CAST(body[p] AS INT) * 2 > 9
+                         THEN CAST(body[p] AS INT) * 2 - 9
+                         ELSE CAST(body[p] AS INT) * 2 END
+                    ELSE CAST(body[p] AS INT) END)),
+               (a, b) -> a + b) AS body_sum
+    FROM acct
+),
+emitted AS (
+    SELECT seg, body, key,
+           CASE WHEN key % {LUHN_BAD_MOD} = 0
+                THEN ((10 - body_sum % 10) % 10 + 1) % 10
+                ELSE (10 - body_sum % 10) % 10 END AS check_digit
+    FROM withcheck
+),
+validated AS (
+    SELECT seg,
+           (body || CAST(check_digit AS VARCHAR)) AS acct,
+           list_reduce(list_prepend(0, list_transform(range(1, 12),
+               p -> CASE WHEN (11 - p) % 2 = 1
+                    THEN CASE WHEN CAST((body || CAST(check_digit AS VARCHAR))[p]
+                                   AS INT) * 2 > 9
+                         THEN CAST((body || CAST(check_digit AS VARCHAR))[p]
+                              AS INT) * 2 - 9
+                         ELSE CAST((body || CAST(check_digit AS VARCHAR))[p]
+                              AS INT) * 2 END
+                    ELSE CAST((body || CAST(check_digit AS VARCHAR))[p]
+                         AS INT) END)),
+               (a, b) -> a + b) AS total
+    FROM emitted
+)
+SELECT seg, count(*) AS n,
+       CAST(sum(CAST(total % 10 = 0 AS BIGINT)) AS BIGINT) AS n_valid,
+       CAST(count(*) - sum(CAST(total % 10 = 0 AS BIGINT)) AS BIGINT)
+           AS n_invalid
+FROM validated
+GROUP BY seg
+ORDER BY seg
+"""
+
+
 QUERIES = {
     "kendall_tau": q_kendall_tau,
     "benford_audit": q_benford_audit,
+    "luhn_audit": q_luhn_audit,
 }
 
 ORACLES = {
     "kendall_tau": _KENDALL_SQL,
     "benford_audit": _BENFORD_SQL,
+    "luhn_audit": _LUHN_SQL,
 }

@@ -9,6 +9,9 @@ implementation in plain Python."""
 import math
 
 from ocr_to_csv_spark.functions.graphstats import (
+    TR_SCALE,
+    TR_SEED_MOD,
+    q_trustrank,
     K_TRUSS,
     q_ball2_size,
     q_edge_support,
@@ -151,3 +154,40 @@ def test_ball2_size_textbook(spark, tmp_path):
         two.discard(node)
         assert r["ball1"] == len(one)
         assert r["ball2"] == len(two)
+
+
+def test_trustrank_seeds_and_conservation(spark, tmp_path):
+    n = 20
+    sf = _write_docs(spark, tmp_path, n)
+    rows = {r["doc_id"]: r for r in q_trustrank(spark, sf).collect()}
+    assert len(rows) == n
+    # seed flag matches the mod rule
+    for i, r in rows.items():
+        assert r["is_seed"] == (1 if i % TR_SEED_MOD == 0 else 0)
+    # textbook mirror: 3 integer fixed-point supersteps
+    edges = []
+    for i in range(n):
+        if i % 3 != 0:
+            edges.append((i, (i * 2 + 1) % n))
+        if i % 2 == 0:
+            edges.append((i, (i * 7 + 3) % n))
+        if i % 6 == 1:
+            edges.append((i, (i + n // 2) % n))
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    r = {i: (TR_SCALE if i % TR_SEED_MOD == 0 else 0) for i in range(n)}
+    base = TR_SCALE * 15 // 100
+    for _ in range(3):
+        inc = {i: 0 for i in range(n)}
+        for s, d in edges:
+            inc[d] += (r[s] * 85 // 100) // deg[s]
+        r = {
+            i: (base if i % TR_SEED_MOD == 0 else 0) + inc[i]
+            for i in range(n)
+        }
+    assert {i: rows[i]["trust_units"] for i in range(n)} == r
+    # non-seed nodes only hold propagated (not teleported) mass
+    assert all(
+        rows[i]["trust_units"] < TR_SCALE for i in range(n) if i % TR_SEED_MOD
+    )

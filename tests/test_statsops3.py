@@ -90,3 +90,40 @@ def test_benford_digits_and_dev(spark, tmp_path):
     assert rows[1]["expected_p"] == p1
     exp = 5 * p1
     assert abs(rows[1]["dev"] - (2 - exp) ** 2 / exp) < 1e-12
+
+
+def _luhn_valid(acct: str) -> bool:
+    total = 0
+    for pos, ch in enumerate(reversed(acct)):
+        v = int(ch)
+        if pos % 2 == 1:  # every 2nd from the right (check digit is pos 0)
+            v = v * 2
+            if v > 9:
+                v -= 9
+        total += v
+    return total % 10 == 0
+
+
+def test_luhn_audit_planted_corruption(spark, tmp_path):
+    from ocr_to_csv_spark.functions.statsops3 import (
+        LUHN_BAD_MOD,
+        _luhn_check_digit,
+        q_luhn_audit,
+    )
+
+    custs = [(k, f"c{k}", 0, 0.0, "SEG") for k in range(1, 30)]
+    spark.createDataFrame(custs, CUST_SCHEMA).write.parquet(
+        str(tmp_path / "customer.parquet")
+    )
+    row = q_luhn_audit(spark, str(tmp_path)).collect()[0]
+    n_bad = sum(1 for k in range(1, 30) if k % LUHN_BAD_MOD == 0)
+    assert (row["n"], row["n_invalid"], row["n_valid"]) == (
+        29, n_bad, 29 - n_bad,
+    )
+    # the synthesis rule itself is textbook Luhn: check one account
+    body = str((5 * 73 + 11) % 10_000_000_000).zfill(10)
+    acct = body + str(_luhn_check_digit(body))
+    assert _luhn_valid(acct)
+    # and an off-by-one check digit must fail validation
+    bad = body + str((_luhn_check_digit(body) + 1) % 10)
+    assert not _luhn_valid(bad)
