@@ -45,6 +45,7 @@ from ocr_to_csv_spark.functions import (
     evalops,
     erops,
     netops,
+    rankstats,
     matchops,
     privops,
     privops2,
@@ -769,6 +770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(evalops.QUERIES)
     out.update(erops.QUERIES)
     out.update(netops.QUERIES)
+    out.update(rankstats.QUERIES)
     out.update(sqlsurface.QUERIES)
     out.update(attribution.QUERIES)
     out.update(codecs.QUERIES)
@@ -843,6 +845,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(evalops.ORACLES)
     out.update(erops.ORACLES)
     out.update(netops.ORACLES)
+    out.update(rankstats.ORACLES)
     out.update(sqlsurface.ORACLES)
     out.update(attribution.ORACLES)
     out.update(codecs.ORACLES)

@@ -49,6 +49,7 @@ BNLJ_ALLOWED = {
     "minhash_jaccard_est": "bounded sample pair baseline vs estimate",
     "mix_sample": "single-row totals cross for mixture shares",
     "data_mixture": "single-row corpus-totals cross",
+    "eb_shrinkage": "single-row global-totals cross (rankstats.py)",
     "assoc_rules": "single-row n_baskets totals cross (basketops.py)",
     "t_closeness": "broadcast |segment-domain|×1-row global-counts cross "
     "(privops2.py — the dense-grid zero-fill side is 5 rows)",
