@@ -46,6 +46,7 @@ from ocr_to_csv_spark.functions import (
     erops,
     netops,
     rankstats,
+    calendarops,
     matchops,
     privops,
     privops2,
@@ -771,6 +772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(erops.QUERIES)
     out.update(netops.QUERIES)
     out.update(rankstats.QUERIES)
+    out.update(calendarops.QUERIES)
     out.update(sqlsurface.QUERIES)
     out.update(attribution.QUERIES)
     out.update(codecs.QUERIES)
@@ -846,6 +848,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(erops.ORACLES)
     out.update(netops.ORACLES)
     out.update(rankstats.ORACLES)
+    out.update(calendarops.ORACLES)
     out.update(sqlsurface.ORACLES)
     out.update(attribution.ORACLES)
     out.update(codecs.ORACLES)

@@ -50,6 +50,7 @@ BNLJ_ALLOWED = {
     "mix_sample": "single-row totals cross for mixture shares",
     "data_mixture": "single-row corpus-totals cross",
     "eb_shrinkage": "single-row global-totals cross (rankstats.py)",
+    "target_encode": "single-row global-fallback totals cross (calendarops.py)",
     "assoc_rules": "single-row n_baskets totals cross (basketops.py)",
     "t_closeness": "broadcast |segment-domain|×1-row global-counts cross "
     "(privops2.py — the dense-grid zero-fill side is 5 rows)",
