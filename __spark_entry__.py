@@ -307,7 +307,7 @@ def q_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 N_WEBP = 12
-WEBP_STAGE_V = 1  # bump when encode_gray or the meta formulas change
+WEBP_STAGE_V = 2  # bump when encode_gray or the meta formulas change
 
 
 def _staged_webp_paths() -> tuple[str, str]:

@@ -33,7 +33,7 @@ from ..imaging import webp as webpc
 # bump when generated content changes shape OR codec numerics change:
 # consumers cache corpora in /tmp keyed by (docs, seed) and regenerate
 # when the version file differs (goldens must match the current codecs)
-GEN_VERSION = 7
+GEN_VERSION = 8
 
 DATE_RE = re.compile(r"\d{1,2}\/\d{1,2}\/(\d{4}|\d{2})")
 

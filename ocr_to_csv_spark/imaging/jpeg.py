@@ -553,25 +553,27 @@ def _decode_segments(
     scan_comps: list[dict],
     huff_dc: dict[int, list[int]],
     huff_ac: dict[int, list[int]],
-) -> tuple[list[int], list[int], list[int], list[int]]:
+) -> list[int]:
     """Decode ``n_total`` MCUs across the pre-unstuffed restart segments
     (a single segment when ``restart_interval`` is 0).
 
-    Returns sparse LUMA coefficients as four flat parallel lists
-    ``(mcu_idx, block_idx, zigzag_k, value)`` — one entry per nonzero
-    coefficient (plus every DC) — so the caller scatters them with ONE
-    vectorized assignment. Chroma blocks are entropy-decoded to advance
-    the stream and discarded. The bit reader is INLINED as local
-    variables (acc masked to 64 bits): attribute access + function calls
-    per symbol are the decode hot path in pure Python. All restart
-    segments decode inside this one call — restart intervals are a few
-    MCUs, so per-segment function + output-list setup used to cost ~20%
-    of the entropy decode."""
+    Returns sparse LUMA coefficients PACKED one int per entry —
+    ``(mcu*nb + block) << 23 | zigzag_k << 17 | (value + 65536)`` (|v| <
+    2^15 for 8-bit baseline, so 17 bits hold value+bias) — one entry per
+    nonzero coefficient (plus every DC); the caller unpacks with three
+    vectorized shifts and scatters with ONE assignment. A single
+    ``append`` per coefficient instead of four parallel-list appends:
+    on dense q95 color scans the four appends were ~25% of the entropy
+    decode. Chroma blocks are entropy-decoded to advance the stream and
+    discarded. The bit reader is INLINED as local variables (acc masked
+    to 64 bits): attribute access + function calls per symbol are the
+    decode hot path in pure Python. All restart segments decode inside
+    this one call — restart intervals are a few MCUs, so per-segment
+    function + output-list setup used to cost ~20% of the entropy
+    decode."""
     M64 = 0xFFFFFFFFFFFFFFFF
-    out_m: list[int] = []
-    out_b: list[int] = []
-    out_k: list[int] = []
-    out_v: list[int] = []
+    nb = scan_comps[0]["hs"] * scan_comps[0]["vs"]  # luma blocks per MCU
+    out: list[int] = []
     done = 0
     seg_i = 0
     while done < n_total:
@@ -624,10 +626,7 @@ def _decode_segments(
                         diff = 0
                     pred[cid] += diff
                     if keep:
-                        out_m.append(m)
-                        out_b.append(b)
-                        out_k.append(0)
-                        out_v.append(pred[cid])
+                        out.append(((m * nb + b) << 23) | (pred[cid] + 65536))
                     k = 1
                     while k < 64:
                         if nbits < 16:
@@ -658,13 +657,18 @@ def _decode_segments(
                         nbits -= size
                         v = (acc >> nbits) & ((1 << size) - 1)
                         if keep:
-                            out_m.append(m)
-                            out_b.append(b)
-                            out_k.append(k)
-                            out_v.append(v if v >= (1 << (size - 1)) else v - (1 << size) + 1)
+                            out.append(
+                                ((m * nb + b) << 23)
+                                | (k << 17)
+                                | (
+                                    (v if v >= (1 << (size - 1))
+                                     else v - (1 << size) + 1)
+                                    + 65536
+                                )
+                            )
                         k += 1
         done += n_mcus
-    return out_m, out_b, out_k, out_v
+    return out
 
 
 def decode(data: bytes) -> np.ndarray:
@@ -775,19 +779,24 @@ def decode(data: bytes) -> np.ndarray:
     lw, lv = luma["hs"], luma["vs"]
 
     segments = _split_scan(data, scan_pos)
-    ms_l, bs_l, ks_l, vs_l = _decode_segments(
+    packed = _decode_segments(
         segments, restart_interval, n_total, scan_comps, huff_dc, huff_ac
     )
 
-    # ONE vectorized scatter of all sparse zigzag coefficients, then ONE
-    # batched dequant + inverse-zigzag + IDCT over all luma blocks
+    # ONE vectorized unpack + scatter of all sparse zigzag coefficients,
+    # then ONE batched dequant + inverse-zigzag + IDCT over all luma blocks
     nrows, ncols = mcuy * lv, mcux * lw
-    ms = np.asarray(ms_l, dtype=np.int64)
-    bs = np.asarray(bs_l, dtype=np.int64)
+    nb = lw * lv
+    arr = np.asarray(packed, dtype=np.int64)
+    vs = (arr & 0x1FFFF) - 65536
+    ks = (arr >> 17) & 63
+    mb = arr >> 23
+    ms = mb // nb
+    bs = mb % nb
     rows = (ms // mcux) * lv + bs // lw
     cols = (ms % mcux) * lw + bs % lw
     Z = np.zeros((nrows * ncols, 64))
-    Z[rows * ncols + cols, np.asarray(ks_l, dtype=np.int64)] = vs_l
+    Z[rows * ncols + cols, ks] = vs
     return _idct_luma(Z, qts[luma["q"]], nrows, ncols, lw, lv, hmax, vmax, h, w)
 
 

