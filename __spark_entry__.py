@@ -48,6 +48,7 @@ from ocr_to_csv_spark.functions import (
     rankstats,
     calendarops,
     matchops,
+    mstops,
     privops,
     privops2,
     sqlsurface,
@@ -791,6 +792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(survival.QUERIES)
     out.update(gameops.QUERIES)
     out.update(matchops.QUERIES)
+    out.update(mstops.QUERIES)
     out.update(privops.QUERIES)
     out.update(privops2.QUERIES)
     out.update(
@@ -867,6 +869,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(survival.ORACLES)
     out.update(gameops.ORACLES)
     out.update(matchops.ORACLES)
+    out.update(mstops.ORACLES)
     out.update(privops.ORACLES)
     out.update(privops2.ORACLES)
     # flagship oracles: the deterministic golden fixtures (absolute path —
