@@ -48,6 +48,7 @@ from ocr_to_csv_spark.functions import (
     rankstats,
     calendarops,
     matchops,
+    mlops,
     mstops,
     privops,
     privops2,
@@ -792,6 +793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(survival.QUERIES)
     out.update(gameops.QUERIES)
     out.update(matchops.QUERIES)
+    out.update(mlops.QUERIES)
     out.update(mstops.QUERIES)
     out.update(privops.QUERIES)
     out.update(privops2.QUERIES)
@@ -869,6 +871,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(survival.ORACLES)
     out.update(gameops.ORACLES)
     out.update(matchops.ORACLES)
+    out.update(mlops.ORACLES)
     out.update(mstops.ORACLES)
     out.update(privops.ORACLES)
     out.update(privops2.ORACLES)

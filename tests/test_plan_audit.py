@@ -82,6 +82,8 @@ BNLJ_ALLOWED = {
     "cluster_purity": "assignment reuses kmeans' broadcast k-row centroid cross",
     "chi2_cells": "single-row grand-total aggregate cross (statsops2.py)",
     "kaplan_meier": "single-row corpus-horizon aggregate cross (survival.py)",
+    "knn_classify": "neighbor lists reuse cosine_topk's labeled brute-force "
+    "baseline; scale path swaps in ivf_search/pq_search (mlops.py)",
 }
 
 
