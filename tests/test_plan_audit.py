@@ -84,6 +84,10 @@ BNLJ_ALLOWED = {
     "kaplan_meier": "single-row corpus-horizon aggregate cross (survival.py)",
     "knn_classify": "neighbor lists reuse cosine_topk's labeled brute-force "
     "baseline; scale path swaps in ivf_search/pq_search (mlops.py)",
+    "ransac_fit": "broadcast 32-row candidate-model table + 1-row winner "
+    "cross — RANSAC's fixed iteration budget (fitops.py)",
+    "isotonic_fit": "bounded 16-row bin-table triple cross — PAVA minimax "
+    "confined to the fixed-width bin table (fitops.py)",
 }
 
 
