@@ -47,6 +47,7 @@ from ocr_to_csv_spark.functions import (
     netops,
     rankstats,
     calendarops,
+    clusterops,
     fitops,
     matchops,
     mlops,
@@ -794,6 +795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(survival.QUERIES)
     out.update(gameops.QUERIES)
     out.update(matchops.QUERIES)
+    out.update(clusterops.QUERIES)
     out.update(fitops.QUERIES)
     out.update(mlops.QUERIES)
     out.update(mstops.QUERIES)
@@ -873,6 +875,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(survival.ORACLES)
     out.update(gameops.ORACLES)
     out.update(matchops.ORACLES)
+    out.update(clusterops.ORACLES)
     out.update(fitops.ORACLES)
     out.update(mlops.ORACLES)
     out.update(mstops.ORACLES)
