@@ -49,6 +49,7 @@ from ocr_to_csv_spark.functions import (
     calendarops,
     clusterops,
     fitops,
+    scanops,
     matchops,
     mlops,
     mstops,
@@ -797,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(matchops.QUERIES)
     out.update(clusterops.QUERIES)
     out.update(fitops.QUERIES)
+    out.update(scanops.QUERIES)
     out.update(mlops.QUERIES)
     out.update(mstops.QUERIES)
     out.update(privops.QUERIES)
@@ -877,6 +879,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(matchops.ORACLES)
     out.update(clusterops.ORACLES)
     out.update(fitops.ORACLES)
+    out.update(scanops.ORACLES)
     out.update(mlops.ORACLES)
     out.update(mstops.ORACLES)
     out.update(privops.ORACLES)
