@@ -48,9 +48,11 @@ from ocr_to_csv_spark.functions import (
     rankstats,
     calendarops,
     clusterops,
+    experimentops,
     fitops,
     scanops,
     matchops,
+    misops,
     mlops,
     mstops,
     privops,
@@ -799,6 +801,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(clusterops.QUERIES)
     out.update(fitops.QUERIES)
     out.update(scanops.QUERIES)
+    out.update(misops.QUERIES)
+    out.update(experimentops.QUERIES)
     out.update(mlops.QUERIES)
     out.update(mstops.QUERIES)
     out.update(privops.QUERIES)
@@ -880,6 +884,8 @@ def oracle_sql() -> dict[str, str]:
     out.update(clusterops.ORACLES)
     out.update(fitops.ORACLES)
     out.update(scanops.ORACLES)
+    out.update(misops.ORACLES)
+    out.update(experimentops.ORACLES)
     out.update(mlops.ORACLES)
     out.update(mstops.ORACLES)
     out.update(privops.ORACLES)

@@ -88,6 +88,9 @@ BNLJ_ALLOWED = {
     "cross — RANSAC's fixed iteration budget (fitops.py)",
     "isotonic_fit": "bounded 16-row bin-table triple cross — PAVA minimax "
     "confined to the fixed-width bin table (fitops.py)",
+    "mann_kendall": "day-grain pair self-join, calendar-bounded (the "
+    "theil_sen precedent) + single-row stats crosses (misops.py)",
+    "cuped": "single-row global-moments broadcast cross (experimentops.py)",
 }
 
 
