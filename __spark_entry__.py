@@ -47,6 +47,7 @@ from ocr_to_csv_spark.functions import (
     netops,
     rankstats,
     calendarops,
+    causalops,
     clusterops,
     experimentops,
     fitops,
@@ -803,6 +804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(scanops.QUERIES)
     out.update(misops.QUERIES)
     out.update(experimentops.QUERIES)
+    out.update(causalops.QUERIES)
     out.update(mlops.QUERIES)
     out.update(mstops.QUERIES)
     out.update(privops.QUERIES)
@@ -886,6 +888,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(scanops.ORACLES)
     out.update(misops.ORACLES)
     out.update(experimentops.ORACLES)
+    out.update(causalops.ORACLES)
     out.update(mlops.ORACLES)
     out.update(mstops.ORACLES)
     out.update(privops.ORACLES)
