@@ -69,6 +69,7 @@ from ocr_to_csv_spark.functions import (
     sketchops,
     statsops2,
     statsops3,
+    statsops4,
     survival,
     sweepops,
     textops,
@@ -790,6 +791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(curation8.QUERIES)
     out.update(statsops2.QUERIES)
     out.update(statsops3.QUERIES)
+    out.update(statsops4.QUERIES)
     out.update(projops.QUERIES)
     out.update(geoops.QUERIES)
     out.update(sweepops.QUERIES)
@@ -874,6 +876,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(curation8.ORACLES)
     out.update(statsops2.ORACLES)
     out.update(statsops3.ORACLES)
+    out.update(statsops4.ORACLES)
     out.update(projops.ORACLES)
     out.update(geoops.ORACLES)
     out.update(sweepops.ORACLES)

@@ -81,6 +81,8 @@ BNLJ_ALLOWED = {
     "ams_f2": "cross of two single-row aggregates (exact F2 vs sketch est)",
     "cluster_purity": "assignment reuses kmeans' broadcast k-row centroid cross",
     "chi2_cells": "single-row grand-total aggregate cross (statsops2.py)",
+    "cramers_v": "rides chi2_cells' single-row grand-total cross "
+    "(statsops4.py)",
     "kaplan_meier": "single-row corpus-horizon aggregate cross (survival.py)",
     "knn_classify": "neighbor lists reuse cosine_topk's labeled brute-force "
     "baseline; scale path swaps in ivf_search/pq_search (mlops.py)",
