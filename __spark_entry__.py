@@ -64,6 +64,7 @@ from ocr_to_csv_spark.functions import (
     relational,
     similarity,
     geoops,
+    geoops2,
     hierops,
     projops,
     sketchops,
@@ -794,6 +795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(statsops4.QUERIES)
     out.update(projops.QUERIES)
     out.update(geoops.QUERIES)
+    out.update(geoops2.QUERIES)
     out.update(sweepops.QUERIES)
     out.update(hierops.QUERIES)
     out.update(windowdistinct.QUERIES)
@@ -879,6 +881,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(statsops4.ORACLES)
     out.update(projops.ORACLES)
     out.update(geoops.ORACLES)
+    out.update(geoops2.ORACLES)
     out.update(sweepops.ORACLES)
     out.update(hierops.ORACLES)
     out.update(windowdistinct.ORACLES)
