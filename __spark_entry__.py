@@ -44,6 +44,7 @@ from ocr_to_csv_spark.functions import (
     basketops,
     evalops,
     erops,
+    erops2,
     netops,
     rankstats,
     calendarops,
@@ -780,6 +781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(basketops.QUERIES)
     out.update(evalops.QUERIES)
     out.update(erops.QUERIES)
+    out.update(erops2.QUERIES)
     out.update(netops.QUERIES)
     out.update(rankstats.QUERIES)
     out.update(calendarops.QUERIES)
@@ -866,6 +868,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(basketops.ORACLES)
     out.update(evalops.ORACLES)
     out.update(erops.ORACLES)
+    out.update(erops2.ORACLES)
     out.update(netops.ORACLES)
     out.update(rankstats.ORACLES)
     out.update(calendarops.ORACLES)
