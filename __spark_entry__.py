@@ -39,6 +39,7 @@ from ocr_to_csv_spark.functions import (
     gameops,
     statsops,
     temporal,
+    temporal2,
     linkpred,
     graphstats,
     basketops,
@@ -776,6 +777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(engagement.QUERIES)
     out.update(statsops.QUERIES)
     out.update(temporal.QUERIES)
+    out.update(temporal2.QUERIES)
     out.update(linkpred.QUERIES)
     out.update(graphstats.QUERIES)
     out.update(basketops.QUERIES)
@@ -863,6 +865,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(engagement.ORACLES)
     out.update(statsops.ORACLES)
     out.update(temporal.ORACLES)
+    out.update(temporal2.ORACLES)
     out.update(linkpred.ORACLES)
     out.update(graphstats.ORACLES)
     out.update(basketops.ORACLES)

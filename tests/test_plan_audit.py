@@ -40,6 +40,9 @@ BNLJ_ALLOWED = {
     "lm_commonness": "single-row vocabulary-size cross",
     "dormant_customers": "single-row positive-balance stats cross (tpch3.py)",
     "theta_intersect": "event-type pair enumeration over |types|-row sides",
+    "dtw_dist": "event-type pair enumeration over |types|-row sides "
+    "(theta_intersect precedent; DP confined per pair, temporal2.py)",
+    "lcs_series": "same |types|-row pair enumeration (temporal2.py)",
     "pca_cov": "single-row row-count cross (analytics2.py)",
     "join_card_est": "cross of two single-row count aggregates",
     "ab_test": "cross of the two single-row per-arm aggregates",
