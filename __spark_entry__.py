@@ -57,6 +57,7 @@ from ocr_to_csv_spark.functions import (
     matchops,
     misops,
     mlops,
+    mlops2,
     mstops,
     privops,
     privops2,
@@ -814,6 +815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(experimentops.QUERIES)
     out.update(causalops.QUERIES)
     out.update(mlops.QUERIES)
+    out.update(mlops2.QUERIES)
     out.update(mstops.QUERIES)
     out.update(privops.QUERIES)
     out.update(privops2.QUERIES)
@@ -902,6 +904,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(experimentops.ORACLES)
     out.update(causalops.ORACLES)
     out.update(mlops.ORACLES)
+    out.update(mlops2.ORACLES)
     out.update(mstops.ORACLES)
     out.update(privops.ORACLES)
     out.update(privops2.ORACLES)

@@ -96,6 +96,8 @@ BNLJ_ALLOWED = {
     "mann_kendall": "day-grain pair self-join, calendar-bounded (the "
     "theil_sen precedent) + single-row stats crosses (misops.py)",
     "cuped": "single-row global-moments broadcast cross (experimentops.py)",
+    "naive_bayes": "broadcast |labels|-row class table + single-row "
+    "vocab/total crosses (mlops2.py)",
 }
 
 
