@@ -42,6 +42,7 @@ from ocr_to_csv_spark.functions import (
     temporal2,
     linkpred,
     graphstats,
+    graphstats2,
     basketops,
     evalops,
     erops,
@@ -781,6 +782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(temporal2.QUERIES)
     out.update(linkpred.QUERIES)
     out.update(graphstats.QUERIES)
+    out.update(graphstats2.QUERIES)
     out.update(basketops.QUERIES)
     out.update(evalops.QUERIES)
     out.update(erops.QUERIES)
@@ -870,6 +872,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(temporal2.ORACLES)
     out.update(linkpred.ORACLES)
     out.update(graphstats.ORACLES)
+    out.update(graphstats2.ORACLES)
     out.update(basketops.ORACLES)
     out.update(evalops.ORACLES)
     out.update(erops.ORACLES)
