@@ -55,6 +55,7 @@ from ocr_to_csv_spark.functions import (
     experimentops,
     fitops,
     scanops,
+    scanops2,
     matchops,
     misops,
     mlops,
@@ -813,6 +814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(clusterops.QUERIES)
     out.update(fitops.QUERIES)
     out.update(scanops.QUERIES)
+    out.update(scanops2.QUERIES)
     out.update(misops.QUERIES)
     out.update(experimentops.QUERIES)
     out.update(causalops.QUERIES)
@@ -903,6 +905,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(clusterops.ORACLES)
     out.update(fitops.ORACLES)
     out.update(scanops.ORACLES)
+    out.update(scanops2.ORACLES)
     out.update(misops.ORACLES)
     out.update(experimentops.ORACLES)
     out.update(causalops.ORACLES)
