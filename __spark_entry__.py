@@ -54,6 +54,7 @@ from ocr_to_csv_spark.functions import (
     clusterops,
     experimentops,
     fitops,
+    fitops2,
     scanops,
     scanops2,
     matchops,
@@ -813,6 +814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(matchops.QUERIES)
     out.update(clusterops.QUERIES)
     out.update(fitops.QUERIES)
+    out.update(fitops2.QUERIES)
     out.update(scanops.QUERIES)
     out.update(scanops2.QUERIES)
     out.update(misops.QUERIES)
@@ -904,6 +906,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(matchops.ORACLES)
     out.update(clusterops.ORACLES)
     out.update(fitops.ORACLES)
+    out.update(fitops2.ORACLES)
     out.update(scanops.ORACLES)
     out.update(scanops2.ORACLES)
     out.update(misops.ORACLES)
