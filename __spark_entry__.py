@@ -66,6 +66,7 @@ from ocr_to_csv_spark.functions import (
     privops2,
     sqlsurface,
     attribution,
+    attribution2,
     codecs,
     relational,
     similarity,
@@ -794,6 +795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(calendarops.QUERIES)
     out.update(sqlsurface.QUERIES)
     out.update(attribution.QUERIES)
+    out.update(attribution2.QUERIES)
     out.update(codecs.QUERIES)
     out.update(textmetrics.QUERIES)
     out.update(composed.QUERIES)
@@ -886,6 +888,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(calendarops.ORACLES)
     out.update(sqlsurface.ORACLES)
     out.update(attribution.ORACLES)
+    out.update(attribution2.ORACLES)
     out.update(codecs.ORACLES)
     out.update(textmetrics.ORACLES)
     out.update(composed.ORACLES)
