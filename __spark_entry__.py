@@ -53,6 +53,7 @@ from ocr_to_csv_spark.functions import (
     causalops,
     clusterops,
     experimentops,
+    experimentops2,
     fitops,
     fitops2,
     scanops,
@@ -821,6 +822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(scanops2.QUERIES)
     out.update(misops.QUERIES)
     out.update(experimentops.QUERIES)
+    out.update(experimentops2.QUERIES)
     out.update(causalops.QUERIES)
     out.update(mlops.QUERIES)
     out.update(mlops2.QUERIES)
@@ -914,6 +916,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(scanops2.ORACLES)
     out.update(misops.ORACLES)
     out.update(experimentops.ORACLES)
+    out.update(experimentops2.ORACLES)
     out.update(causalops.ORACLES)
     out.update(mlops.ORACLES)
     out.update(mlops2.ORACLES)
