@@ -33,7 +33,7 @@ from ..imaging import webp as webpc
 # bump when generated content changes shape OR codec numerics change:
 # consumers cache corpora in /tmp keyed by (docs, seed) and regenerate
 # when the version file differs (goldens must match the current codecs)
-GEN_VERSION = 8
+GEN_VERSION = 9  # v9: markdown span kind (pipe tables + headings + boilerplate)
 
 DATE_RE = re.compile(r"\d{1,2}\/\d{1,2}\/(\d{4}|\d{2})")
 
@@ -134,6 +134,35 @@ def _html_doc(rng: random.Random, n_table_rows: int) -> tuple[str, list]:
     for r in rows:
         golden.append(("table_row", [r[0].title()] + r[1:]))
     return html, golden
+
+
+def _md_doc(rng: random.Random, n_table_rows: int) -> tuple[str, list]:
+    """Build a markdown document + golden items (mirrors ``_html_doc``:
+    heading/paragraphs kept, nav links / hr / code fences are
+    boilerplate, pipe table maps to header_row + table_rows)."""
+    heading = " ".join(rng.choice(WORDS) for _ in range(rng.randint(2, 5)))
+    paras = [
+        " ".join(rng.choice(WORDS) for _ in range(rng.randint(4, 12)))
+        for _ in range(rng.randint(1, 3))
+    ]
+    rows = _sheet_rows(rng, n_table_rows)
+    nav = " ".join(f"[item {i}](/x{i})" for i in range(3))
+    lines = [f"## {heading}", "", nav, ""]
+    for p in paras:
+        lines.append(p)
+        lines.append("")
+    lines += ["```", "var x = 1;", "```", ""]
+    if n_table_rows:
+        lines.append("| " + " | ".join(HEADER[1:]) + " |")
+        lines.append("|" + "---|" * len(HEADER[1:]))
+        for r in rows:
+            lines.append("| " + " | ".join([r[0].title()] + r[1:]) + " |")
+        lines.append("")
+    lines.append("---")
+    golden: list = [("text", heading)] + [("text", p) for p in paras]
+    for r in rows:
+        golden.append(("table_row", [r[0].title()] + r[1:]))
+    return "\n".join(lines), golden
 
 
 def _render_span_page(
@@ -291,8 +320,8 @@ def gen_corpus(
             n_spans = rng.randint(1, 6)
             kinds = [
                 rng.choices(
-                    ["html", "text", "image", "pdf_page", "pdf"],
-                    weights=[0.43, 0.25, 0.20, 0.07, 0.05],
+                    ["html", "text", "image", "pdf_page", "pdf", "markdown"],
+                    weights=[0.37, 0.23, 0.20, 0.07, 0.05, 0.08],
                 )[0]
                 for _ in range(n_spans)
             ]
@@ -308,6 +337,27 @@ def gen_corpus(
                 html, golden = _html_doc(rng, n_rows)
                 spans.append(
                     {"kind": "html", "text": html, "media_ref": None, "offset": offset}
+                )
+                row_num = 0
+                for g_kind, payload in golden:
+                    if g_kind == "text":
+                        exp_spans.append((doc_id, "text", payload, None, order))
+                    else:
+                        exp_spans.append(
+                            (doc_id, "table_row", ",".join(payload), None, order)
+                        )
+                        row_num += 1
+                        exp_rows.append(
+                            (doc_id, eff, row_num, *payload, None, None)
+                        )
+                    order += 1
+                eff += 1
+            elif kind == "markdown":
+                n_rows = rng.randint(1, 22) if rng.random() < 0.8 else 0
+                md, golden = _md_doc(rng, n_rows)
+                spans.append(
+                    {"kind": "markdown", "text": md, "media_ref": None,
+                     "offset": offset}
                 )
                 row_num = 0
                 for g_kind, payload in golden:

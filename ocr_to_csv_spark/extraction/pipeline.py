@@ -160,7 +160,7 @@ def explode_spans(documents: DataFrame) -> DataFrame:
     return spans
 
 
-GOOD_KINDS = ("html", "text", "image", "pdf_page", "pdf")
+GOOD_KINDS = ("html", "text", "markdown", "image", "pdf_page", "pdf")
 
 
 def quarantine_bad_kinds(spans: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -195,6 +195,7 @@ _VAL_DTYPES = {"offset": "int64", "row": "int64", "col": "int64",
 
 def _parse_html_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     from .html_extract import parse_html
+    from .markdown import parse_markdown
 
     for pdf in it:
         out = {k: [] for k in ("doc_id", "offset", "seq", "out_kind", "out_text", "cells")}
@@ -210,7 +211,8 @@ def _parse_html_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 out["cells"].append(None)
                 continue
             seq = 0
-            for item_kind, payload in parse_html(text):
+            parse = parse_markdown if kind == "markdown" else parse_html
+            for item_kind, payload in parse(text):
                 if item_kind == "header_row":
                     continue  # F5: header rows dropped
                 out["doc_id"].append(doc_id)
@@ -476,7 +478,7 @@ def extract(
     # whole HTML-parse Python stage to one task (same skew lever as the
     # image branch below)
     ht_items = (
-        spans.filter(F.col("kind").isin("html", "text"))
+        spans.filter(F.col("kind").isin("html", "text", "markdown"))
         .select("doc_id", "offset", "kind", "text")
         .repartition(n_part, "doc_id", "offset")
         .mapInPandas(_parse_html_batches, schema=ITEM_SCHEMA)
