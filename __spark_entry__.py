@@ -79,6 +79,7 @@ from ocr_to_csv_spark.functions import (
     statsops2,
     statsops3,
     statsops4,
+    statsops5,
     survival,
     sweepops,
     textops,
@@ -805,6 +806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(statsops2.QUERIES)
     out.update(statsops3.QUERIES)
     out.update(statsops4.QUERIES)
+    out.update(statsops5.QUERIES)
     out.update(projops.QUERIES)
     out.update(geoops.QUERIES)
     out.update(geoops2.QUERIES)
@@ -899,6 +901,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(statsops2.ORACLES)
     out.update(statsops3.ORACLES)
     out.update(statsops4.ORACLES)
+    out.update(statsops5.ORACLES)
     out.update(projops.ORACLES)
     out.update(geoops.ORACLES)
     out.update(geoops2.ORACLES)

@@ -98,6 +98,8 @@ BNLJ_ALLOWED = {
     "cuped": "single-row global-moments broadcast cross (experimentops.py)",
     "naive_bayes": "broadcast |labels|-row class table + single-row "
     "vocab/total crosses (mlops2.py)",
+    "woe_iv": "single-row good/bad-totals cross (statsops5.py)",
+    "psi_drift": "single-row half-totals cross (statsops5.py)",
 }
 
 
