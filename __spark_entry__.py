@@ -57,7 +57,9 @@ from ocr_to_csv_spark.functions import (
     fitops,
     fitops2,
     scanops,
+    sampleops,
     scanops2,
+    seqops,
     matchops,
     misops,
     mlops,
@@ -822,6 +824,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(fitops2.QUERIES)
     out.update(scanops.QUERIES)
     out.update(scanops2.QUERIES)
+    out.update(sampleops.QUERIES)
+    out.update(seqops.QUERIES)
     out.update(misops.QUERIES)
     out.update(experimentops.QUERIES)
     out.update(experimentops2.QUERIES)
@@ -917,6 +921,8 @@ def oracle_sql() -> dict[str, str]:
     out.update(fitops2.ORACLES)
     out.update(scanops.ORACLES)
     out.update(scanops2.ORACLES)
+    out.update(sampleops.ORACLES)
+    out.update(seqops.ORACLES)
     out.update(misops.ORACLES)
     out.update(experimentops.ORACLES)
     out.update(experimentops2.ORACLES)

@@ -28,7 +28,7 @@ META_SCHEMA = (
     "mean_intensity double, fill_ratio double"
 )
 
-DECODABLE = ("png", "jpeg", "bmp", "tiff", "webp", "gif")
+DECODABLE = ("png", "jpeg", "bmp", "tiff", "webp", "gif", "netpbm")
 
 
 def sample_frames(data: bytes, every_n: int = 30):

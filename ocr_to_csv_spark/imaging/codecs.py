@@ -15,6 +15,7 @@ import numpy as np
 
 from . import jpeg as jpegc
 from . import png as pngc
+from . import netpbm as netpbmc
 from . import simple_formats as simplec
 from . import gif as gifc
 from . import webp as webpc
@@ -35,6 +36,9 @@ def sniff_format(data: bytes) -> str:
         return "tiff"
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if data[:2] in (b"P2", b"P3", b"P5", b"P6") and len(data) > 2 \
+            and data[2:3] in b" \t\r\n#":
+        return "netpbm"
     if data[:4] == b"RIFF":
         if data[8:12] == b"AVI ":
             return "avi"
@@ -62,6 +66,8 @@ def decode_image(data: bytes) -> np.ndarray:
         return webpc.decode(data)
     if fmt == "gif":
         return gifc.decode(data)
+    if fmt == "netpbm":
+        return netpbmc.decode(data)
     raise ValueError(f"no decoder for format {fmt!r}")
 
 
@@ -99,4 +105,6 @@ def image_dims(data: bytes) -> tuple[int, int]:
         return webpc.dims(data)
     if fmt == "gif":
         return gifc.dims(data)
+    if fmt == "netpbm":
+        return netpbmc.dims(data)
     raise ValueError(f"no header parser for format {fmt!r}")

@@ -100,6 +100,9 @@ BNLJ_ALLOWED = {
     "vocab/total crosses (mlops2.py)",
     "woe_iv": "single-row good/bad-totals cross (statsops5.py)",
     "psi_drift": "single-row half-totals cross (statsops5.py)",
+    "capture_recapture": "cross of three single-row count aggregates "
+    "(sampleops.py)",
+    "seq_patterns": "single-row n_users cross (seqops.py)",
 }
 
 
