@@ -68,6 +68,7 @@ from ocr_to_csv_spark.functions import (
     privops,
     privops2,
     sqlsurface,
+    tableops,
     attribution,
     attribution2,
     codecs,
@@ -826,6 +827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(scanops2.QUERIES)
     out.update(sampleops.QUERIES)
     out.update(seqops.QUERIES)
+    out.update(tableops.QUERIES)
     out.update(misops.QUERIES)
     out.update(experimentops.QUERIES)
     out.update(experimentops2.QUERIES)
@@ -923,6 +925,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(scanops2.ORACLES)
     out.update(sampleops.ORACLES)
     out.update(seqops.ORACLES)
+    out.update(tableops.ORACLES)
     out.update(misops.ORACLES)
     out.update(experimentops.ORACLES)
     out.update(experimentops2.ORACLES)

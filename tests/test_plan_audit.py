@@ -45,6 +45,8 @@ BNLJ_ALLOWED = {
     "lcs_series": "same |types|-row pair enumeration (temporal2.py)",
     "pca_cov": "single-row row-count cross (analytics2.py)",
     "join_card_est": "cross of two single-row count aggregates",
+    "manifest_prune": "cross of two single-row audit aggregates "
+    "(file stats × matched-row count, tableops.py)",
     "ab_test": "cross of the two single-row per-arm aggregates",
     "consistent_sample": "cross of two single-row count aggregates",
     "calibration_bins": "single-row score-min/max stats cross",
