@@ -29,6 +29,7 @@ from ocr_to_csv_spark.functions import (
     curation8,
     dagops,
     dedup,
+    graphcut,
     graphtext,
     irops,
     textmetrics,
@@ -69,6 +70,7 @@ from ocr_to_csv_spark.functions import (
     privops2,
     sqlsurface,
     tableops,
+    vocabops,
     attribution,
     attribution2,
     codecs,
@@ -828,6 +830,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(sampleops.QUERIES)
     out.update(seqops.QUERIES)
     out.update(tableops.QUERIES)
+    out.update(graphcut.QUERIES)
+    out.update(vocabops.QUERIES)
     out.update(misops.QUERIES)
     out.update(experimentops.QUERIES)
     out.update(experimentops2.QUERIES)
@@ -926,6 +930,8 @@ def oracle_sql() -> dict[str, str]:
     out.update(sampleops.ORACLES)
     out.update(seqops.ORACLES)
     out.update(tableops.ORACLES)
+    out.update(graphcut.ORACLES)
+    out.update(vocabops.ORACLES)
     out.update(misops.ORACLES)
     out.update(experimentops.ORACLES)
     out.update(experimentops2.ORACLES)

@@ -47,6 +47,8 @@ BNLJ_ALLOWED = {
     "join_card_est": "cross of two single-row count aggregates",
     "manifest_prune": "cross of two single-row audit aggregates "
     "(file stats × matched-row count, tableops.py)",
+    "partition_quality": "cross of three single-row audit aggregates "
+    "(edge counts × degree mass × node balance, graphcut.py)",
     "ab_test": "cross of the two single-row per-arm aggregates",
     "consistent_sample": "cross of two single-row count aggregates",
     "calibration_bins": "single-row score-min/max stats cross",
