@@ -71,6 +71,8 @@ from ocr_to_csv_spark.functions import (
     sqlsurface,
     tableops,
     vocabops,
+    hullops,
+    crawlops,
     attribution,
     attribution2,
     codecs,
@@ -832,6 +834,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(tableops.QUERIES)
     out.update(graphcut.QUERIES)
     out.update(vocabops.QUERIES)
+    out.update(hullops.QUERIES)
+    out.update(crawlops.QUERIES)
     out.update(misops.QUERIES)
     out.update(experimentops.QUERIES)
     out.update(experimentops2.QUERIES)
@@ -932,6 +936,8 @@ def oracle_sql() -> dict[str, str]:
     out.update(tableops.ORACLES)
     out.update(graphcut.ORACLES)
     out.update(vocabops.ORACLES)
+    out.update(hullops.ORACLES)
+    out.update(crawlops.ORACLES)
     out.update(misops.ORACLES)
     out.update(experimentops.ORACLES)
     out.update(experimentops2.ORACLES)
