@@ -73,6 +73,7 @@ from ocr_to_csv_spark.functions import (
     vocabops,
     hullops,
     crawlops,
+    segmentops,
     attribution,
     attribution2,
     codecs,
@@ -836,6 +837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(vocabops.QUERIES)
     out.update(hullops.QUERIES)
     out.update(crawlops.QUERIES)
+    out.update(segmentops.QUERIES)
     out.update(misops.QUERIES)
     out.update(experimentops.QUERIES)
     out.update(experimentops2.QUERIES)
@@ -938,6 +940,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(vocabops.ORACLES)
     out.update(hullops.ORACLES)
     out.update(crawlops.ORACLES)
+    out.update(segmentops.ORACLES)
     out.update(misops.ORACLES)
     out.update(experimentops.ORACLES)
     out.update(experimentops2.ORACLES)
