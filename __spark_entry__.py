@@ -74,6 +74,7 @@ from ocr_to_csv_spark.functions import (
     hullops,
     crawlops,
     segmentops,
+    brandesops,
     attribution,
     attribution2,
     codecs,
@@ -838,6 +839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(hullops.QUERIES)
     out.update(crawlops.QUERIES)
     out.update(segmentops.QUERIES)
+    out.update(brandesops.QUERIES)
     out.update(misops.QUERIES)
     out.update(experimentops.QUERIES)
     out.update(experimentops2.QUERIES)
@@ -941,6 +943,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(hullops.ORACLES)
     out.update(crawlops.ORACLES)
     out.update(segmentops.ORACLES)
+    out.update(brandesops.ORACLES)
     out.update(misops.ORACLES)
     out.update(experimentops.ORACLES)
     out.update(experimentops2.ORACLES)
