@@ -75,6 +75,7 @@ from ocr_to_csv_spark.functions import (
     crawlops,
     segmentops,
     brandesops,
+    compressops,
     attribution,
     attribution2,
     codecs,
@@ -840,6 +841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(crawlops.QUERIES)
     out.update(segmentops.QUERIES)
     out.update(brandesops.QUERIES)
+    out.update(compressops.QUERIES)
     out.update(misops.QUERIES)
     out.update(experimentops.QUERIES)
     out.update(experimentops2.QUERIES)
@@ -944,6 +946,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(crawlops.ORACLES)
     out.update(segmentops.ORACLES)
     out.update(brandesops.ORACLES)
+    out.update(compressops.ORACLES)
     out.update(misops.ORACLES)
     out.update(experimentops.ORACLES)
     out.update(experimentops2.ORACLES)
