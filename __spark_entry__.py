@@ -76,6 +76,7 @@ from ocr_to_csv_spark.functions import (
     segmentops,
     brandesops,
     compressops,
+    spellops,
     attribution,
     attribution2,
     codecs,
@@ -842,6 +843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(segmentops.QUERIES)
     out.update(brandesops.QUERIES)
     out.update(compressops.QUERIES)
+    out.update(spellops.QUERIES)
     out.update(misops.QUERIES)
     out.update(experimentops.QUERIES)
     out.update(experimentops2.QUERIES)
@@ -947,6 +949,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(segmentops.ORACLES)
     out.update(brandesops.ORACLES)
     out.update(compressops.ORACLES)
+    out.update(spellops.ORACLES)
     out.update(misops.ORACLES)
     out.update(experimentops.ORACLES)
     out.update(experimentops2.ORACLES)
