@@ -77,6 +77,7 @@ from ocr_to_csv_spark.functions import (
     brandesops,
     compressops,
     spellops,
+    planops,
     attribution,
     attribution2,
     codecs,
@@ -844,6 +845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(brandesops.QUERIES)
     out.update(compressops.QUERIES)
     out.update(spellops.QUERIES)
+    out.update(planops.QUERIES)
     out.update(misops.QUERIES)
     out.update(experimentops.QUERIES)
     out.update(experimentops2.QUERIES)
@@ -950,6 +952,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(brandesops.ORACLES)
     out.update(compressops.ORACLES)
     out.update(spellops.ORACLES)
+    out.update(planops.ORACLES)
     out.update(misops.ORACLES)
     out.update(experimentops.ORACLES)
     out.update(experimentops2.ORACLES)

@@ -57,10 +57,13 @@ def main() -> None:
         geoops,
         projops,
         relational,
+        segmentops,
         similarity,
+        spellops,
         statsops,
         statsops2,
         textops,
+        compressops,
     )
     from ocr_to_csv_spark.session import get_spark, sf_dir
 
@@ -129,6 +132,9 @@ def main() -> None:
         "auc_roc": projops.q_auc_roc,
         "rp_embed": projops.q_rp_embed,
         "geo_grid_join": geoops.q_geo_grid_join,
+        "unigram_segment": segmentops.q_unigram_segment,
+        "compress_ratio": compressops.q_compress_ratio,
+        "symspell_correct": spellops.q_symspell_correct,
     }
     for name, fn in headline.items():
         best = float("inf")

@@ -49,6 +49,12 @@ BNLJ_ALLOWED = {
     "(file stats × matched-row count, tableops.py)",
     "partition_quality": "cross of three single-row audit aggregates "
     "(edge counts × degree mass × node balance, graphcut.py)",
+    "entropy_rate": "single-row corpus-totals cross over the "
+    "alphabet²-bounded bigram table (compressops.py)",
+    "layout_advisor": "bounded manifest × 6-row workload cross "
+    "(≤ ~100 partitions per layout, planops.py)",
+    "watermark_plan": "candidate ladder rides one 1-row aggregate; "
+    "recommended-δ is a second 1-row cross (planops.py)",
     "ab_test": "cross of the two single-row per-arm aggregates",
     "consistent_sample": "cross of two single-row count aggregates",
     "calibration_bins": "single-row score-min/max stats cross",
