@@ -78,6 +78,7 @@ from ocr_to_csv_spark.functions import (
     compressops,
     spellops,
     planops,
+    waveops,
     attribution,
     attribution2,
     codecs,
@@ -846,6 +847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(compressops.QUERIES)
     out.update(spellops.QUERIES)
     out.update(planops.QUERIES)
+    out.update(waveops.QUERIES)
     out.update(misops.QUERIES)
     out.update(experimentops.QUERIES)
     out.update(experimentops2.QUERIES)
@@ -953,6 +955,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(compressops.ORACLES)
     out.update(spellops.ORACLES)
     out.update(planops.ORACLES)
+    out.update(waveops.ORACLES)
     out.update(misops.ORACLES)
     out.update(experimentops.ORACLES)
     out.update(experimentops2.ORACLES)
