@@ -33,7 +33,7 @@ from ..imaging import webp as webpc
 # bump when generated content changes shape OR codec numerics change:
 # consumers cache corpora in /tmp keyed by (docs, seed) and regenerate
 # when the version file differs (goldens must match the current codecs)
-GEN_VERSION = 9  # v9: markdown span kind (pipe tables + headings + boilerplate)
+GEN_VERSION = 10  # v10: latex span kind (tabular + sections + preamble strip)
 
 DATE_RE = re.compile(r"\d{1,2}\/\d{1,2}\/(\d{4}|\d{2})")
 
@@ -160,6 +160,54 @@ def _md_doc(rng: random.Random, n_table_rows: int) -> tuple[str, list]:
         lines.append("")
     lines.append("---")
     golden: list = [("text", heading)] + [("text", p) for p in paras]
+    for r in rows:
+        golden.append(("table_row", [r[0].title()] + r[1:]))
+    return "\n".join(lines), golden
+
+
+def _latex_doc(rng: random.Random, n_table_rows: int) -> tuple[str, list]:
+    """Build a LaTeX document + golden items (mirrors ``_md_doc``:
+    section/paragraphs kept — with \\textbf unwrapping and inline math
+    dropped — preamble/comments/labels are boilerplate, tabular maps to
+    header_row + table_rows)."""
+    heading = " ".join(rng.choice(WORDS) for _ in range(rng.randint(2, 5)))
+    paras = []
+    for _ in range(rng.randint(1, 3)):
+        ws = [rng.choice(WORDS) for _ in range(rng.randint(4, 12))]
+        b = rng.randrange(len(ws))
+        golden_p = " ".join(ws)
+        ws_tex = list(ws)
+        ws_tex[b] = "\\textbf{" + ws[b] + "}"
+        if rng.random() < 0.5:
+            ws_tex.append("$x^{2}+1$")  # math drops from the golden
+        paras.append((" ".join(ws_tex), golden_p))
+    rows = _sheet_rows(rng, n_table_rows)
+    lines = [
+        "\\documentclass{article}",
+        "\\usepackage{amsmath}",
+        "% generated fixture " + str(rng.randint(0, 999)),
+        "\\begin{document}",
+        "\\maketitle",
+        f"\\section{{{heading}}}",
+        "\\label{sec:one}",
+        "",
+    ]
+    for tex, _ in paras:
+        lines.append(tex)
+        lines.append("")
+    if n_table_rows:
+        lines.append("\\begin{tabular}{|" + "l|" * len(HEADER[1:]) + "}")
+        lines.append("\\hline")
+        lines.append(" & ".join(HEADER[1:]) + " \\\\")
+        lines.append("\\hline")
+        for r in rows:
+            lines.append(" & ".join([r[0].title()] + r[1:]) + " \\\\")
+        lines.append("\\end{tabular}")
+        lines.append("")
+    lines.append("\\end{document}")
+    golden: list = [("text", heading)] + [
+        ("text", g) for _, g in paras
+    ]
     for r in rows:
         golden.append(("table_row", [r[0].title()] + r[1:]))
     return "\n".join(lines), golden
@@ -320,8 +368,9 @@ def gen_corpus(
             n_spans = rng.randint(1, 6)
             kinds = [
                 rng.choices(
-                    ["html", "text", "image", "pdf_page", "pdf", "markdown"],
-                    weights=[0.37, 0.23, 0.20, 0.07, 0.05, 0.08],
+                    ["html", "text", "image", "pdf_page", "pdf", "markdown",
+                     "latex"],
+                    weights=[0.33, 0.21, 0.20, 0.07, 0.05, 0.08, 0.06],
                 )[0]
                 for _ in range(n_spans)
             ]
@@ -352,11 +401,12 @@ def gen_corpus(
                         )
                     order += 1
                 eff += 1
-            elif kind == "markdown":
+            elif kind in ("markdown", "latex"):
                 n_rows = rng.randint(1, 22) if rng.random() < 0.8 else 0
-                md, golden = _md_doc(rng, n_rows)
+                builder = _md_doc if kind == "markdown" else _latex_doc
+                md, golden = builder(rng, n_rows)
                 spans.append(
-                    {"kind": "markdown", "text": md, "media_ref": None,
+                    {"kind": kind, "text": md, "media_ref": None,
                      "offset": offset}
                 )
                 row_num = 0

@@ -160,7 +160,7 @@ def explode_spans(documents: DataFrame) -> DataFrame:
     return spans
 
 
-GOOD_KINDS = ("html", "text", "markdown", "image", "pdf_page", "pdf")
+GOOD_KINDS = ("html", "text", "markdown", "latex", "image", "pdf_page", "pdf")
 
 
 def quarantine_bad_kinds(spans: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -195,6 +195,7 @@ _VAL_DTYPES = {"offset": "int64", "row": "int64", "col": "int64",
 
 def _parse_html_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     from .html_extract import parse_html
+    from .latex import parse_latex
     from .markdown import parse_markdown
 
     for pdf in it:
@@ -211,7 +212,10 @@ def _parse_html_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 out["cells"].append(None)
                 continue
             seq = 0
-            parse = parse_markdown if kind == "markdown" else parse_html
+            parse = {
+                "markdown": parse_markdown,
+                "latex": parse_latex,
+            }.get(kind, parse_html)
             for item_kind, payload in parse(text):
                 if item_kind == "header_row":
                     continue  # F5: header rows dropped
@@ -478,7 +482,7 @@ def extract(
     # whole HTML-parse Python stage to one task (same skew lever as the
     # image branch below)
     ht_items = (
-        spans.filter(F.col("kind").isin("html", "text", "markdown"))
+        spans.filter(F.col("kind").isin("html", "text", "markdown", "latex"))
         .select("doc_id", "offset", "kind", "text")
         .repartition(n_part, "doc_id", "offset")
         .mapInPandas(_parse_html_batches, schema=ITEM_SCHEMA)
