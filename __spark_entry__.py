@@ -79,6 +79,8 @@ from ocr_to_csv_spark.functions import (
     spellops,
     planops,
     waveops,
+    lmops,
+    graphsweep,
     attribution,
     attribution2,
     codecs,
@@ -848,6 +850,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(spellops.QUERIES)
     out.update(planops.QUERIES)
     out.update(waveops.QUERIES)
+    out.update(lmops.QUERIES)
+    out.update(graphsweep.QUERIES)
     out.update(misops.QUERIES)
     out.update(experimentops.QUERIES)
     out.update(experimentops2.QUERIES)
@@ -956,6 +960,8 @@ def oracle_sql() -> dict[str, str]:
     out.update(spellops.ORACLES)
     out.update(planops.ORACLES)
     out.update(waveops.ORACLES)
+    out.update(lmops.ORACLES)
+    out.update(graphsweep.ORACLES)
     out.update(misops.ORACLES)
     out.update(experimentops.ORACLES)
     out.update(experimentops2.ORACLES)

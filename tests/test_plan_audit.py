@@ -51,6 +51,10 @@ BNLJ_ALLOWED = {
     "(edge counts × degree mass × node balance, graphcut.py)",
     "entropy_rate": "single-row corpus-totals cross over the "
     "alphabet²-bounded bigram table (compressops.py)",
+    "kn_bigram": "single-row bigram-type-count cross over the "
+    "vocabulary²-bounded table (lmops.py)",
+    "diameter_sweep": "crosses of single-row eccentricity aggregates "
+    "(graphsweep.py)",
     "layout_advisor": "bounded manifest × 6-row workload cross "
     "(≤ ~100 partitions per layout, planops.py)",
     "watermark_plan": "candidate ladder rides one 1-row aggregate; "
