@@ -81,6 +81,7 @@ from ocr_to_csv_spark.functions import (
     waveops,
     lmops,
     graphsweep,
+    ccoeffops,
     attribution,
     attribution2,
     codecs,
@@ -852,6 +853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(waveops.QUERIES)
     out.update(lmops.QUERIES)
     out.update(graphsweep.QUERIES)
+    out.update(ccoeffops.QUERIES)
     out.update(misops.QUERIES)
     out.update(experimentops.QUERIES)
     out.update(experimentops2.QUERIES)
@@ -962,6 +964,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(waveops.ORACLES)
     out.update(lmops.ORACLES)
     out.update(graphsweep.ORACLES)
+    out.update(ccoeffops.ORACLES)
     out.update(misops.ORACLES)
     out.update(experimentops.ORACLES)
     out.update(experimentops2.ORACLES)

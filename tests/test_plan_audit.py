@@ -55,6 +55,8 @@ BNLJ_ALLOWED = {
     "vocabulary²-bounded table (lmops.py)",
     "diameter_sweep": "crosses of single-row eccentricity aggregates "
     "(graphsweep.py)",
+    "transitivity": "cross of two single-row wedge/triangle aggregates "
+    "(ccoeffops.py)",
     "layout_advisor": "bounded manifest × 6-row workload cross "
     "(≤ ~100 partitions per layout, planops.py)",
     "watermark_plan": "candidate ladder rides one 1-row aggregate; "
