@@ -82,6 +82,7 @@ from ocr_to_csv_spark.functions import (
     lmops,
     graphsweep,
     ccoeffops,
+    dedupeval,
     attribution,
     attribution2,
     codecs,
@@ -854,6 +855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(lmops.QUERIES)
     out.update(graphsweep.QUERIES)
     out.update(ccoeffops.QUERIES)
+    out.update(dedupeval.QUERIES)
     out.update(misops.QUERIES)
     out.update(experimentops.QUERIES)
     out.update(experimentops2.QUERIES)
@@ -965,6 +967,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(lmops.ORACLES)
     out.update(graphsweep.ORACLES)
     out.update(ccoeffops.ORACLES)
+    out.update(dedupeval.ORACLES)
     out.update(misops.ORACLES)
     out.update(experimentops.ORACLES)
     out.update(experimentops2.ORACLES)
