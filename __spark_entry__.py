@@ -83,6 +83,7 @@ from ocr_to_csv_spark.functions import (
     graphsweep,
     ccoeffops,
     dedupeval,
+    peakops,
     attribution,
     attribution2,
     codecs,
@@ -856,6 +857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(graphsweep.QUERIES)
     out.update(ccoeffops.QUERIES)
     out.update(dedupeval.QUERIES)
+    out.update(peakops.QUERIES)
     out.update(misops.QUERIES)
     out.update(experimentops.QUERIES)
     out.update(experimentops2.QUERIES)
@@ -968,6 +970,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(graphsweep.ORACLES)
     out.update(ccoeffops.ORACLES)
     out.update(dedupeval.ORACLES)
+    out.update(peakops.ORACLES)
     out.update(misops.ORACLES)
     out.update(experimentops.ORACLES)
     out.update(experimentops2.ORACLES)
