@@ -84,6 +84,7 @@ from ocr_to_csv_spark.functions import (
     ccoeffops,
     dedupeval,
     peakops,
+    bitempops,
     attribution,
     attribution2,
     codecs,
@@ -858,6 +859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(ccoeffops.QUERIES)
     out.update(dedupeval.QUERIES)
     out.update(peakops.QUERIES)
+    out.update(bitempops.QUERIES)
     out.update(misops.QUERIES)
     out.update(experimentops.QUERIES)
     out.update(experimentops2.QUERIES)
@@ -971,6 +973,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(ccoeffops.ORACLES)
     out.update(dedupeval.ORACLES)
     out.update(peakops.ORACLES)
+    out.update(bitempops.ORACLES)
     out.update(misops.ORACLES)
     out.update(experimentops.ORACLES)
     out.update(experimentops2.ORACLES)

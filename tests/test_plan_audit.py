@@ -57,6 +57,10 @@ BNLJ_ALLOWED = {
     "(graphsweep.py)",
     "transitivity": "cross of two single-row wedge/triangle aggregates "
     "(ccoeffops.py)",
+    "bitemporal_asof": "broadcast 4-row probe-panel cross "
+    "(bitempops.py)",
+    "quantile_fit": "broadcast 42-row (slope,intercept) grid cross — "
+    "the documented exact grid-search tier (bitempops.py)",
     "layout_advisor": "bounded manifest × 6-row workload cross "
     "(≤ ~100 partitions per layout, planops.py)",
     "watermark_plan": "candidate ladder rides one 1-row aggregate; "
