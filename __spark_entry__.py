@@ -85,6 +85,7 @@ from ocr_to_csv_spark.functions import (
     dedupeval,
     peakops,
     bitempops,
+    webgraph,
     attribution,
     attribution2,
     codecs,
@@ -860,6 +861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(dedupeval.QUERIES)
     out.update(peakops.QUERIES)
     out.update(bitempops.QUERIES)
+    out.update(webgraph.QUERIES)
     out.update(misops.QUERIES)
     out.update(experimentops.QUERIES)
     out.update(experimentops2.QUERIES)
@@ -974,6 +976,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(dedupeval.ORACLES)
     out.update(peakops.ORACLES)
     out.update(bitempops.ORACLES)
+    out.update(webgraph.ORACLES)
     out.update(misops.ORACLES)
     out.update(experimentops.ORACLES)
     out.update(experimentops2.ORACLES)
