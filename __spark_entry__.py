@@ -86,6 +86,7 @@ from ocr_to_csv_spark.functions import (
     peakops,
     bitempops,
     webgraph,
+    synthops,
     attribution,
     attribution2,
     codecs,
@@ -862,6 +863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(peakops.QUERIES)
     out.update(bitempops.QUERIES)
     out.update(webgraph.QUERIES)
+    out.update(synthops.QUERIES)
     out.update(misops.QUERIES)
     out.update(experimentops.QUERIES)
     out.update(experimentops2.QUERIES)
@@ -977,6 +979,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(peakops.ORACLES)
     out.update(bitempops.ORACLES)
     out.update(webgraph.ORACLES)
+    out.update(synthops.ORACLES)
     out.update(misops.ORACLES)
     out.update(experimentops.ORACLES)
     out.update(experimentops2.ORACLES)
