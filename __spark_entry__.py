@@ -87,6 +87,7 @@ from ocr_to_csv_spark.functions import (
     bitempops,
     webgraph,
     synthops,
+    motifops,
     attribution,
     attribution2,
     codecs,
@@ -864,6 +865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(bitempops.QUERIES)
     out.update(webgraph.QUERIES)
     out.update(synthops.QUERIES)
+    out.update(motifops.QUERIES)
     out.update(misops.QUERIES)
     out.update(experimentops.QUERIES)
     out.update(experimentops2.QUERIES)
@@ -980,6 +982,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(bitempops.ORACLES)
     out.update(webgraph.ORACLES)
     out.update(synthops.ORACLES)
+    out.update(motifops.ORACLES)
     out.update(misops.ORACLES)
     out.update(experimentops.ORACLES)
     out.update(experimentops2.ORACLES)
