@@ -88,6 +88,7 @@ from ocr_to_csv_spark.functions import (
     webgraph,
     synthops,
     motifops,
+    anfops,
     attribution,
     attribution2,
     codecs,
@@ -866,6 +867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(webgraph.QUERIES)
     out.update(synthops.QUERIES)
     out.update(motifops.QUERIES)
+    out.update(anfops.QUERIES)
     out.update(misops.QUERIES)
     out.update(experimentops.QUERIES)
     out.update(experimentops2.QUERIES)
@@ -983,6 +985,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(webgraph.ORACLES)
     out.update(synthops.ORACLES)
     out.update(motifops.ORACLES)
+    out.update(anfops.ORACLES)
     out.update(misops.ORACLES)
     out.update(experimentops.ORACLES)
     out.update(experimentops2.ORACLES)
