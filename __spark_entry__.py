@@ -89,6 +89,7 @@ from ocr_to_csv_spark.functions import (
     synthops,
     motifops,
     anfops,
+    evalops2,
     attribution,
     attribution2,
     codecs,
@@ -868,6 +869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(synthops.QUERIES)
     out.update(motifops.QUERIES)
     out.update(anfops.QUERIES)
+    out.update(evalops2.QUERIES)
     out.update(misops.QUERIES)
     out.update(experimentops.QUERIES)
     out.update(experimentops2.QUERIES)
@@ -986,6 +988,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(synthops.ORACLES)
     out.update(motifops.ORACLES)
     out.update(anfops.ORACLES)
+    out.update(evalops2.ORACLES)
     out.update(misops.ORACLES)
     out.update(experimentops.ORACLES)
     out.update(experimentops2.ORACLES)
