@@ -90,6 +90,8 @@ from ocr_to_csv_spark.functions import (
     motifops,
     anfops,
     evalops2,
+    joinorderops,
+    eigops,
     attribution,
     attribution2,
     codecs,
@@ -870,6 +872,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(motifops.QUERIES)
     out.update(anfops.QUERIES)
     out.update(evalops2.QUERIES)
+    out.update(joinorderops.QUERIES)
+    out.update(eigops.QUERIES)
     out.update(misops.QUERIES)
     out.update(experimentops.QUERIES)
     out.update(experimentops2.QUERIES)
@@ -989,6 +993,8 @@ def oracle_sql() -> dict[str, str]:
     out.update(motifops.ORACLES)
     out.update(anfops.ORACLES)
     out.update(evalops2.ORACLES)
+    out.update(joinorderops.ORACLES)
+    out.update(eigops.ORACLES)
     out.update(misops.ORACLES)
     out.update(experimentops.ORACLES)
     out.update(experimentops2.ORACLES)
