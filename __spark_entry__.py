@@ -92,6 +92,7 @@ from ocr_to_csv_spark.functions import (
     evalops2,
     joinorderops,
     eigops,
+    noiseops,
     attribution,
     attribution2,
     codecs,
@@ -874,6 +875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(evalops2.QUERIES)
     out.update(joinorderops.QUERIES)
     out.update(eigops.QUERIES)
+    out.update(noiseops.QUERIES)
     out.update(misops.QUERIES)
     out.update(experimentops.QUERIES)
     out.update(experimentops2.QUERIES)
@@ -995,6 +997,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(evalops2.ORACLES)
     out.update(joinorderops.ORACLES)
     out.update(eigops.ORACLES)
+    out.update(noiseops.ORACLES)
     out.update(misops.ORACLES)
     out.update(experimentops.ORACLES)
     out.update(experimentops2.ORACLES)
