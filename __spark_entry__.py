@@ -93,6 +93,7 @@ from ocr_to_csv_spark.functions import (
     joinorderops,
     eigops,
     noiseops,
+    histops,
     attribution,
     attribution2,
     codecs,
@@ -876,6 +877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(joinorderops.QUERIES)
     out.update(eigops.QUERIES)
     out.update(noiseops.QUERIES)
+    out.update(histops.QUERIES)
     out.update(misops.QUERIES)
     out.update(experimentops.QUERIES)
     out.update(experimentops2.QUERIES)
@@ -998,6 +1000,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(joinorderops.ORACLES)
     out.update(eigops.ORACLES)
     out.update(noiseops.ORACLES)
+    out.update(histops.ORACLES)
     out.update(misops.ORACLES)
     out.update(experimentops.ORACLES)
     out.update(experimentops2.ORACLES)
