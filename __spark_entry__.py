@@ -94,6 +94,7 @@ from ocr_to_csv_spark.functions import (
     eigops,
     noiseops,
     histops,
+    opsaudit,
     attribution,
     attribution2,
     codecs,
@@ -878,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(eigops.QUERIES)
     out.update(noiseops.QUERIES)
     out.update(histops.QUERIES)
+    out.update(opsaudit.QUERIES)
     out.update(misops.QUERIES)
     out.update(experimentops.QUERIES)
     out.update(experimentops2.QUERIES)
@@ -1001,6 +1003,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(eigops.ORACLES)
     out.update(noiseops.ORACLES)
     out.update(histops.ORACLES)
+    out.update(opsaudit.ORACLES)
     out.update(misops.ORACLES)
     out.update(experimentops.ORACLES)
     out.update(experimentops2.ORACLES)
