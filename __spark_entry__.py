@@ -95,6 +95,7 @@ from ocr_to_csv_spark.functions import (
     noiseops,
     histops,
     opsaudit,
+    chainops,
     attribution,
     attribution2,
     codecs,
@@ -880,6 +881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(noiseops.QUERIES)
     out.update(histops.QUERIES)
     out.update(opsaudit.QUERIES)
+    out.update(chainops.QUERIES)
     out.update(misops.QUERIES)
     out.update(experimentops.QUERIES)
     out.update(experimentops2.QUERIES)
@@ -1004,6 +1006,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(noiseops.ORACLES)
     out.update(histops.ORACLES)
     out.update(opsaudit.ORACLES)
+    out.update(chainops.ORACLES)
     out.update(misops.ORACLES)
     out.update(experimentops.ORACLES)
     out.update(experimentops2.ORACLES)
