@@ -96,6 +96,7 @@ from ocr_to_csv_spark.functions import (
     histops,
     opsaudit,
     chainops,
+    cascadeops,
     attribution,
     attribution2,
     codecs,
@@ -882,6 +883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(histops.QUERIES)
     out.update(opsaudit.QUERIES)
     out.update(chainops.QUERIES)
+    out.update(cascadeops.QUERIES)
     out.update(misops.QUERIES)
     out.update(experimentops.QUERIES)
     out.update(experimentops2.QUERIES)
@@ -1007,6 +1009,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(histops.ORACLES)
     out.update(opsaudit.ORACLES)
     out.update(chainops.ORACLES)
+    out.update(cascadeops.ORACLES)
     out.update(misops.ORACLES)
     out.update(experimentops.ORACLES)
     out.update(experimentops2.ORACLES)
