@@ -97,6 +97,7 @@ from ocr_to_csv_spark.functions import (
     opsaudit,
     chainops,
     cascadeops,
+    schedops,
     attribution,
     attribution2,
     codecs,
@@ -884,6 +885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(opsaudit.QUERIES)
     out.update(chainops.QUERIES)
     out.update(cascadeops.QUERIES)
+    out.update(schedops.QUERIES)
     out.update(misops.QUERIES)
     out.update(experimentops.QUERIES)
     out.update(experimentops2.QUERIES)
@@ -1010,6 +1012,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(opsaudit.ORACLES)
     out.update(chainops.ORACLES)
     out.update(cascadeops.ORACLES)
+    out.update(schedops.ORACLES)
     out.update(misops.ORACLES)
     out.update(experimentops.ORACLES)
     out.update(experimentops2.ORACLES)
