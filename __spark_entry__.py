@@ -98,6 +98,7 @@ from ocr_to_csv_spark.functions import (
     chainops,
     cascadeops,
     schedops,
+    sketchest,
     attribution,
     attribution2,
     codecs,
@@ -886,6 +887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(chainops.QUERIES)
     out.update(cascadeops.QUERIES)
     out.update(schedops.QUERIES)
+    out.update(sketchest.QUERIES)
     out.update(misops.QUERIES)
     out.update(experimentops.QUERIES)
     out.update(experimentops2.QUERIES)
@@ -1013,6 +1015,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(chainops.ORACLES)
     out.update(cascadeops.ORACLES)
     out.update(schedops.ORACLES)
+    out.update(sketchest.ORACLES)
     out.update(misops.ORACLES)
     out.update(experimentops.ORACLES)
     out.update(experimentops2.ORACLES)
