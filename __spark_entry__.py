@@ -99,6 +99,7 @@ from ocr_to_csv_spark.functions import (
     cascadeops,
     schedops,
     sketchest,
+    htmlops,
     attribution,
     attribution2,
     codecs,
@@ -888,6 +889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(cascadeops.QUERIES)
     out.update(schedops.QUERIES)
     out.update(sketchest.QUERIES)
+    out.update(htmlops.QUERIES)
     out.update(misops.QUERIES)
     out.update(experimentops.QUERIES)
     out.update(experimentops2.QUERIES)
@@ -1016,6 +1018,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(cascadeops.ORACLES)
     out.update(schedops.ORACLES)
     out.update(sketchest.ORACLES)
+    out.update(htmlops.ORACLES)
     out.update(misops.ORACLES)
     out.update(experimentops.ORACLES)
     out.update(experimentops2.ORACLES)
