@@ -123,6 +123,28 @@ BNLJ_ALLOWED = {
     "capture_recapture": "cross of three single-row count aggregates "
     "(sampleops.py)",
     "seq_patterns": "single-row n_users cross (seqops.py)",
+    "synth_control": "broadcast 66-row integer weight-simplex cross — "
+    "the quantile_fit exact grid-search tier (synthops.py)",
+    "team_draft": "broadcast 5-row query-panel cross (evalops2.py)",
+    "selectivity_est": "1-row min/max stats cross + 5-row predicate panel "
+    "against the 20-row histogram (evalops2.py)",
+    "join_order_dp": "crosses of four single-row stat aggregates feeding "
+    "the one-row DP pivot (joinorderops.py)",
+    "vopt_hist": "1-row min/max stats cross bucketing the scan; the DP "
+    "runs on a one-row pivot (histops.py)",
+    "theil_decomp": "single-row global-totals cross, ln terms "
+    "leaf-rounded before the sums (histops.py)",
+    "label_noise_est": "broadcast ≤10-row integer-centroid table cross — "
+    "the kmeans/semdedup tier (noiseops.py)",
+    "heldout_ppl": "single-row vocabulary-size cross (lm_commonness "
+    "precedent, noiseops.py)",
+    "ring_rebalance": "single-row movement-totals cross (opsaudit.py)",
+    "ams_join_est": "cross of two single-row aggregates (sketch estimate "
+    "vs exact join size — the ams_f2 tier, sketchest.py)",
+    "priority_sample_est": "broadcast 1-row threshold (τ) cross against "
+    "the 64-row sample (sketchest.py)",
+    "critical_path": "single-row global-max aggregate cross feeding the "
+    "criticality flag (schedops.py)",
 }
 
 
