@@ -100,6 +100,7 @@ from ocr_to_csv_spark.functions import (
     schedops,
     sketchest,
     htmlops,
+    walkops,
     attribution,
     attribution2,
     codecs,
@@ -890,6 +891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(schedops.QUERIES)
     out.update(sketchest.QUERIES)
     out.update(htmlops.QUERIES)
+    out.update(walkops.QUERIES)
     out.update(misops.QUERIES)
     out.update(experimentops.QUERIES)
     out.update(experimentops2.QUERIES)
@@ -1019,6 +1021,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(schedops.ORACLES)
     out.update(sketchest.ORACLES)
     out.update(htmlops.ORACLES)
+    out.update(walkops.ORACLES)
     out.update(misops.ORACLES)
     out.update(experimentops.ORACLES)
     out.update(experimentops2.ORACLES)
