@@ -101,6 +101,7 @@ from ocr_to_csv_spark.functions import (
     sketchest,
     htmlops,
     walkops,
+    corpusstats,
     attribution,
     attribution2,
     codecs,
@@ -892,6 +893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(sketchest.QUERIES)
     out.update(htmlops.QUERIES)
     out.update(walkops.QUERIES)
+    out.update(corpusstats.QUERIES)
     out.update(misops.QUERIES)
     out.update(experimentops.QUERIES)
     out.update(experimentops2.QUERIES)
@@ -1022,6 +1024,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(sketchest.ORACLES)
     out.update(htmlops.ORACLES)
     out.update(walkops.ORACLES)
+    out.update(corpusstats.ORACLES)
     out.update(misops.ORACLES)
     out.update(experimentops.ORACLES)
     out.update(experimentops2.ORACLES)
