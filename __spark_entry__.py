@@ -102,6 +102,9 @@ from ocr_to_csv_spark.functions import (
     htmlops,
     walkops,
     corpusstats,
+    tsevalops,
+    recops,
+    diffops,
     attribution,
     attribution2,
     codecs,
@@ -894,6 +897,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(htmlops.QUERIES)
     out.update(walkops.QUERIES)
     out.update(corpusstats.QUERIES)
+    out.update(tsevalops.QUERIES)
+    out.update(recops.QUERIES)
+    out.update(diffops.QUERIES)
     out.update(misops.QUERIES)
     out.update(experimentops.QUERIES)
     out.update(experimentops2.QUERIES)
@@ -1025,6 +1031,9 @@ def oracle_sql() -> dict[str, str]:
     out.update(htmlops.ORACLES)
     out.update(walkops.ORACLES)
     out.update(corpusstats.ORACLES)
+    out.update(tsevalops.ORACLES)
+    out.update(recops.ORACLES)
+    out.update(diffops.ORACLES)
     out.update(misops.ORACLES)
     out.update(experimentops.ORACLES)
     out.update(experimentops2.ORACLES)
