@@ -145,6 +145,8 @@ BNLJ_ALLOWED = {
     "the 64-row sample (sketchest.py)",
     "critical_path": "single-row global-max aggregate cross feeding the "
     "criticality flag (schedops.py)",
+    "rec_coverage": "crosses of single-row totals/coverage/catalog "
+    "aggregates (recops.py)",
 }
 
 
