@@ -105,6 +105,7 @@ from ocr_to_csv_spark.functions import (
     tsevalops,
     recops,
     diffops,
+    governops,
     attribution,
     attribution2,
     codecs,
@@ -900,6 +901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(tsevalops.QUERIES)
     out.update(recops.QUERIES)
     out.update(diffops.QUERIES)
+    out.update(governops.QUERIES)
     out.update(misops.QUERIES)
     out.update(experimentops.QUERIES)
     out.update(experimentops2.QUERIES)
@@ -1034,6 +1036,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(tsevalops.ORACLES)
     out.update(recops.ORACLES)
     out.update(diffops.ORACLES)
+    out.update(governops.ORACLES)
     out.update(misops.ORACLES)
     out.update(experimentops.ORACLES)
     out.update(experimentops2.ORACLES)

@@ -40,10 +40,14 @@ LN_SCALE = 1000  # integer coordinate scale
 PPL_HOLD = 10  # doc_id % PPL_HOLD == 0 → held out
 
 
-def q_label_noise_est(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Confident-learning joint counts + per-class noise rates
-    (module doc): (given_label, pred_label, cnt, given_total,
-    noise_milli)."""
+def _vi_sql(i: int) -> str:
+    return f"CAST(round(embedding[{i + 1}] * {LN_SCALE}) AS BIGINT)"
+
+
+
+def predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, given, pred): nearest-integer-centroid predictions over
+    the embedding table (module doc) — shared with fairness_audit."""
     emb = table(spark, sf_dir, "embeddings", spread=True)
     v = lambda i: F.round(  # noqa: E731
         F.element_at("embedding", i + 1) * LN_SCALE
@@ -72,13 +76,50 @@ def q_label_noise_est(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(f"v_{i}") - F.col(f"c_{i}")
         )
         dist = t if dist is None else dist + t
-    pred = (
+    return (
         vecs.crossJoin(F.broadcast(cen))
         .select("vec_id", "given", F.struct(dist.alias("d"), F.col("clabel")).alias("dc"))
         .groupBy("vec_id", "given")
         .agg(F.min("dc").alias("m"))
         .select("vec_id", "given", F.col("m.clabel").alias("pred"))
     )
+
+
+# DuckDB mirror of :func:`predictions` (shared by fairness_audit)
+PRED_SQL = f"""
+    SELECT vec_id, given, m.clabel AS pred FROM (
+        SELECT vec_id, given,
+               min(struct_pack(d := {' + '.join(
+                   f'(v_{i} - c_{i}) * (v_{i} - c_{i})'
+                   for i in range(LN_D))},
+                   clabel := clabel)) AS m
+        FROM (
+            SELECT vec_id::BIGINT AS vec_id, label::BIGINT AS given,
+                   {', '.join(f'{_vi_sql(i)} AS v_{i}' for i in range(LN_D))}
+            FROM embeddings
+        ) vecs CROSS JOIN (
+            SELECT given AS clabel,
+                   {', '.join(
+                       f'CAST(round(CAST(sum(v_{i}) AS DOUBLE) / count(*))'
+                       f' AS BIGINT) AS c_{i}'
+                       for i in range(LN_D))}
+            FROM (
+                SELECT label::BIGINT AS given,
+                       {', '.join(f'{_vi_sql(i)} AS v_{i}'
+                                  for i in range(LN_D))}
+                FROM embeddings
+            ) GROUP BY given
+        ) cen
+        GROUP BY vec_id, given
+    )
+"""
+
+
+def q_label_noise_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confident-learning joint counts + per-class noise rates
+    (module doc): (given_label, pred_label, cnt, given_total,
+    noise_milli)."""
+    pred = predictions(spark, sf_dir)
     joint = pred.groupBy("given", "pred").agg(F.count(F.lit(1)).alias("cnt"))
     totals = joint.groupBy("given").agg(
         F.sum("cnt").alias("given_total"),
@@ -99,10 +140,6 @@ def q_label_noise_est(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("given_label", "pred_label")
     )
-
-
-def _vi_sql(i: int) -> str:
-    return f"CAST(round(embedding[{i + 1}] * {LN_SCALE}) AS BIGINT)"
 
 
 _LN_SQL = f"""

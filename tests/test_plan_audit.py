@@ -147,6 +147,10 @@ BNLJ_ALLOWED = {
     "criticality flag (schedops.py)",
     "rec_coverage": "crosses of single-row totals/coverage/catalog "
     "aggregates (recops.py)",
+    "mv_select": "32-row literal subset panel × single-row stats pivot "
+    "(governops.py)",
+    "fairness_audit": "rides noiseops.predictions' ≤10-row centroid "
+    "cross + a 3-row gap rollup cross (governops.py)",
 }
 
 
