@@ -68,6 +68,7 @@ from ocr_to_csv_spark.functions import (
     mstops,
     privops,
     privops2,
+    suffixops,
     sqlsurface,
     tableops,
     vocabops,
@@ -911,6 +912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(mstops.QUERIES)
     out.update(privops.QUERIES)
     out.update(privops2.QUERIES)
+    out.update(suffixops.QUERIES)
     out.update(
         {
             "extract_spans": q_extract_spans,
@@ -1046,6 +1048,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(mstops.ORACLES)
     out.update(privops.ORACLES)
     out.update(privops2.ORACLES)
+    out.update(suffixops.ORACLES)
     # flagship oracles: the deterministic golden fixtures (absolute path —
     # generated on demand so DuckDB can read them even if queries() ran in
     # another process)
