@@ -68,6 +68,7 @@ from ocr_to_csv_spark.functions import (
     mstops,
     privops,
     privops2,
+    genevalops,
     suffixops,
     sqlsurface,
     tableops,
@@ -913,6 +914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(privops.QUERIES)
     out.update(privops2.QUERIES)
     out.update(suffixops.QUERIES)
+    out.update(genevalops.QUERIES)
     out.update(
         {
             "extract_spans": q_extract_spans,
@@ -1049,6 +1051,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(privops.ORACLES)
     out.update(privops2.ORACLES)
     out.update(suffixops.ORACLES)
+    out.update(genevalops.ORACLES)
     # flagship oracles: the deterministic golden fixtures (absolute path —
     # generated on demand so DuckDB can read them even if queries() ran in
     # another process)
