@@ -69,6 +69,7 @@ from ocr_to_csv_spark.functions import (
     privops,
     privops2,
     genevalops,
+    graphsim,
     suffixops,
     sqlsurface,
     tableops,
@@ -915,6 +916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(privops2.QUERIES)
     out.update(suffixops.QUERIES)
     out.update(genevalops.QUERIES)
+    out.update(graphsim.QUERIES)
     out.update(
         {
             "extract_spans": q_extract_spans,
@@ -1052,6 +1054,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(privops2.ORACLES)
     out.update(suffixops.ORACLES)
     out.update(genevalops.ORACLES)
+    out.update(graphsim.ORACLES)
     # flagship oracles: the deterministic golden fixtures (absolute path —
     # generated on demand so DuckDB can read them even if queries() ran in
     # another process)
