@@ -70,6 +70,7 @@ from ocr_to_csv_spark.functions import (
     privops2,
     genevalops,
     graphsim,
+    spectrops,
     suffixops,
     sqlsurface,
     tableops,
@@ -917,6 +918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(suffixops.QUERIES)
     out.update(genevalops.QUERIES)
     out.update(graphsim.QUERIES)
+    out.update(spectrops.QUERIES)
     out.update(
         {
             "extract_spans": q_extract_spans,
@@ -1055,6 +1057,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(suffixops.ORACLES)
     out.update(genevalops.ORACLES)
     out.update(graphsim.ORACLES)
+    out.update(spectrops.ORACLES)
     # flagship oracles: the deterministic golden fixtures (absolute path —
     # generated on demand so DuckDB can read them even if queries() ran in
     # another process)
