@@ -71,6 +71,7 @@ from ocr_to_csv_spark.functions import (
     genevalops,
     graphsim,
     spectrops,
+    hurstops,
     suffixops,
     sqlsurface,
     tableops,
@@ -919,6 +920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(genevalops.QUERIES)
     out.update(graphsim.QUERIES)
     out.update(spectrops.QUERIES)
+    out.update(hurstops.QUERIES)
     out.update(
         {
             "extract_spans": q_extract_spans,
@@ -1058,6 +1060,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(genevalops.ORACLES)
     out.update(graphsim.ORACLES)
     out.update(spectrops.ORACLES)
+    out.update(hurstops.ORACLES)
     # flagship oracles: the deterministic golden fixtures (absolute path —
     # generated on demand so DuckDB can read them even if queries() ran in
     # another process)
