@@ -72,6 +72,7 @@ from ocr_to_csv_spark.functions import (
     graphsim,
     spectrops,
     hurstops,
+    flowops,
     suffixops,
     sqlsurface,
     tableops,
@@ -921,6 +922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(graphsim.QUERIES)
     out.update(spectrops.QUERIES)
     out.update(hurstops.QUERIES)
+    out.update(flowops.QUERIES)
     out.update(
         {
             "extract_spans": q_extract_spans,
@@ -1061,6 +1063,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(graphsim.ORACLES)
     out.update(spectrops.ORACLES)
     out.update(hurstops.ORACLES)
+    out.update(flowops.ORACLES)
     # flagship oracles: the deterministic golden fixtures (absolute path —
     # generated on demand so DuckDB can read them even if queries() ran in
     # another process)
