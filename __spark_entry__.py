@@ -73,6 +73,7 @@ from ocr_to_csv_spark.functions import (
     spectrops,
     hurstops,
     flowops,
+    rakeops,
     suffixops,
     sqlsurface,
     tableops,
@@ -923,6 +924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(spectrops.QUERIES)
     out.update(hurstops.QUERIES)
     out.update(flowops.QUERIES)
+    out.update(rakeops.QUERIES)
     out.update(
         {
             "extract_spans": q_extract_spans,
@@ -1064,6 +1066,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(spectrops.ORACLES)
     out.update(hurstops.ORACLES)
     out.update(flowops.ORACLES)
+    out.update(rakeops.ORACLES)
     # flagship oracles: the deterministic golden fixtures (absolute path —
     # generated on demand so DuckDB can read them even if queries() ran in
     # another process)
