@@ -74,6 +74,7 @@ from ocr_to_csv_spark.functions import (
     hurstops,
     flowops,
     rakeops,
+    brierops,
     suffixops,
     sqlsurface,
     tableops,
@@ -925,6 +926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(hurstops.QUERIES)
     out.update(flowops.QUERIES)
     out.update(rakeops.QUERIES)
+    out.update(brierops.QUERIES)
     out.update(
         {
             "extract_spans": q_extract_spans,
@@ -1067,6 +1069,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(hurstops.ORACLES)
     out.update(flowops.ORACLES)
     out.update(rakeops.ORACLES)
+    out.update(brierops.ORACLES)
     # flagship oracles: the deterministic golden fixtures (absolute path —
     # generated on demand so DuckDB can read them even if queries() ran in
     # another process)
