@@ -75,6 +75,7 @@ from ocr_to_csv_spark.functions import (
     flowops,
     rakeops,
     brierops,
+    hmmops,
     suffixops,
     sqlsurface,
     tableops,
@@ -927,6 +928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(flowops.QUERIES)
     out.update(rakeops.QUERIES)
     out.update(brierops.QUERIES)
+    out.update(hmmops.QUERIES)
     out.update(
         {
             "extract_spans": q_extract_spans,
@@ -1070,6 +1072,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(flowops.ORACLES)
     out.update(rakeops.ORACLES)
     out.update(brierops.ORACLES)
+    out.update(hmmops.ORACLES)
     # flagship oracles: the deterministic golden fixtures (absolute path —
     # generated on demand so DuckDB can read them even if queries() ran in
     # another process)
