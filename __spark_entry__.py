@@ -76,6 +76,7 @@ from ocr_to_csv_spark.functions import (
     rakeops,
     brierops,
     hmmops,
+    streamsketch,
     suffixops,
     sqlsurface,
     tableops,
@@ -929,6 +930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(rakeops.QUERIES)
     out.update(brierops.QUERIES)
     out.update(hmmops.QUERIES)
+    out.update(streamsketch.QUERIES)
     out.update(
         {
             "extract_spans": q_extract_spans,
@@ -1073,6 +1075,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(rakeops.ORACLES)
     out.update(brierops.ORACLES)
     out.update(hmmops.ORACLES)
+    out.update(streamsketch.ORACLES)
     # flagship oracles: the deterministic golden fixtures (absolute path —
     # generated on demand so DuckDB can read them even if queries() ran in
     # another process)
