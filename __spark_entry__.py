@@ -77,6 +77,7 @@ from ocr_to_csv_spark.functions import (
     brierops,
     hmmops,
     streamsketch,
+    bwtops,
     suffixops,
     sqlsurface,
     tableops,
@@ -931,6 +932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(brierops.QUERIES)
     out.update(hmmops.QUERIES)
     out.update(streamsketch.QUERIES)
+    out.update(bwtops.QUERIES)
     out.update(
         {
             "extract_spans": q_extract_spans,
@@ -1076,6 +1078,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(brierops.ORACLES)
     out.update(hmmops.ORACLES)
     out.update(streamsketch.ORACLES)
+    out.update(bwtops.ORACLES)
     # flagship oracles: the deterministic golden fixtures (absolute path —
     # generated on demand so DuckDB can read them even if queries() ran in
     # another process)
