@@ -78,6 +78,7 @@ from ocr_to_csv_spark.functions import (
     hmmops,
     streamsketch,
     bwtops,
+    rankstats2,
     suffixops,
     sqlsurface,
     tableops,
@@ -933,6 +934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(hmmops.QUERIES)
     out.update(streamsketch.QUERIES)
     out.update(bwtops.QUERIES)
+    out.update(rankstats2.QUERIES)
     out.update(
         {
             "extract_spans": q_extract_spans,
@@ -1079,6 +1081,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(hmmops.ORACLES)
     out.update(streamsketch.ORACLES)
     out.update(bwtops.ORACLES)
+    out.update(rankstats2.ORACLES)
     # flagship oracles: the deterministic golden fixtures (absolute path —
     # generated on demand so DuckDB can read them even if queries() ran in
     # another process)
