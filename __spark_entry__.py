@@ -79,6 +79,7 @@ from ocr_to_csv_spark.functions import (
     streamsketch,
     bwtops,
     rankstats2,
+    geomops,
     suffixops,
     sqlsurface,
     tableops,
@@ -935,6 +936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(streamsketch.QUERIES)
     out.update(bwtops.QUERIES)
     out.update(rankstats2.QUERIES)
+    out.update(geomops.QUERIES)
     out.update(
         {
             "extract_spans": q_extract_spans,
@@ -1082,6 +1084,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(streamsketch.ORACLES)
     out.update(bwtops.ORACLES)
     out.update(rankstats2.ORACLES)
+    out.update(geomops.ORACLES)
     # flagship oracles: the deterministic golden fixtures (absolute path —
     # generated on demand so DuckDB can read them even if queries() ran in
     # another process)
