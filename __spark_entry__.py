@@ -80,6 +80,7 @@ from ocr_to_csv_spark.functions import (
     bwtops,
     rankstats2,
     geomops,
+    voteops,
     suffixops,
     sqlsurface,
     tableops,
@@ -937,6 +938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(bwtops.QUERIES)
     out.update(rankstats2.QUERIES)
     out.update(geomops.QUERIES)
+    out.update(voteops.QUERIES)
     out.update(
         {
             "extract_spans": q_extract_spans,
@@ -1085,6 +1087,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(bwtops.ORACLES)
     out.update(rankstats2.ORACLES)
     out.update(geomops.ORACLES)
+    out.update(voteops.ORACLES)
     # flagship oracles: the deterministic golden fixtures (absolute path —
     # generated on demand so DuckDB can read them even if queries() ran in
     # another process)
