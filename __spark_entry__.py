@@ -81,6 +81,7 @@ from ocr_to_csv_spark.functions import (
     rankstats2,
     geomops,
     voteops,
+    boostops,
     suffixops,
     sqlsurface,
     tableops,
@@ -939,6 +940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(rankstats2.QUERIES)
     out.update(geomops.QUERIES)
     out.update(voteops.QUERIES)
+    out.update(boostops.QUERIES)
     out.update(
         {
             "extract_spans": q_extract_spans,
@@ -1088,6 +1090,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(rankstats2.ORACLES)
     out.update(geomops.ORACLES)
     out.update(voteops.ORACLES)
+    out.update(boostops.ORACLES)
     # flagship oracles: the deterministic golden fixtures (absolute path —
     # generated on demand so DuckDB can read them even if queries() ran in
     # another process)
