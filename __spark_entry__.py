@@ -82,6 +82,7 @@ from ocr_to_csv_spark.functions import (
     geomops,
     voteops,
     boostops,
+    colorops,
     suffixops,
     sqlsurface,
     tableops,
@@ -941,6 +942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(geomops.QUERIES)
     out.update(voteops.QUERIES)
     out.update(boostops.QUERIES)
+    out.update(colorops.QUERIES)
     out.update(
         {
             "extract_spans": q_extract_spans,
@@ -1091,6 +1093,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(geomops.ORACLES)
     out.update(voteops.ORACLES)
     out.update(boostops.ORACLES)
+    out.update(colorops.ORACLES)
     # flagship oracles: the deterministic golden fixtures (absolute path —
     # generated on demand so DuckDB can read them even if queries() ran in
     # another process)
