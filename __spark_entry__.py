@@ -83,6 +83,7 @@ from ocr_to_csv_spark.functions import (
     voteops,
     boostops,
     colorops,
+    collocops,
     suffixops,
     sqlsurface,
     tableops,
@@ -943,6 +944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(voteops.QUERIES)
     out.update(boostops.QUERIES)
     out.update(colorops.QUERIES)
+    out.update(collocops.QUERIES)
     out.update(
         {
             "extract_spans": q_extract_spans,
@@ -1094,6 +1096,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(voteops.ORACLES)
     out.update(boostops.ORACLES)
     out.update(colorops.ORACLES)
+    out.update(collocops.ORACLES)
     # flagship oracles: the deterministic golden fixtures (absolute path —
     # generated on demand so DuckDB can read them even if queries() ran in
     # another process)
