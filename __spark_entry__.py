@@ -84,6 +84,7 @@ from ocr_to_csv_spark.functions import (
     boostops,
     colorops,
     collocops,
+    styloops,
     suffixops,
     sqlsurface,
     tableops,
@@ -945,6 +946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(boostops.QUERIES)
     out.update(colorops.QUERIES)
     out.update(collocops.QUERIES)
+    out.update(styloops.QUERIES)
     out.update(
         {
             "extract_spans": q_extract_spans,
@@ -1097,6 +1099,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(boostops.ORACLES)
     out.update(colorops.ORACLES)
     out.update(collocops.ORACLES)
+    out.update(styloops.ORACLES)
     # flagship oracles: the deterministic golden fixtures (absolute path —
     # generated on demand so DuckDB can read them even if queries() ran in
     # another process)
