@@ -85,6 +85,7 @@ from ocr_to_csv_spark.functions import (
     colorops,
     collocops,
     styloops,
+    hwops,
     suffixops,
     sqlsurface,
     tableops,
@@ -947,6 +948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(colorops.QUERIES)
     out.update(collocops.QUERIES)
     out.update(styloops.QUERIES)
+    out.update(hwops.QUERIES)
     out.update(
         {
             "extract_spans": q_extract_spans,
@@ -1100,6 +1102,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(colorops.ORACLES)
     out.update(collocops.ORACLES)
     out.update(styloops.ORACLES)
+    out.update(hwops.ORACLES)
     # flagship oracles: the deterministic golden fixtures (absolute path —
     # generated on demand so DuckDB can read them even if queries() ran in
     # another process)
