@@ -86,6 +86,7 @@ from ocr_to_csv_spark.functions import (
     collocops,
     styloops,
     hwops,
+    rakingops,
     suffixops,
     sqlsurface,
     tableops,
@@ -949,6 +950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(collocops.QUERIES)
     out.update(styloops.QUERIES)
     out.update(hwops.QUERIES)
+    out.update(rakingops.QUERIES)
     out.update(
         {
             "extract_spans": q_extract_spans,
@@ -1103,6 +1105,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(collocops.ORACLES)
     out.update(styloops.ORACLES)
     out.update(hwops.ORACLES)
+    out.update(rakingops.ORACLES)
     # flagship oracles: the deterministic golden fixtures (absolute path —
     # generated on demand so DuckDB can read them even if queries() ran in
     # another process)
