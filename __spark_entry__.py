@@ -87,6 +87,7 @@ from ocr_to_csv_spark.functions import (
     styloops,
     hwops,
     rakingops,
+    filterops,
     suffixops,
     sqlsurface,
     tableops,
@@ -951,6 +952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(styloops.QUERIES)
     out.update(hwops.QUERIES)
     out.update(rakingops.QUERIES)
+    out.update(filterops.QUERIES)
     out.update(
         {
             "extract_spans": q_extract_spans,
@@ -1106,6 +1108,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(styloops.ORACLES)
     out.update(hwops.ORACLES)
     out.update(rakingops.ORACLES)
+    out.update(filterops.ORACLES)
     # flagship oracles: the deterministic golden fixtures (absolute path —
     # generated on demand so DuckDB can read them even if queries() ran in
     # another process)

@@ -151,6 +151,22 @@ BNLJ_ALLOWED = {
     "(governops.py)",
     "fairness_audit": "rides noiseops.predictions' ≤10-row centroid "
     "cross + a 3-row gap rollup cross (governops.py)",
+    "ql_dirichlet": "single-row corpus-stats cross (the bm25_topk "
+    "no-explode precedent, rakeops.py)",
+    "brier_decomp": "single-row score-min/max stats cross (the "
+    "calibration_bins precedent, brierops.py)",
+    "mann_whitney": "cross of two single-row aggregates (rank pivot × "
+    "tie totals, rankstats2.py)",
+    "kruskal_wallis": "single-row (n, tie_sum) totals cross broadcast "
+    "onto the 5-row per-group table (rankstats2.py)",
+    "condorcet_check": "bounded 10×10 Borda-candidate pair self-join — "
+    "the pairwise-majority matrix is the deliverable (voteops.py)",
+    "adaboost_stumps": "two single-row broadcast winner crosses (round-1 "
+    "and round-2 stump parameters onto the scan, boostops.py)",
+    "burrows_delta": "top-20-words × |sources|-row totals cross building "
+    "the bounded W·S grid (styloops.py)",
+    "collocation_llr": "single-row bigram-total cross (the cooc_pmi "
+    "precedent, collocops.py)",
 }
 
 
