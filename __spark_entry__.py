@@ -88,6 +88,7 @@ from ocr_to_csv_spark.functions import (
     hwops,
     rakingops,
     filterops,
+    panelops,
     suffixops,
     sqlsurface,
     tableops,
@@ -953,6 +954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(hwops.QUERIES)
     out.update(rakingops.QUERIES)
     out.update(filterops.QUERIES)
+    out.update(panelops.QUERIES)
     out.update(
         {
             "extract_spans": q_extract_spans,
@@ -1109,6 +1111,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(hwops.ORACLES)
     out.update(rakingops.ORACLES)
     out.update(filterops.ORACLES)
+    out.update(panelops.ORACLES)
     # flagship oracles: the deterministic golden fixtures (absolute path —
     # generated on demand so DuckDB can read them even if queries() ran in
     # another process)
