@@ -89,6 +89,7 @@ from ocr_to_csv_spark.functions import (
     rakingops,
     filterops,
     panelops,
+    infoops,
     suffixops,
     sqlsurface,
     tableops,
@@ -955,6 +956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(rakingops.QUERIES)
     out.update(filterops.QUERIES)
     out.update(panelops.QUERIES)
+    out.update(infoops.QUERIES)
     out.update(
         {
             "extract_spans": q_extract_spans,
@@ -1112,6 +1114,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(rakingops.ORACLES)
     out.update(filterops.ORACLES)
     out.update(panelops.ORACLES)
+    out.update(infoops.ORACLES)
     # flagship oracles: the deterministic golden fixtures (absolute path —
     # generated on demand so DuckDB can read them even if queries() ran in
     # another process)
