@@ -90,6 +90,7 @@ from ocr_to_csv_spark.functions import (
     filterops,
     panelops,
     infoops,
+    transportops,
     suffixops,
     sqlsurface,
     tableops,
@@ -957,6 +958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(filterops.QUERIES)
     out.update(panelops.QUERIES)
     out.update(infoops.QUERIES)
+    out.update(transportops.QUERIES)
     out.update(
         {
             "extract_spans": q_extract_spans,
@@ -1115,6 +1117,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(filterops.ORACLES)
     out.update(panelops.ORACLES)
     out.update(infoops.ORACLES)
+    out.update(transportops.ORACLES)
     # flagship oracles: the deterministic golden fixtures (absolute path —
     # generated on demand so DuckDB can read them even if queries() ran in
     # another process)
