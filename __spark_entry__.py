@@ -91,6 +91,7 @@ from ocr_to_csv_spark.functions import (
     panelops,
     infoops,
     transportops,
+    conformops,
     suffixops,
     sqlsurface,
     tableops,
@@ -959,6 +960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(panelops.QUERIES)
     out.update(infoops.QUERIES)
     out.update(transportops.QUERIES)
+    out.update(conformops.QUERIES)
     out.update(
         {
             "extract_spans": q_extract_spans,
@@ -1118,6 +1120,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(panelops.ORACLES)
     out.update(infoops.ORACLES)
     out.update(transportops.ORACLES)
+    out.update(conformops.ORACLES)
     # flagship oracles: the deterministic golden fixtures (absolute path —
     # generated on demand so DuckDB can read them even if queries() ran in
     # another process)
