@@ -572,6 +572,110 @@ def _staged_warc_paths() -> tuple[str, str]:
     return blobs_p, gold_p
 
 
+N_TAR = 6
+N_ZIP = 6
+ARCH_STAGE_V = 1  # bump when synth_tar/synth_zip or the parsers change
+
+
+def _staged_archive_paths() -> tuple[str, str, str, str]:
+    """Deterministic TAR/ZIP blob tables + golden member tables (the
+    warc staging convention). Probes: one junk tar, one tar with a
+    flipped header byte (prefix members recover + corrupt_tar marker),
+    one zip with its EOCD clipped (corrupt_zip marker) and one zip
+    with a flipped central-directory CRC byte (member still parses,
+    crc_ok = 0 — bit-rot detection, not rejection)."""
+    import pandas as pd
+
+    from ocr_to_csv_spark.sources.archive import synth_tar, synth_zip
+
+    d = _corpus_dir()
+    tb = os.path.join(d, f"tar_blobs_v{ARCH_STAGE_V}.parquet")
+    tg = os.path.join(d, f"expected_tar_members_v{ARCH_STAGE_V}.parquet")
+    zb = os.path.join(d, f"zip_blobs_v{ARCH_STAGE_V}.parquet")
+    zg = os.path.join(d, f"expected_zip_members_v{ARCH_STAGE_V}.parquet")
+    if not all(os.path.exists(p) for p in (tb, tg, zb, zg)):
+        tblobs, tgold, zblobs, zgold = [], [], [], []
+        for s in range(N_TAR):
+            if s == N_TAR - 1:
+                tblobs.append({"tar_ref": f"tar-{s}",
+                               "content": b"definitely not a tarball"})
+                tgold.append({
+                    "tar_ref": f"tar-{s}", "idx": -1, "name": "",
+                    "size": -1, "text": "", "n_tokens": -1,
+                    "status": "corrupt_tar",
+                })
+                continue
+            data, exp = synth_tar(s, n_members=4 + s % 3)
+            if s == N_TAR - 2:
+                # flip a byte in the THIRD member's header magic:
+                # members 0-1 recover, then the corrupt marker
+                off = 0
+                for _ in range(2):
+                    hsz = int(
+                        data[off + 124 : off + 136].rstrip(b"\x00 "), 8
+                    )
+                    off += 512 + hsz + ((-hsz) % 512)
+                data = (data[: off + 257] + b"X" + data[off + 258 :])
+                exp = exp[:2] + [{
+                    "tar_ref": exp[0]["tar_ref"], "idx": -1, "name": "",
+                    "size": -1, "text": "", "n_tokens": -1,
+                    "status": "corrupt_tar",
+                }]
+            tblobs.append({"tar_ref": exp[0]["tar_ref"], "content": data})
+            tgold.extend(exp)
+        for s in range(N_ZIP):
+            data, exp = synth_zip(s, n_members=3 + s % 3)
+            if s == N_ZIP - 1:
+                data = data[:-12]  # clip the EOCD mid-record
+                exp = [{
+                    "zip_ref": exp[0]["zip_ref"], "idx": -1, "name": "",
+                    "method": "", "size": -1, "crc_ok": 0, "text": "",
+                    "n_tokens": -1, "status": "corrupt_zip",
+                }]
+            elif s == N_ZIP - 2:
+                cd = data.find(b"PK\x01\x02")
+                data = (data[: cd + 16]
+                        + bytes([data[cd + 16] ^ 0xFF])
+                        + data[cd + 17 :])
+                exp = [dict(exp[0], crc_ok=0)] + exp[1:]
+            zblobs.append({"zip_ref": exp[0]["zip_ref"], "content": data})
+            zgold.extend(exp)
+        pd.DataFrame(tblobs).to_parquet(tb, index=False)
+        pd.DataFrame(tgold).to_parquet(tg, index=False)
+        pd.DataFrame(zblobs).to_parquet(zb, index=False)
+        pd.DataFrame(zgold).to_parquet(zg, index=False)
+    return tb, tg, zb, zg
+
+
+def q_tar_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TAR container source: ustar 512-byte framing with checksum
+    verification, member fan-out in mapInPandas; quarantine on framing
+    failure. Oracle = golden members from synthesis time."""
+    from ocr_to_csv_spark.sources.archive import tar_members
+
+    tb, _, _, _ = _staged_archive_paths()
+    blobs = spark.read.parquet(tb)
+    return tar_members(blobs).select(
+        "tar_ref", F.col("idx").cast("long").alias("idx"), "name",
+        "size", "text", "n_tokens", "status",
+    )
+
+
+def q_zip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIP container source: EOCD → central directory walk, store +
+    raw-deflate members, CRC32 re-verified per member. Oracle = golden
+    members from synthesis time."""
+    from ocr_to_csv_spark.sources.archive import zip_members
+
+    _, _, zb, _ = _staged_archive_paths()
+    blobs = spark.read.parquet(zb)
+    return zip_members(blobs).select(
+        "zip_ref", F.col("idx").cast("long").alias("idx"), "name",
+        "method", "size", F.col("crc_ok").cast("long").alias("crc_ok"),
+        "text", "n_tokens", "status",
+    )
+
+
 def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC source: stdlib multi-member-gzip + record framing parse,
     HTTP response split, HTML→text strip — one row per crawl record
@@ -974,6 +1078,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "gif_meta": q_gif_meta,
             "video_near_dup": q_video_near_dup,
             "warc_extract": q_warc_extract,
+            "tar_extract": q_tar_extract,
+            "zip_extract": q_zip_extract,
             "warc_hosts": q_warc_hosts,
             "jsonl_parse": q_jsonl_parse,
             "jsonl_quarantine": q_jsonl_quarantine,
@@ -1189,6 +1295,18 @@ def oracle_sql() -> dict[str, str]:
         FROM '{webp_gold}'
     """
     _, warc_gold = _staged_warc_paths()
+    _, tar_gold, _, zip_gold = _staged_archive_paths()
+    out["tar_extract"] = f"""
+        SELECT tar_ref, idx::BIGINT AS idx, name, size::BIGINT AS size,
+               text, n_tokens::BIGINT AS n_tokens, status
+        FROM '{tar_gold}'
+    """
+    out["zip_extract"] = f"""
+        SELECT zip_ref, idx::BIGINT AS idx, name, method,
+               size::BIGINT AS size, crc_ok::BIGINT AS crc_ok,
+               text, n_tokens::BIGINT AS n_tokens, status
+        FROM '{zip_gold}'
+    """
     out["warc_extract"] = f"""
         SELECT warc_ref, rec_idx::BIGINT AS rec_idx, rec_type, url, host,
                status::BIGINT AS status, mime,
