@@ -92,6 +92,7 @@ from ocr_to_csv_spark.functions import (
     infoops,
     transportops,
     conformops,
+    succinctops,
     suffixops,
     sqlsurface,
     tableops,
@@ -1065,6 +1066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(infoops.QUERIES)
     out.update(transportops.QUERIES)
     out.update(conformops.QUERIES)
+    out.update(succinctops.QUERIES)
     out.update(
         {
             "extract_spans": q_extract_spans,
@@ -1227,6 +1229,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(infoops.ORACLES)
     out.update(transportops.ORACLES)
     out.update(conformops.ORACLES)
+    out.update(succinctops.ORACLES)
     # flagship oracles: the deterministic golden fixtures (absolute path —
     # generated on demand so DuckDB can read them even if queries() ran in
     # another process)

@@ -167,6 +167,8 @@ BNLJ_ALLOWED = {
     "the bounded W·S grid (styloops.py)",
     "collocation_llr": "single-row bigram-total cross (the cooc_pmi "
     "precedent, collocops.py)",
+    "rank_select": "8-row probe panel × block-directory/bitvector "
+    "verification crosses (succinctops.py)",
 }
 
 
