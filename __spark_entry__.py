@@ -93,6 +93,7 @@ from ocr_to_csv_spark.functions import (
     transportops,
     conformops,
     succinctops,
+    codingops,
     suffixops,
     sqlsurface,
     tableops,
@@ -1067,6 +1068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(transportops.QUERIES)
     out.update(conformops.QUERIES)
     out.update(succinctops.QUERIES)
+    out.update(codingops.QUERIES)
     out.update(
         {
             "extract_spans": q_extract_spans,
@@ -1230,6 +1232,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(transportops.ORACLES)
     out.update(conformops.ORACLES)
     out.update(succinctops.ORACLES)
+    out.update(codingops.ORACLES)
     # flagship oracles: the deterministic golden fixtures (absolute path —
     # generated on demand so DuckDB can read them even if queries() ran in
     # another process)

@@ -169,6 +169,7 @@ BNLJ_ALLOWED = {
     "precedent, collocops.py)",
     "rank_select": "8-row probe panel × block-directory/bitvector "
     "verification crosses (succinctops.py)",
+    "huffman_bits": "single-row alphabet-totals crosses (codingops.py)",
 }
 
 
