@@ -94,6 +94,7 @@ from ocr_to_csv_spark.functions import (
     conformops,
     succinctops,
     codingops,
+    banditops,
     suffixops,
     sqlsurface,
     tableops,
@@ -1069,6 +1070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(conformops.QUERIES)
     out.update(succinctops.QUERIES)
     out.update(codingops.QUERIES)
+    out.update(banditops.QUERIES)
     out.update(
         {
             "extract_spans": q_extract_spans,
@@ -1233,6 +1235,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(conformops.ORACLES)
     out.update(succinctops.ORACLES)
     out.update(codingops.ORACLES)
+    out.update(banditops.ORACLES)
     # flagship oracles: the deterministic golden fixtures (absolute path —
     # generated on demand so DuckDB can read them even if queries() ran in
     # another process)
