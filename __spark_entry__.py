@@ -95,6 +95,7 @@ from ocr_to_csv_spark.functions import (
     succinctops,
     codingops,
     banditops,
+    stopops,
     suffixops,
     sqlsurface,
     tableops,
@@ -1071,6 +1072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(succinctops.QUERIES)
     out.update(codingops.QUERIES)
     out.update(banditops.QUERIES)
+    out.update(stopops.QUERIES)
     out.update(
         {
             "extract_spans": q_extract_spans,
@@ -1236,6 +1238,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(succinctops.ORACLES)
     out.update(codingops.ORACLES)
     out.update(banditops.ORACLES)
+    out.update(stopops.ORACLES)
     # flagship oracles: the deterministic golden fixtures (absolute path —
     # generated on demand so DuckDB can read them even if queries() ran in
     # another process)
