@@ -96,6 +96,7 @@ from ocr_to_csv_spark.functions import (
     codingops,
     banditops,
     stopops,
+    morrisops,
     suffixops,
     sqlsurface,
     tableops,
@@ -1073,6 +1074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(codingops.QUERIES)
     out.update(banditops.QUERIES)
     out.update(stopops.QUERIES)
+    out.update(morrisops.QUERIES)
     out.update(
         {
             "extract_spans": q_extract_spans,
@@ -1239,6 +1241,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(codingops.ORACLES)
     out.update(banditops.ORACLES)
     out.update(stopops.ORACLES)
+    out.update(morrisops.ORACLES)
     # flagship oracles: the deterministic golden fixtures (absolute path —
     # generated on demand so DuckDB can read them even if queries() ran in
     # another process)
