@@ -97,6 +97,7 @@ from ocr_to_csv_spark.functions import (
     banditops,
     stopops,
     morrisops,
+    tourops,
     suffixops,
     sqlsurface,
     tableops,
@@ -1075,6 +1076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(banditops.QUERIES)
     out.update(stopops.QUERIES)
     out.update(morrisops.QUERIES)
+    out.update(tourops.QUERIES)
     out.update(
         {
             "extract_spans": q_extract_spans,
@@ -1242,6 +1244,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(banditops.ORACLES)
     out.update(stopops.ORACLES)
     out.update(morrisops.ORACLES)
+    out.update(tourops.ORACLES)
     # flagship oracles: the deterministic golden fixtures (absolute path —
     # generated on demand so DuckDB can read them even if queries() ran in
     # another process)
