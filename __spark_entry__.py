@@ -98,6 +98,7 @@ from ocr_to_csv_spark.functions import (
     stopops,
     morrisops,
     tourops,
+    crdtops,
     suffixops,
     sqlsurface,
     tableops,
@@ -1077,6 +1078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(stopops.QUERIES)
     out.update(morrisops.QUERIES)
     out.update(tourops.QUERIES)
+    out.update(crdtops.QUERIES)
     out.update(
         {
             "extract_spans": q_extract_spans,
@@ -1245,6 +1247,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(stopops.ORACLES)
     out.update(morrisops.ORACLES)
     out.update(tourops.ORACLES)
+    out.update(crdtops.ORACLES)
     # flagship oracles: the deterministic golden fixtures (absolute path —
     # generated on demand so DuckDB can read them even if queries() ran in
     # another process)
