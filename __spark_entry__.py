@@ -99,6 +99,7 @@ from ocr_to_csv_spark.functions import (
     morrisops,
     tourops,
     crdtops,
+    quorumops,
     suffixops,
     sqlsurface,
     tableops,
@@ -1079,6 +1080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(morrisops.QUERIES)
     out.update(tourops.QUERIES)
     out.update(crdtops.QUERIES)
+    out.update(quorumops.QUERIES)
     out.update(
         {
             "extract_spans": q_extract_spans,
@@ -1248,6 +1250,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(morrisops.ORACLES)
     out.update(tourops.ORACLES)
     out.update(crdtops.ORACLES)
+    out.update(quorumops.ORACLES)
     # flagship oracles: the deterministic golden fixtures (absolute path —
     # generated on demand so DuckDB can read them even if queries() ran in
     # another process)
