@@ -100,6 +100,7 @@ from ocr_to_csv_spark.functions import (
     tourops,
     crdtops,
     quorumops,
+    zarrops,
     suffixops,
     sqlsurface,
     tableops,
@@ -1081,6 +1082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(tourops.QUERIES)
     out.update(crdtops.QUERIES)
     out.update(quorumops.QUERIES)
+    out.update(zarrops.QUERIES)
     out.update(
         {
             "extract_spans": q_extract_spans,
@@ -1251,6 +1253,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(tourops.ORACLES)
     out.update(crdtops.ORACLES)
     out.update(quorumops.ORACLES)
+    out.update(zarrops.ORACLES)
     # flagship oracles: the deterministic golden fixtures (absolute path —
     # generated on demand so DuckDB can read them even if queries() ran in
     # another process)
