@@ -101,6 +101,7 @@ from ocr_to_csv_spark.functions import (
     crdtops,
     quorumops,
     zarrops,
+    sortnetops,
     suffixops,
     sqlsurface,
     tableops,
@@ -1083,6 +1084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(crdtops.QUERIES)
     out.update(quorumops.QUERIES)
     out.update(zarrops.QUERIES)
+    out.update(sortnetops.QUERIES)
     out.update(
         {
             "extract_spans": q_extract_spans,
@@ -1254,6 +1256,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(crdtops.ORACLES)
     out.update(quorumops.ORACLES)
     out.update(zarrops.ORACLES)
+    out.update(sortnetops.ORACLES)
     # flagship oracles: the deterministic golden fixtures (absolute path —
     # generated on demand so DuckDB can read them even if queries() ran in
     # another process)
