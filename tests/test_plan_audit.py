@@ -170,6 +170,12 @@ BNLJ_ALLOWED = {
     "rank_select": "8-row probe panel × block-directory/bitvector "
     "verification crosses (succinctops.py)",
     "huffman_bits": "single-row alphabet-totals crosses (codingops.py)",
+    "conformal_interval": "single-row OLS-fit / conformal-quantile "
+    "broadcast crosses onto the scan (conformops.py)",
+    "fm_sketch": "cross of two single-row aggregates (sketch sum vs "
+    "exact distinct, morrisops.py)",
+    "jsd_matrix": "top-64-words × |sources|-row totals cross building "
+    "the bounded grid (the burrows_delta tier, infoops.py)",
 }
 
 
