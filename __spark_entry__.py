@@ -102,6 +102,7 @@ from ocr_to_csv_spark.functions import (
     quorumops,
     zarrops,
     sortnetops,
+    lzops,
     suffixops,
     sqlsurface,
     tableops,
@@ -1085,6 +1086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(quorumops.QUERIES)
     out.update(zarrops.QUERIES)
     out.update(sortnetops.QUERIES)
+    out.update(lzops.QUERIES)
     out.update(
         {
             "extract_spans": q_extract_spans,
@@ -1257,6 +1259,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(quorumops.ORACLES)
     out.update(zarrops.ORACLES)
     out.update(sortnetops.ORACLES)
+    out.update(lzops.ORACLES)
     # flagship oracles: the deterministic golden fixtures (absolute path —
     # generated on demand so DuckDB can read them even if queries() ran in
     # another process)
