@@ -103,6 +103,7 @@ from ocr_to_csv_spark.functions import (
     zarrops,
     sortnetops,
     lzops,
+    csketchops,
     suffixops,
     sqlsurface,
     tableops,
@@ -1087,6 +1088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(zarrops.QUERIES)
     out.update(sortnetops.QUERIES)
     out.update(lzops.QUERIES)
+    out.update(csketchops.QUERIES)
     out.update(
         {
             "extract_spans": q_extract_spans,
@@ -1260,6 +1262,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(zarrops.ORACLES)
     out.update(sortnetops.ORACLES)
     out.update(lzops.ORACLES)
+    out.update(csketchops.ORACLES)
     # flagship oracles: the deterministic golden fixtures (absolute path —
     # generated on demand so DuckDB can read them even if queries() ran in
     # another process)
