@@ -104,6 +104,7 @@ from ocr_to_csv_spark.functions import (
     sortnetops,
     lzops,
     csketchops,
+    stratops,
     suffixops,
     sqlsurface,
     tableops,
@@ -1089,6 +1090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(sortnetops.QUERIES)
     out.update(lzops.QUERIES)
     out.update(csketchops.QUERIES)
+    out.update(stratops.QUERIES)
     out.update(
         {
             "extract_spans": q_extract_spans,
@@ -1263,6 +1265,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(sortnetops.ORACLES)
     out.update(lzops.ORACLES)
     out.update(csketchops.ORACLES)
+    out.update(stratops.ORACLES)
     # flagship oracles: the deterministic golden fixtures (absolute path —
     # generated on demand so DuckDB can read them even if queries() ran in
     # another process)
