@@ -105,6 +105,7 @@ from ocr_to_csv_spark.functions import (
     lzops,
     csketchops,
     stratops,
+    driftops,
     suffixops,
     sqlsurface,
     tableops,
@@ -1091,6 +1092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(lzops.QUERIES)
     out.update(csketchops.QUERIES)
     out.update(stratops.QUERIES)
+    out.update(driftops.QUERIES)
     out.update(
         {
             "extract_spans": q_extract_spans,
@@ -1266,6 +1268,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(lzops.ORACLES)
     out.update(csketchops.ORACLES)
     out.update(stratops.ORACLES)
+    out.update(driftops.ORACLES)
     # flagship oracles: the deterministic golden fixtures (absolute path —
     # generated on demand so DuckDB can read them even if queries() ran in
     # another process)
