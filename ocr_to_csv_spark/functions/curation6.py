@@ -61,32 +61,65 @@ def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-grams select from the single short window (standard winnowing
     boundary behaviour)."""
     d = table(spark, sf_dir, "documents", spread=True)
-    hs = F.transform(ngrams(F.lower(F.col("text")), W_K), hex32)
+    # Two disciplines keep this O(m) per document instead of the naive
+    # O(m·w)-with-4×-reevaluation form this replaced (26 s → ~1 s at
+    # sf0.01):
+    # 1. Stage every multiply-referenced array behind its own projection
+    #    boundary: HOF lambdas evaluate interpreted (no whole-stage
+    #    codegen, no common-subexpression elimination), so a repeated
+    #    subtree re-tokenizes + re-md5s the document at EVERY reference.
+    #    Referencing each alias ≥2 times keeps CollapseProject from
+    #    inlining the expensive producer back in.
+    # 2. Sliding rightmost-min via a sparse table of doubling widths
+    #    (the imaging X4 morphology trick): comb(a,b) = "b if b.v <= a.v
+    #    else a" is idempotent and associative-with-overlap for the
+    #    rightmost-minimum, so width-5 windows are comb of two
+    #    overlapping width-4 spans — 3 zip_with passes total, no
+    #    per-window slice.
+    staged = d.select(
+        "doc_id",
+        F.transform(ngrams(F.lower(F.col("text")), W_K), hex32).alias("hs"),
+    )
+
+    def comb(a, b):  # rightmost minimum of two covered spans (b = right)
+        return F.when(b["v"] <= a["v"], b).otherwise(a)
+
+    hs = F.col("hs")
     m = F.size(hs)
-    picks = F.transform(
-        F.sequence(F.lit(1), F.greatest(m - (W_WIN - 1), F.lit(1))),
-        lambda j: F.struct(
-            (
-                j
-                + F.size(F.slice(hs, j, W_WIN))
-                - F.array_position(
-                    F.reverse(F.slice(hs, j, W_WIN)),
-                    F.array_min(F.slice(hs, j, W_WIN)),
-                )
-            ).alias("pos"),
-            F.array_min(F.slice(hs, j, W_WIN)).alias("fp"),
-        ),
+    s0 = F.transform(
+        hs,
+        lambda h, i: F.struct(h.alias("v"), (i.cast("long") + 1).alias("p")),
+    )
+    st0 = staged.select("doc_id", m.alias("m"), s0.alias("s0"))
+    mm = F.col("m")
+    ln = lambda k: F.greatest(mm - k, F.lit(0))  # noqa: E731
+    s2 = F.zip_with(  # width-2 spans [i, i+1]
+        F.slice(F.col("s0"), 1, ln(1)), F.slice(F.col("s0"), 2, ln(1)), comb
+    )
+    st2 = st0.select("doc_id", "m", "s0", s2.alias("s2"))
+    s4 = F.zip_with(  # width-4 spans [i, i+3]
+        F.slice(F.col("s2"), 1, ln(3)), F.slice(F.col("s2"), 3, ln(3)), comb
+    )
+    st4 = st2.select("doc_id", "m", "s0", s4.alias("s4"))
+    w5 = F.zip_with(  # width-5 windows [j, j+4], rightmost min each
+        F.slice(F.col("s4"), 1, ln(4)), F.slice(F.col("s4"), 2, ln(4)), comb
+    )
+    # Documents with 0 < m < w select from the single short window
+    # (standard winnowing boundary behaviour): fold comb over the
+    # whole array.
+    short = F.array(
+        F.aggregate(
+            F.slice(F.col("s0"), 2, ln(1)), F.element_at(F.col("s0"), 1), comb
+        )
+    )
+    picks = (
+        F.when(mm >= W_WIN, w5)
+        .when(mm > 0, short)
+        .otherwise(F.array().cast("array<struct<v:bigint,p:bigint>>"))
     )
     return (
-        d.select(
-            "doc_id",
-            F.explode(
-                F.when(m > 0, picks).otherwise(
-                    F.array().cast("array<struct<pos:bigint,fp:bigint>>")
-                )
-            ).alias("p"),
-        )
-        .select("doc_id", F.col("p.pos").alias("pos"), F.col("p.fp").alias("fp"))
+        st4.select("doc_id", F.explode(picks).alias("p"))
+        .select("doc_id", F.col("p.p").alias("pos"), F.col("p.v").alias("fp"))
         .distinct()
     )
 
