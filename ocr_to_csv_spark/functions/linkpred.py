@@ -24,9 +24,10 @@ Scale design (100 TB):
 - ``curriculum_order`` assigns each doc a within-source rank (longest
   docs first — the "easy → hard" proxy here) and interleaves sources
   round-robin: global seq = rank over (rn, source). The global
-  ordering is a range-partitioned sort on a two-integer key — the
-  same plan Spark uses for any global ORDER BY; at 10^12 docs you'd
-  write it sorted-by-key and never materialize a global row number.
+  ordering is ``util.global_seq`` partition-offset ranks — range
+  partition on the unique key, bounded per-partition counts to the
+  driver, offset + parallel within-partition row_number — so no
+  single-partition window exists anywhere in the plan (test-asserted).
 
 Reference parity: no graph/scheduling layer in the reference; extends
 graphtext.py (HITS/label-prop) and curation (mix/pack) families.
@@ -37,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .util import table
+from .util import global_seq, table
 
 RA_SCALE = 10_000
 TOP_PAIRS = 50
@@ -220,7 +221,14 @@ _ABOVE_AVG_SQL = """
 def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic curriculum schedule: within each source rank docs
     longest-first (n_chars desc, doc_id), then interleave sources
-    round-robin — seq = rank over (rn, source)."""
+    round-robin — seq = rank over (rn, source).
+
+    The global seq is computed by ``util.global_seq`` partition-offset
+    ranks (range-partition on the unique (rn, source, doc_id) key,
+    bounded per-partition counts to the driver, offset + local
+    row_number) — NOT a single-partition window, so the plan carries no
+    SinglePartition exchange and survives 10^12 docs. Asserted in
+    tests/test_linkpred.py."""
     d = table(spark, sf_dir, "documents")
     w_src = Window.partitionBy("source").orderBy(
         F.desc("n_chars"), F.asc("doc_id")
@@ -228,9 +236,8 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = d.select(
         "doc_id", "source", "n_chars"
     ).withColumn("rn", F.row_number().over(w_src).cast("long"))
-    w_all = Window.orderBy(F.asc("rn"), F.asc("source"), F.asc("doc_id"))
-    return ranked.withColumn(
-        "seq", F.row_number().over(w_all).cast("long")
+    return global_seq(ranked, ["rn", "source", "doc_id"], out="seq").select(
+        "doc_id", "source", "n_chars", "rn", "seq"
     )
 
 

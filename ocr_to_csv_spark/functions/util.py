@@ -32,6 +32,45 @@ def table(spark, sf_dir: str, name: str, spread: bool = False):
     return df
 
 
+def global_seq(df, order_cols: list[str], out: str = "seq"):
+    """Distributed global row_number over a total-order key WITHOUT a
+    single-partition window: range-partition on the key, count rows per
+    partition (≤ n_partitions rows to the driver — bounded, not
+    data-proportional), prefix-sum the offsets, then add a
+    WITHIN-partition row_number. This is the zipWithIndex /
+    partition-offset-rank substitution every global ORDER BY needs at
+    10^12 rows; the per-pid window shuffles by pid hash, so every
+    partition ranks in parallel. ``order_cols`` must be a unique total
+    order (ascending) — then offset + local rank == global row_number
+    exactly. ``localCheckpoint`` pins partition ids between the
+    count job and the rank job (production analogue: a scratch table).
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    np_ = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    base = (
+        df.repartitionByRange(np_, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = dict(
+        (r["_pid"], r["n"])
+        for r in base.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    )
+    offs, acc = [], 0
+    for p in range(np_):
+        offs.append((p, acc))
+        acc += counts.get(p, 0)
+    off_df = spark.createDataFrame(offs, "_pid int, _off long")
+    w = Window.partitionBy("_pid").orderBy(*[F.asc(c) for c in order_cols])
+    return (
+        base.join(F.broadcast(off_df), "_pid")
+        .withColumn(out, (F.col("_off") + F.row_number().over(w)).cast("long"))
+        .drop("_pid", "_off")
+    )
+
+
 def hex32(col: Column) -> Column:
     """First 32 bits of md5 as a non-negative int64 (parity with DuckDB
     ``('0x' || substr(md5(x),1,8))::BIGINT``)."""

@@ -118,3 +118,18 @@ def test_curriculum_interleaves_sources(spark, tmp_path):
     ]
     # rn=1: s0→doc0 (100), s1→doc3 (90); rn=2: s0→doc1, s1→doc2
     assert got == [(1, 0), (2, 3), (3, 1), (4, 2)]
+
+
+def test_curriculum_order_no_single_partition_window(spark):
+    # scale guard: the global seq must come from partition-offset ranks,
+    # never a single-partition window (Exchange SinglePartition -> Window)
+    df = q_curriculum_order(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+    # and it must still be an exact global row_number: seq is a
+    # permutation of 1..n matching the lexicographic (rn, source, doc_id)
+    rows = df.collect()
+    n = len(rows)
+    assert sorted(r["seq"] for r in rows) == list(range(1, n + 1))
+    by_key = sorted(rows, key=lambda r: (r["rn"], r["source"], r["doc_id"]))
+    assert [r["seq"] for r in by_key] == list(range(1, n + 1))
