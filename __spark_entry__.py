@@ -10,6 +10,7 @@ golden outputs serve as the DuckDB oracle (read by absolute parquet path).
 from __future__ import annotations
 
 import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -182,6 +183,26 @@ def _corpus_dir() -> str:
     return d
 
 
+def _stage_tag(*modules) -> str:
+    """Content hash folded into every staged-fixture filename: hashes
+    the provider module source AND this file, so a synth/golden-formula
+    change regenerates the staging instead of silently comparing
+    against stale /tmp goldens even when the manual *_STAGE_V bump is
+    forgotten (ADVICE r3). Falls back to module names when source is
+    unreadable (zipimport deploy)."""
+    import hashlib
+    import inspect
+
+    h = hashlib.md5()
+    for m in modules + (sys.modules[__name__],):
+        try:
+            h.update(inspect.getsource(m).encode())
+        except (OSError, TypeError):
+            h.update(getattr(m, "__name__", str(m)).encode())
+    return h.hexdigest()[:8]
+
+
+
 def _staged_media_feats(spark: SparkSession) -> str:
     """Materialize the media feature vectors once (Spark mapInPandas path)
     so downstream consumers scan parquet instead of re-running the decode
@@ -189,8 +210,10 @@ def _staged_media_feats(spark: SparkSession) -> str:
     pipeline also uses."""
     from ocr_to_csv_spark.extraction.multimodal import media_features
 
+    from ocr_to_csv_spark.extraction import multimodal as _mm_mod
+
     d = _corpus_dir()
-    p = os.path.join(d, "staged_media_feat.parquet")
+    p = os.path.join(d, f"staged_media_feat_{_stage_tag(_mm_mod)}.parquet")
     if not os.path.exists(p):
         media = spark.read.parquet(os.path.join(d, "media.parquet"))
         media_features(media).write.mode("overwrite").parquet(p)
@@ -262,10 +285,15 @@ def _staged_audio_paths() -> tuple[str, str, str]:
         audio_signature_np, decode_pcm_ch0, synth_wav,
     )
 
+    from ocr_to_csv_spark.extraction import audio as _audio_mod
+
     d = _corpus_dir()
-    blobs_p = os.path.join(d, f"audio_blobs_v{AUDIO_STAGE_V}.parquet")
-    gold_p = os.path.join(d, f"expected_audio_meta_v{AUDIO_STAGE_V}.parquet")
-    sig_p = os.path.join(d, f"expected_audio_sig_v{AUDIO_STAGE_V}.parquet")
+    tg = _stage_tag(_audio_mod)
+    blobs_p = os.path.join(d, f"audio_blobs_v{AUDIO_STAGE_V}_{tg}.parquet")
+    gold_p = os.path.join(
+        d, f"expected_audio_meta_v{AUDIO_STAGE_V}_{tg}.parquet")
+    sig_p = os.path.join(
+        d, f"expected_audio_sig_v{AUDIO_STAGE_V}_{tg}.parquet")
     if not all(os.path.exists(p) for p in (blobs_p, gold_p, sig_p)):
         blobs, gold, sigs = [], [], []
         for s in range(N_AUDIO):
@@ -342,10 +370,15 @@ def _staged_video_paths() -> tuple[str, str, str]:
         sample_frames, synth_avi, video_signature_np,
     )
 
+    from ocr_to_csv_spark.extraction import video as _video_mod
+
     d = _corpus_dir()
-    blobs_p = os.path.join(d, f"video_blobs_v{VIDEO_STAGE_V}.parquet")
-    gold_p = os.path.join(d, f"expected_video_meta_v{VIDEO_STAGE_V}.parquet")
-    sig_p = os.path.join(d, f"expected_video_sig_v{VIDEO_STAGE_V}.parquet")
+    tg = _stage_tag(_video_mod)
+    blobs_p = os.path.join(d, f"video_blobs_v{VIDEO_STAGE_V}_{tg}.parquet")
+    gold_p = os.path.join(
+        d, f"expected_video_meta_v{VIDEO_STAGE_V}_{tg}.parquet")
+    sig_p = os.path.join(
+        d, f"expected_video_sig_v{VIDEO_STAGE_V}_{tg}.parquet")
     if not all(os.path.exists(p) for p in (blobs_p, gold_p, sig_p)):
         blobs, gold, sigs = [], [], []
         for s in range(N_VIDEO):
@@ -420,9 +453,13 @@ def _staged_webp_paths() -> tuple[str, str]:
 
     from ocr_to_csv_spark.imaging.webp import encode_gray
 
+    from ocr_to_csv_spark.imaging import webp as _webp_mod
+
     d = _corpus_dir()
-    blobs_p = os.path.join(d, f"webp_blobs_v{WEBP_STAGE_V}.parquet")
-    gold_p = os.path.join(d, f"expected_webp_meta_v{WEBP_STAGE_V}.parquet")
+    tg = _stage_tag(_webp_mod)
+    blobs_p = os.path.join(d, f"webp_blobs_v{WEBP_STAGE_V}_{tg}.parquet")
+    gold_p = os.path.join(
+        d, f"expected_webp_meta_v{WEBP_STAGE_V}_{tg}.parquet")
     if not all(os.path.exists(p) for p in (blobs_p, gold_p)):
         blobs, gold = [], []
         for s in range(N_WEBP):
@@ -484,9 +521,12 @@ def _staged_gif_paths() -> tuple[str, str]:
 
     from ocr_to_csv_spark.imaging.gif import encode_gray
 
+    from ocr_to_csv_spark.imaging import gif as _gif_mod
+
     d = _corpus_dir()
-    blobs_p = os.path.join(d, f"gif_blobs_v{GIF_STAGE_V}.parquet")
-    gold_p = os.path.join(d, f"expected_gif_meta_v{GIF_STAGE_V}.parquet")
+    tg = _stage_tag(_gif_mod)
+    blobs_p = os.path.join(d, f"gif_blobs_v{GIF_STAGE_V}_{tg}.parquet")
+    gold_p = os.path.join(d, f"expected_gif_meta_v{GIF_STAGE_V}_{tg}.parquet")
     if not all(os.path.exists(p) for p in (blobs_p, gold_p)):
         blobs, gold = [], []
         for s in range(N_GIF):
@@ -550,9 +590,13 @@ def _staged_warc_paths() -> tuple[str, str]:
 
     from ocr_to_csv_spark.sources.warc import synth_warc
 
+    from ocr_to_csv_spark.sources import warc as _warc_mod
+
     d = _corpus_dir()
-    blobs_p = os.path.join(d, f"warc_blobs_v{WARC_STAGE_V}.parquet")
-    gold_p = os.path.join(d, f"expected_warc_records_v{WARC_STAGE_V}.parquet")
+    tg = _stage_tag(_warc_mod)
+    blobs_p = os.path.join(d, f"warc_blobs_v{WARC_STAGE_V}_{tg}.parquet")
+    gold_p = os.path.join(
+        d, f"expected_warc_records_v{WARC_STAGE_V}_{tg}.parquet")
     if not all(os.path.exists(p) for p in (blobs_p, gold_p)):
         blobs, gold = [], []
         for s in range(N_WARC):
@@ -602,11 +646,14 @@ def _staged_archive_paths() -> tuple[str, str, str, str]:
 
     from ocr_to_csv_spark.sources.archive import synth_tar, synth_zip
 
+    from ocr_to_csv_spark.sources import archive as _arch_mod
+
     d = _corpus_dir()
-    tb = os.path.join(d, f"tar_blobs_v{ARCH_STAGE_V}.parquet")
-    tg = os.path.join(d, f"expected_tar_members_v{ARCH_STAGE_V}.parquet")
-    zb = os.path.join(d, f"zip_blobs_v{ARCH_STAGE_V}.parquet")
-    zg = os.path.join(d, f"expected_zip_members_v{ARCH_STAGE_V}.parquet")
+    ct = _stage_tag(_arch_mod)
+    tb = os.path.join(d, f"tar_blobs_v{ARCH_STAGE_V}_{ct}.parquet")
+    tg = os.path.join(d, f"expected_tar_members_v{ARCH_STAGE_V}_{ct}.parquet")
+    zb = os.path.join(d, f"zip_blobs_v{ARCH_STAGE_V}_{ct}.parquet")
+    zg = os.path.join(d, f"expected_zip_members_v{ARCH_STAGE_V}_{ct}.parquet")
     if not all(os.path.exists(p) for p in (tb, tg, zb, zg)):
         tblobs, tgold, zblobs, zgold = [], [], [], []
         for s in range(N_TAR):

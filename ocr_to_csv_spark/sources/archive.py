@@ -44,10 +44,13 @@ ZIP_SCHEMA = (
 # ---------------------------------------------------------------- TAR
 
 
-def _tar_header(name: str, size: int) -> bytes:
+def _tar_header(name: str, size: int, prefix: str = "") -> bytes:
     h = bytearray(512)
     nb = name.encode()
     h[0 : len(nb)] = nb
+    if prefix:  # ustar long-path: leading dirs live in bytes 345..500
+        pb = prefix.encode()
+        h[345 : 345 + len(pb)] = pb
     h[100:108] = b"0000644\x00"
     h[108:116] = b"0000000\x00"
     h[116:124] = b"0000000\x00"
@@ -69,11 +72,19 @@ def synth_tar(seed: int, n_members: int = 5):
     gold = []
     for i in range(n_members):
         name = f"docs/doc_{seed}_{i}.txt"
+        prefix = ""
+        if i == n_members - 1:
+            # exercise the ustar prefix field: full path > 100 chars,
+            # split into (prefix dirs, ≤100-char name)
+            prefix = "mirror/" + "/".join(
+                f"depth{seed}_{k:02d}" for k in range(10)
+            )
+            name = f"doc_{seed}_{i}_long.txt"
         text = " ".join(
             f"tar{seed} member{i} tok{j}" for j in range(4 + (seed + i) % 5)
         )
         data = text.encode()
-        out += _tar_header(name, len(data))
+        out += _tar_header(name, len(data), prefix=prefix)
         out += data
         pad = (-len(data)) % 512
         out += b"\x00" * pad
@@ -81,7 +92,7 @@ def synth_tar(seed: int, n_members: int = 5):
             {
                 "tar_ref": ref,
                 "idx": i,
-                "name": name,
+                "name": (prefix + "/" + name) if prefix else name,
                 "size": len(data),
                 "text": text,
                 "n_tokens": len(text.split()),
@@ -125,6 +136,12 @@ def _parse_tar(ref: str, data: bytes) -> list[dict]:
             rows.append(_corrupt_tar_row(ref))
             return rows
         name = h[0:100].rstrip(b"\x00").decode(errors="replace")
+        # ustar long paths: the 155-byte prefix field (bytes 345..500)
+        # holds the leading directory components; members past 100 chars
+        # are silently truncated without it (POSIX.1-1988 §10.1).
+        prefix = h[345:500].rstrip(b"\x00").decode(errors="replace")
+        if prefix:
+            name = prefix + "/" + name
         body = data[pos + 512 : pos + 512 + size]
         if len(body) < size:
             rows.append(_corrupt_tar_row(ref))

@@ -9,6 +9,13 @@ import math
 
 import pandas as pd
 
+
+def _rhu(x: float) -> int:
+    """Half-UP rounding (away from zero), matching Spark F.round /
+    DuckDB round — Python's round() is banker's half-even and would
+    diverge from both engines on an exact .5 nano tie (ADVICE r3)."""
+    return int(math.floor(x + 0.5)) if x >= 0 else -int(math.floor(-x + 0.5))
+
 SF = "/root/testdata/sf0.001"
 NANO = 1_000_000_000
 
@@ -42,7 +49,7 @@ def test_page_hinkley_matches_python(spark):
         for x in xs:
             t += 1
             s += x
-            dev = round((x - s / t) * NANO) - PH_DELTA_NANO
+            dev = _rhu((x - s / t) * NANO) - PH_DELTA_NANO
             m += dev
             mn = min(mn, m)
             if alarm < 0 and m - mn > PH_LAMBDA * NANO:
@@ -83,8 +90,8 @@ def test_ddm_matches_python(spark):
         ne += e
         p = ne / t
         s_ = math.sqrt(p * (1 - p) / t)
-        ps_n = round((p + s_) * NANO)
-        s_n = round(s_ * NANO)
+        ps_n = _rhu((p + s_) * NANO)
+        s_n = _rhu(s_ * NANO)
         if ps_n < psmin:
             psmin, smin = ps_n, s_n
         if warn < 0 and ps_n > psmin + 2 * smin:
