@@ -10,7 +10,6 @@ golden outputs serve as the DuckDB oracle (read by absolute parquet path).
 from __future__ import annotations
 
 import os
-import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -37,6 +36,7 @@ from ocr_to_csv_spark.functions import (
     tpch,
     tpch3,
     tpch4,
+    tpch5,
     engagement,
     gameops,
     statsops,
@@ -194,11 +194,16 @@ def _stage_tag(*modules) -> str:
     import inspect
 
     h = hashlib.md5()
-    for m in modules + (sys.modules[__name__],):
+    for m in modules:
         try:
             h.update(inspect.getsource(m).encode())
         except (OSError, TypeError):
             h.update(getattr(m, "__name__", str(m)).encode())
+    try:  # this file by path — the module may be loaded under any name
+        with open(__file__, "rb") as f:
+            h.update(f.read())
+    except OSError:
+        pass
     return h.hexdigest()[:8]
 
 
@@ -1011,6 +1016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(tpch.QUERIES)
     out.update(tpch3.QUERIES)
     out.update(tpch4.QUERIES)
+    out.update(tpch5.QUERIES)
     out.update(engagement.QUERIES)
     out.update(statsops.QUERIES)
     out.update(temporal.QUERIES)
@@ -1187,6 +1193,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(tpch.ORACLES)
     out.update(tpch3.ORACLES)
     out.update(tpch4.ORACLES)
+    out.update(tpch5.ORACLES)
     out.update(engagement.ORACLES)
     out.update(statsops.ORACLES)
     out.update(temporal.ORACLES)

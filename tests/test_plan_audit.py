@@ -99,6 +99,8 @@ BNLJ_ALLOWED = {
     "theil_sen": "day-grain pair self-join, calendar-bounded (statsops.py)",
     "rocchio_expand": "broadcast |probes|-row query-centroid cross (irops.py)",
     "important_stock": "single-row national-total aggregate cross (tpch4.py)",
+    "value_share": "single-row stock-value-total aggregate cross (tpch5.py "
+    "Q11 HAVING-vs-global)",
     "bq_search": "broadcast 10-row query side (binary masks)",
     "mutual_knn": "labeled brute-force kNN baseline (ANN-gated at scale)",
     "ams_f2": "cross of two single-row aggregates (exact F2 vs sketch est)",
