@@ -58,6 +58,9 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 
+_PROMOTABLE = {("int", "bigint"), ("float", "double")}
+
+
 class SnapshotCatalog:
     def __init__(self, spark: SparkSession, base_dir: str):
         self.spark = spark
@@ -289,12 +292,45 @@ class SnapshotCatalog:
         os.rename(htmp, self._hint_path(name))
         return head
 
+    @staticmethod
+    def _derive_fields(
+        parent_fields: list[dict] | None, schema_json: str | None
+    ) -> tuple[list[dict], bool]:
+        """Iceberg-style field-id assignment: match the commit's schema
+        to the parent's fields BY NAME (same name keeps its id), assign
+        fresh ids to new columns, record the current type per id.
+        Returns (fields, changed) where ``changed`` flags any rename
+        survivor (id present, type changed) — i.e. a promotion — so the
+        manifest can mark that per-dir resolution is required on read.
+        Renames themselves never pass through here (they commit explicit
+        fields via ``rename_column``)."""
+        if not schema_json:
+            return list(parent_fields or []), False
+        from pyspark.sql.types import StructType
+
+        cur = StructType.fromJson(json.loads(schema_json))
+        by_name = {f["name"]: f for f in (parent_fields or [])}
+        next_id = max((f["id"] for f in (parent_fields or [])), default=0) + 1
+        fields, changed = [], False
+        for f in cur.fields:
+            t = f.dataType.simpleString()
+            if f.name in by_name:
+                old = by_name[f.name]
+                if old["type"] != t:
+                    changed = True
+                fields.append({"id": old["id"], "name": f.name, "type": t})
+            else:
+                fields.append({"id": next_id, "name": f.name, "type": t})
+                next_id += 1
+        return fields, changed
+
     def _commit(self, name: str, operation: str, data_dirs: list[str],
                 added_files: int, summary: dict | None = None,
                 partition_by: list[str] | None = None,
                 schema_json: str | None = None,
                 extra: dict | None = None,
-                branch: str | None = None) -> int:
+                branch: str | None = None,
+                fields: list[dict] | None = None) -> int:
         """Write manifest v<N+1> then atomically repoint the ref — the
         main hint, or the branch pointer when committing to a branch
         (main readers never see branch commits until ``fast_forward``).
@@ -334,8 +370,51 @@ class SnapshotCatalog:
                 f"'{ref}': snapshot v{other} has the same parent "
                 f"(v{parent}); retry from the new head"
             )
+        pman = self._load_manifest(name, parent) if parent else {}
         if schema_json is None and parent:
-            schema_json = self._load_manifest(name, parent).get("schema_json")
+            schema_json = pman.get("schema_json")
+        # Iceberg-style id-based column metadata: every manifest carries
+        # (a) `fields` — the CURRENT id→(name, type) schema — and
+        # (b) `dir_fields` — per data dir, the id→[physical name,
+        # physical type] map the dir was WRITTEN with (new dirs get the
+        # current map; carried dirs keep theirs). `ids_evolved` is
+        # recomputed each commit: true iff some dir's physical layout
+        # differs from the current schema (a rename or type promotion
+        # whose old dirs still exist), which switches reads to per-dir
+        # id resolution. Tables that never rename/promote — and renamed
+        # tables once compaction rewrites every dir — stay on the fast
+        # shared-scan path.
+        if fields is None:
+            fields, _ = self._derive_fields(pman.get("fields"), schema_json)
+        cur_map = {str(f["id"]): [f["name"], f["type"]] for f in fields}
+        dir_fields = {
+            d: m
+            for d, m in (pman.get("dir_fields") or {}).items()
+            if d in data_dirs
+        }
+        # dirs carried over from a legacy (pre-id) parent were written
+        # under the PARENT's names — they must not pick up a rename this
+        # commit introduces; genuinely new dirs use the current map
+        pf = pman.get("fields")
+        if pf is None and pman.get("schema_json"):
+            pf, _ = self._derive_fields(None, pman.get("schema_json"))
+        parent_map = (
+            {str(f["id"]): [f["name"], f["type"]] for f in pf}
+            if pf
+            else cur_map
+        )
+        parent_dirs = set(pman.get("data_dirs") or [])
+        for d in data_dirs:
+            if d not in dir_fields:
+                dir_fields[d] = parent_map if d in parent_dirs else cur_map
+        by_id = {str(f["id"]): f for f in fields}
+        ids_evolved = any(
+            (e[0] if isinstance(e, list) else e) != by_id[fid]["name"]
+            or (isinstance(e, list) and e[1] != by_id[fid]["type"])
+            for m in dir_fields.values()
+            for fid, e in m.items()
+            if fid in by_id
+        )
         manifest = {
             "snapshot_id": sid,
             "parent_id": parent,
@@ -346,6 +425,9 @@ class SnapshotCatalog:
             "data_dirs": sorted(data_dirs),
             "partition_by": partition_by or [],
             "schema_json": schema_json,
+            "fields": fields,
+            "dir_fields": dir_fields,
+            "ids_evolved": ids_evolved,
             "summary": {"added_data_files": added_files, **(summary or {})},
             **(extra or {}),
         }
@@ -741,7 +823,21 @@ class SnapshotCatalog:
                 fs = [os.path.join(dpath, f) for f in plan["files"][d]]
                 if not fs:
                     continue
-                if specs.get(d, default):
+                if man.get("ids_evolved"):
+                    # renamed/promoted tables resolve per dir by field id
+                    part = self._resolve_dir(
+                        _pos(self.spark.read.option(
+                            "basePath", dpath
+                        ).parquet(*fs)),
+                        d,
+                        man,
+                    )
+                    sub = (
+                        part
+                        if sub is None
+                        else sub.unionByName(part, allowMissingColumns=True)
+                    )
+                elif specs.get(d, default):
                     # per-dir basePath read keeps hive partition columns
                     part = _pos(self.spark.read.option(
                         "basePath", dpath
@@ -805,9 +901,11 @@ class SnapshotCatalog:
         """ADD-ONLY schema evolution (Iceberg add-column): the new
         snapshot's schema is the parent schema plus any new columns in
         ``df`` (appends may also OMIT existing columns — readers
-        null-fill from the manifest schema). Type changes and renames
-        raise; they need Iceberg's id-based column resolution, which
-        name-keyed parquet cannot fake safely."""
+        null-fill from the manifest schema). Widening type promotions
+        (int→bigint, float→double) evolve the table schema in place —
+        old dirs keep their physical type and readers up-cast by field
+        id. Narrowing writes and renames-by-append raise: conform the
+        df (renames go through ``rename_column``)."""
         from pyspark.sql.types import StructType
 
         parent = self._ref_head(name, branch)
@@ -819,20 +917,162 @@ class SnapshotCatalog:
         if not pj:
             return df.schema.json()
         ps = StructType.fromJson(json.loads(pj))
-        known = {f.name: f for f in ps.fields}
+        known = {f.name: i for i, f in enumerate(ps.fields)}
         out = list(ps.fields)
         for f in df.schema.fields:
             if f.name in known:
-                if f.dataType != known[f.name].dataType:
-                    raise ValueError(
-                        f"table '{name}': column '{f.name}' type change "
-                        f"{known[f.name].dataType.simpleString()} -> "
-                        f"{f.dataType.simpleString()} is not supported "
-                        "(add-only schema evolution)"
-                    )
+                have = out[known[f.name]]
+                if f.dataType != have.dataType:
+                    a = have.dataType.simpleString()
+                    b = f.dataType.simpleString()
+                    if (a, b) in _PROMOTABLE:
+                        out[known[f.name]] = f  # widen the table schema
+                    elif (b, a) in _PROMOTABLE:
+                        raise ValueError(
+                            f"table '{name}': appending '{f.name}' as "
+                            f"{b} into a {a} column narrows it — cast "
+                            f"the DataFrame to {a} before appending"
+                        )
+                    else:
+                        raise ValueError(
+                            f"table '{name}': column '{f.name}' type "
+                            f"change {a} -> {b} is not supported "
+                            "(promotions: int->bigint, float->double)"
+                        )
             else:
                 out.append(f)
         return StructType(out).json()
+
+    def rename_column(self, name: str, old: str, new: str) -> int:
+        """Metadata-only column rename (Iceberg ``ALTER TABLE RENAME
+        COLUMN``): commits new ``fields`` under the SAME field id — no
+        data dir is touched; old dirs keep their physical name and
+        every read resolves them by id. Time travel to a pre-rename
+        snapshot still shows the old name (the manifest carries the
+        schema of its era). Refused for partition columns (the hive
+        path encodes the name), and while a merge-on-read equality
+        delete references the column (``compact`` first — the tombstone
+        files key on the physical name). Per-file min/max stats are
+        re-keyed so range pruning keeps working; a bloom file index
+        built for the old name needs an explicit rebuild."""
+        sid = self._ref_head(name, None)
+        if sid is None:
+            raise ValueError(f"unknown table '{name}'")
+        man = self._load_manifest(name, sid)
+        fields = man.get("fields") or self._derive_fields(
+            None, man.get("schema_json")
+        )[0]
+        names = [f["name"] for f in fields]
+        if old not in names:
+            raise ValueError(f"table '{name}' has no column '{old}'")
+        if new in names:
+            raise ValueError(f"table '{name}' already has column '{new}'")
+        if old in (man.get("partition_by") or []):
+            raise ValueError(
+                f"cannot rename partition column '{old}' (hive-encoded "
+                "in data paths); rewrite the table with a new spec"
+            )
+        for e in man.get("delete_files") or []:
+            if not e.get("positional") and old in (e.get("keys") or []):
+                raise ValueError(
+                    f"cannot rename '{old}': a merge-on-read equality "
+                    "delete keys on it — run compact() first"
+                )
+        new_fields = [
+            {**f, "name": new} if f["name"] == old else dict(f)
+            for f in fields
+        ]
+        from pyspark.sql.types import StructField, StructType
+
+        st = StructType.fromJson(json.loads(man["schema_json"]))
+        nst = StructType(
+            [
+                StructField(
+                    new if fd.name == old else fd.name,
+                    fd.dataType,
+                    fd.nullable,
+                )
+                for fd in st.fields
+            ]
+        )
+        fstats = {
+            rel: {
+                fp: {(new if c == old else c): v for c, v in cols.items()}
+                for fp, cols in files.items()
+            }
+            for rel, files in (man.get("file_stats") or {}).items()
+        }
+        return self._commit(
+            name, "rename-column", man["data_dirs"], 0,
+            summary={"renamed": f"{old}->{new}"},
+            partition_by=man.get("partition_by", []),
+            schema_json=nst.json(),
+            fields=new_fields,
+            extra={
+                "dir_seqs": man.get("dir_seqs") or {},
+                "delete_files": man.get("delete_files") or [],
+                "dir_specs": man.get("dir_specs")
+                or {d: man.get("partition_by", []) for d in man["data_dirs"]},
+                "file_stats": fstats,
+            },
+        )
+
+    def promote_column(self, name: str, col: str, to_type: str) -> int:
+        """Metadata-only type promotion (Iceberg ``ALTER COLUMN TYPE``):
+        int→bigint or float→double only. Old dirs keep their physical
+        type; reads up-cast by field id, so the promotion costs one
+        manifest write regardless of table size."""
+        sid = self._ref_head(name, None)
+        if sid is None:
+            raise ValueError(f"unknown table '{name}'")
+        man = self._load_manifest(name, sid)
+        fields = man.get("fields") or self._derive_fields(
+            None, man.get("schema_json")
+        )[0]
+        cur = next((f for f in fields if f["name"] == col), None)
+        if cur is None:
+            raise ValueError(f"table '{name}' has no column '{col}'")
+        if (cur["type"], to_type) not in _PROMOTABLE:
+            raise ValueError(
+                f"promotion {cur['type']} -> {to_type} is not supported "
+                "(int->bigint, float->double)"
+            )
+        new_fields = [
+            {**f, "type": to_type} if f["name"] == col else dict(f)
+            for f in fields
+        ]
+        from pyspark.sql.types import (
+            DoubleType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        wide = {"bigint": LongType(), "double": DoubleType()}[to_type]
+        st = StructType.fromJson(json.loads(man["schema_json"]))
+        nst = StructType(
+            [
+                StructField(
+                    fd.name, wide if fd.name == col else fd.dataType,
+                    fd.nullable,
+                )
+                for fd in st.fields
+            ]
+        )
+        return self._commit(
+            name, "promote-column", man["data_dirs"], 0,
+            summary={"promoted": f"{col}: {cur['type']}->{to_type}"},
+            partition_by=man.get("partition_by", []),
+            schema_json=nst.json(),
+            fields=new_fields,
+            extra={
+                "dir_seqs": man.get("dir_seqs") or {},
+                "delete_files": man.get("delete_files") or [],
+                "dir_specs": man.get("dir_specs")
+                or {d: man.get("partition_by", []) for d in man["data_dirs"]},
+                "file_stats": man.get("file_stats") or {},
+            },
+        )
 
     def _scan(self, name: str, man: dict, with_pos: bool = False) -> DataFrame:
         """Plan a scan over a manifest's dirs. Unpartitioned: one
@@ -891,6 +1131,25 @@ class SnapshotCatalog:
                 F.col("_metadata.row_index").alias("_pos_idx"),
             )
 
+        if man.get("ids_evolved"):
+            # a rename/promotion happened somewhere in this table's
+            # history: physical column names/types differ per dir, so
+            # each dir is read separately and resolved BY FIELD ID to
+            # the current schema (Iceberg's per-file projection). The
+            # group count is bounded by schema versions, not data size.
+            out = None
+            for d in dirs:
+                part = self._resolve_dir(
+                    _pos(self.spark.read.parquet(d)),
+                    os.path.basename(d),
+                    man,
+                )
+                out = (
+                    part
+                    if out is None
+                    else out.unionByName(part, allowMissingColumns=True)
+                )
+            return self._align(out, man)
         out = None
         if flat:
             r = self.spark.read
@@ -906,6 +1165,29 @@ class SnapshotCatalog:
                 else out.unionByName(part, allowMissingColumns=True)
             )
         return self._align(out, man)
+
+    def _resolve_dir(self, df: DataFrame, rel: str, man: dict) -> DataFrame:
+        """Id-based column resolution (Iceberg schema evolution): map a
+        data dir's PHYSICAL columns to the manifest's current schema via
+        the dir's recorded id→physical-name map, renaming and up-casting
+        (int→long, float→double promotions) as needed. Columns the dir
+        predates are simply absent here — ``_align`` null-fills them."""
+        fields = man.get("fields")
+        if not fields:
+            return df
+        from pyspark.sql import functions as F
+
+        mapping = (man.get("dir_fields") or {}).get(rel) or {}
+        cols = []
+        for f in fields:
+            e = mapping.get(str(f["id"]), f["name"])
+            phys = e[0] if isinstance(e, list) else e
+            if phys in df.columns:
+                cols.append(F.col(phys).cast(f["type"]).alias(f["name"]))
+        for c in ("_pos_fp", "_pos_idx"):
+            if c in df.columns:
+                cols.append(F.col(c))
+        return df.select(*cols)
 
     def _align(self, df: DataFrame, man: dict) -> DataFrame:
         """Project to the manifest schema: null-fill columns a data dir
@@ -1048,6 +1330,11 @@ class SnapshotCatalog:
                 "snapshot_id": to_sid,
                 "data_dirs": delta,
                 "partition_by": man_to.get("partition_by", []),
+                # id-resolution metadata rides along so deltas of a
+                # renamed/promoted table resolve to the current schema
+                "fields": man_to.get("fields"),
+                "dir_fields": man_to.get("dir_fields"),
+                "ids_evolved": man_to.get("ids_evolved"),
             },
         )
 

@@ -968,3 +968,134 @@ def test_inspect_metadata_tables(spark, tmp_path):
         cat.inspect("t", "wat")
     with pytest.raises(ValueError, match="unknown table"):
         cat.inspect("nope", "snapshots")
+
+
+# ---------------- id-based schema evolution (rename / promote) ----------------
+
+
+def test_rename_column_roundtrip_across_dirs(spark, tmp_path):
+    """Rename is metadata-only: old dirs keep their physical name and
+    resolve by field id; time travel to a pre-rename snapshot shows the
+    era's schema."""
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    v1 = cat.overwrite(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string"), "t"
+    )
+    v2 = cat.rename_column("t", "v", "val")
+    # old dir readable under the NEW name
+    assert cat.read("t").columns == ["id", "val"]
+    assert _rows(cat.read("t")) == {(1, "a"), (2, "b")}
+    # append under the new name: two dirs, two physical layouts
+    cat.append(spark.createDataFrame([(3, "c")], "id int, val string"), "t")
+    assert _rows(cat.read("t")) == {(1, "a"), (2, "b"), (3, "c")}
+    # time travel: pre-rename snapshot shows the old column name
+    assert cat.read("t", snapshot_id=v1).columns == ["id", "v"]
+    assert cat.read("t", snapshot_id=v2).columns == ["id", "val"]
+    # no data dir was rewritten by the rename
+    m1 = cat._load_manifest("t", v1)
+    m2 = cat._load_manifest("t", v2)
+    assert m1["data_dirs"] == m2["data_dirs"]
+
+
+def test_rename_then_filter_and_pruning_stats(spark, tmp_path):
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    cat.overwrite(
+        spark.range(0, 100).selectExpr("id", "id * 2 AS y"), "t"
+    )
+    cat.rename_column("t", "y", "score")
+    got = cat.read("t").where("score >= 190")
+    assert _rows(got) == {(95, 190), (96, 192), (97, 194), (98, 196),
+                          (99, 198)}
+    # file_stats were re-keyed: range pruning still plans under new name
+    out = cat.read_where("t", "score", 190, 400)
+    assert out.count() == 5
+
+
+def test_rename_refuses_partition_and_delete_key_columns(spark, tmp_path):
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    cat.overwrite(
+        spark.createDataFrame(
+            [(1, "x", "p1"), (2, "y", "p2")], "id int, v string, part string"
+        ),
+        "t",
+        partition_by=["part"],
+    )
+    with pytest.raises(ValueError, match="partition column"):
+        cat.rename_column("t", "part", "bucket")
+    cat.delete_keys(
+        spark.createDataFrame([(1,)], "id int"), "t", ["id"]
+    )
+    with pytest.raises(ValueError, match="equality .*delete|delete keys"):
+        cat.rename_column("t", "id", "doc_id")
+    with pytest.raises(ValueError, match="no column"):
+        cat.rename_column("t", "nope", "x")
+    with pytest.raises(ValueError, match="already has"):
+        cat.rename_column("t", "v", "id")
+
+
+def test_promote_int_to_long_across_dirs(spark, tmp_path):
+    """Promotion is metadata-only; old int dirs up-cast on read; new
+    appends land as bigint; sums stay exact."""
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    cat.overwrite(
+        spark.createDataFrame([(1, 10), (2, 20)], "id int, n int"), "t"
+    )
+    cat.promote_column("t", "n", "bigint")
+    df = cat.read("t")
+    assert dict(df.dtypes)["n"] == "bigint"
+    cat.append(
+        spark.createDataFrame([(3, 2**40)], "id int, n bigint"), "t"
+    )
+    assert _rows(cat.read("t")) == {(1, 10), (2, 20), (3, 2**40)}
+    with pytest.raises(ValueError, match="not supported"):
+        cat.promote_column("t", "id", "double")
+
+
+def test_append_wider_promotes_append_narrower_refused(spark, tmp_path):
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    cat.overwrite(spark.createDataFrame([(1, 1.5)], "id int, x float"), "t")
+    # widening append promotes the table schema in place
+    cat.append(spark.createDataFrame([(2, 2.5)], "id int, x double"), "t")
+    assert dict(cat.read("t").dtypes)["x"] == "double"
+    assert _rows(cat.read("t")) == {(1, 1.5), (2, 2.5)}
+    # narrowing append is refused with a clear message
+    import re
+
+    with pytest.raises(ValueError, match=re.escape("narrows")):
+        cat.append(
+            spark.createDataFrame([(3, 3.5)], "id int, x float"), "t"
+        )
+
+
+def test_rename_compact_resets_per_dir_resolution(spark, tmp_path):
+    """After compaction rewrites every dir under the current schema the
+    manifest drops back to the fast shared-scan path."""
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    cat.overwrite(spark.createDataFrame([(1, "a")], "id int, v string"), "t")
+    cat.append(spark.createDataFrame([(2, "b")], "id int, v string"), "t")
+    cat.rename_column("t", "v", "val")
+    assert cat._load_manifest("t", cat.current_snapshot_id("t"))[
+        "ids_evolved"
+    ]
+    cat.compact("t", target_files=1)
+    man = cat._load_manifest("t", cat.current_snapshot_id("t"))
+    assert not man["ids_evolved"]
+    assert _rows(cat.read("t")) == {(1, "a"), (2, "b")}
+    assert cat.read("t").columns == ["id", "val"]
+
+
+def test_rename_incremental_and_changes_resolve(spark, tmp_path):
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    v1 = cat.overwrite(
+        spark.createDataFrame([(1, "a")], "id int, v string"), "t"
+    )
+    cat.rename_column("t", "v", "val")
+    v3 = cat.append(
+        spark.createDataFrame([(2, "b")], "id int, val string"), "t"
+    )
+    inc = cat.read_incremental("t", v1, v3)
+    assert _rows(inc) == {(2, "b")}
+    assert "val" in inc.columns
+    ch = cat.read_changes("t", v1, v3)
+    got = {(r["id"], r["val"], r["_change_type"]) for r in ch.collect()}
+    assert got == {(2, "b", "insert")}
