@@ -511,7 +511,12 @@ def extract(
     # (doc_id, offset, row) repartition is the cell-level salt: a single
     # mega page fans out across tasks before the OCR-heavy stage (§4.3),
     # and the staged files inherit that layout.
-    seg = seg.repartition(py_factor * n_part, "doc_id", "offset", "row")
+    salt_cols = ("doc_id", "offset", "row")
+    if os.environ.get("SPARK_GRAFT_CELL_SALT") == "doc":
+        # benchmark counterfactual ONLY (tools/skew_bench.py): document-
+        # granularity distribution, which a mega-document straggles
+        salt_cols = ("doc_id",)
+    seg = seg.repartition(py_factor * n_part, *salt_cols)
     stage_dir = tempfile.mkdtemp(prefix="ocr2csv_seg_stage_")
     seg.write.mode("overwrite").parquet(stage_dir)
     seg = spark.read.parquet(stage_dir)

@@ -573,7 +573,14 @@ def _decode_segments(
     decode."""
     M64 = 0xFFFFFFFFFFFFFFFF
     nb = scan_comps[0]["hs"] * scan_comps[0]["vs"]  # luma blocks per MCU
+    # hoist per-component lookups out of the MCU loop; preds indexed by
+    # position (dicts cost a hash per block in the hot path)
+    comps = [
+        (huff_dc[c["dc"]], huff_ac[c["ac"]], c["hs"] * c["vs"], ci == 0)
+        for ci, c in enumerate(scan_comps)
+    ]
     out: list[int] = []
+    append = out.append
     done = 0
     seg_i = 0
     while done < n_total:
@@ -586,7 +593,7 @@ def _decode_segments(
             if restart_interval
             else n_total
         )
-        pred = {c["id"]: 0 for c in scan_comps}
+        preds = [0] * len(comps)
         acc = 0
         nbits = 0
         wi = 0
@@ -598,12 +605,11 @@ def _decode_segments(
             seg + b"\xff" * (pad + 16), dtype=">u4"
         ).tolist()
         for m in range(done, done + n_mcus):
-            for ci, c in enumerate(scan_comps):
-                dct = huff_dc[c["dc"]]
-                act = huff_ac[c["ac"]]
-                cid = c["id"]
-                keep = ci == 0  # luma only; chroma decoded just to advance
-                for b in range(c["hs"] * c["vs"]):
+            mb = m * nb
+            for ci, (dct, act, nblk, keep) in enumerate(comps):
+                pred = preds[ci]
+                for b in range(nblk):
+                    base = (mb + b) << 23
                     # DC symbol
                     if nbits < 16:
                         acc = ((acc << 32) | words[wi]) & M64
@@ -621,12 +627,12 @@ def _decode_segments(
                             nbits += 32
                         nbits -= size
                         v = (acc >> nbits) & ((1 << size) - 1)
-                        diff = v if v >= (1 << (size - 1)) else v - (1 << size) + 1
-                    else:
-                        diff = 0
-                    pred[cid] += diff
+                        pred += (
+                            v if v >= (1 << (size - 1))
+                            else v - (1 << size) + 1
+                        )
                     if keep:
-                        out.append(((m * nb + b) << 23) | (pred[cid] + 65536))
+                        append(base | (pred + 65536))
                     k = 1
                     while k < 64:
                         if nbits < 16:
@@ -657,8 +663,8 @@ def _decode_segments(
                         nbits -= size
                         v = (acc >> nbits) & ((1 << size) - 1)
                         if keep:
-                            out.append(
-                                ((m * nb + b) << 23)
+                            append(
+                                base
                                 | (k << 17)
                                 | (
                                     (v if v >= (1 << (size - 1))
@@ -667,6 +673,7 @@ def _decode_segments(
                                 )
                             )
                         k += 1
+                preds[ci] = pred
         done += n_mcus
     return out
 
