@@ -351,7 +351,7 @@ def q_pca_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PCA_SQL = f"""
     WITH q AS (
         SELECT vec_id, gs.d,
-               CAST(round(embedding[gs.d + 1] * {PCA_SCALE}) AS BIGINT) AS v
+               CAST(round(embedding[gs.d + 1]::DOUBLE * {PCA_SCALE}) AS BIGINT) AS v
         FROM embeddings,
              LATERAL (SELECT unnest(generate_series(0, len(embedding) - 1)) AS d) gs
     ), cells AS (

@@ -99,7 +99,7 @@ def q_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _eig_sql() -> str:
-    vi = "CAST(round(embedding[{i} + 1] * {s}) AS BIGINT)"
+    vi = "CAST(round(embedding[{i} + 1]::DOUBLE * {s}) AS BIGINT)"
     cols = ["count(*)::BIGINT AS n"]
     for i in range(EIG_D):
         cols.append(

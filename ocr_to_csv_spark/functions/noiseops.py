@@ -41,7 +41,7 @@ PPL_HOLD = 10  # doc_id % PPL_HOLD == 0 → held out
 
 
 def _vi_sql(i: int) -> str:
-    return f"CAST(round(embedding[{i + 1}] * {LN_SCALE}) AS BIGINT)"
+    return f"CAST(round(embedding[{i + 1}]::DOUBLE * {LN_SCALE}) AS BIGINT)"
 
 
 

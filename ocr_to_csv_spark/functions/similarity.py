@@ -971,7 +971,7 @@ def _kmeans_cte_chain() -> str:
     ctes = [
         f"""v AS (
             SELECT vec_id,
-                   list_transform(embedding, x -> CAST(round(x * {KM_SCALE}) AS BIGINT)) AS v
+                   list_transform(embedding, x -> CAST(round(x::DOUBLE * {KM_SCALE}) AS BIGINT)) AS v
             FROM embeddings
         )""",
         f"c0 AS (SELECT vec_id AS cid, v AS c FROM v WHERE vec_id < {KM_K})",
@@ -1235,7 +1235,7 @@ _SD_DIST = (
 ORACLES["semdedup"] = f"""
     WITH v AS (
         SELECT vec_id,
-               list_transform(embedding, x -> CAST(round(x * {KM_SCALE}) AS BIGINT)) AS v
+               list_transform(embedding, x -> CAST(round(x::DOUBLE * {KM_SCALE}) AS BIGINT)) AS v
         FROM embeddings
     ),
     c AS (SELECT vec_id AS cid, v AS c FROM v WHERE vec_id < {SD_K}),
@@ -1271,7 +1271,7 @@ ORACLES["semdedup"] = f"""
 _PQ_CTE = """
     WITH v AS (
         SELECT vec_id,
-               list_transform(embedding, x -> round(x * 1000)::BIGINT) AS v
+               list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS v
         FROM embeddings
     ),
     subs AS (
@@ -1426,7 +1426,7 @@ ORACLES["ann_recall"] = f"""
 _SQ_CTE = """
     WITH v AS (
         SELECT vec_id,
-               list_transform(embedding, x -> round(x * 1000)::BIGINT) AS v
+               list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS v
         FROM embeddings
     ),
     vrows AS (
@@ -1456,7 +1456,7 @@ ORACLES["sq_search"] = _SQ_CTE + """
     ),
     qs AS (
         SELECT vec_id AS query_id,
-               list_transform(embedding, x -> round(x * 1000)::BIGINT * 255) AS qv
+               list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT * 255) AS qv
         FROM embeddings WHERE vec_id < 10
     ),
     sims AS (
