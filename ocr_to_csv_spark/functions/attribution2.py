@@ -91,11 +91,11 @@ def _transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TRANS_SQL = """
     WITH base AS (
-        SELECT user_id, event_id, CAST(epoch(ts) AS BIGINT) AS sec,
+        SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS sec,
                CASE WHEN event_type = 'purchase' THEN 'CONV'
                     ELSE event_type END AS st,
                row_number() OVER (PARTITION BY user_id
-                                  ORDER BY CAST(epoch(ts) AS BIGINT),
+                                  ORDER BY floor(epoch(ts))::BIGINT,
                                            event_id) AS rn
         FROM events WHERE user_id IS NOT NULL
     ),

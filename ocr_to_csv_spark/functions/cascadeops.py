@@ -30,6 +30,8 @@ stable_matching) with diffusion + matching.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -211,8 +213,10 @@ def _py_greedy_matching(sf_dir: str) -> list[tuple[int, int]]:
     return sorted(out)
 
 
-def _staged_matching_gold(sf_dir: str = "/root/testdata/sf0.01") -> str:
-    import os
+def _staged_matching_gold(sf_dir: str | None = None) -> str:
+    sf_dir = sf_dir or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
 
     import pandas as pd
 

@@ -32,6 +32,8 @@ with the observational-matching step, and the curation family
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -242,8 +244,10 @@ def _py_max_coverage(sf_dir: str) -> list[tuple[int, int, int]]:
     return out
 
 
-def _staged_cover_gold(sf_dir: str = "/root/testdata/sf0.01") -> str:
-    import os
+def _staged_cover_gold(sf_dir: str | None = None) -> str:
+    sf_dir = sf_dir or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
 
     import pandas as pd
 
@@ -256,7 +260,10 @@ def _staged_cover_gold(sf_dir: str = "/root/testdata/sf0.01") -> str:
     return p
 
 
-def _cover_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+def _cover_oracle_sql(sf_dir: str | None = None) -> str:
+    sf_dir = sf_dir or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
     gold = _staged_cover_gold(sf_dir)
     return f"""
         SELECT rank::BIGINT AS rank, doc_id::BIGINT AS doc_id,

@@ -36,6 +36,8 @@ used on web-crawl near-dup graphs.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -252,8 +254,10 @@ def _py_dbscan(sf_dir: str) -> list[tuple[int, int, int]]:
     return out
 
 
-def _staged_dbscan_gold(sf_dir: str = "/root/testdata/sf0.01") -> str:
-    import os
+def _staged_dbscan_gold(sf_dir: str | None = None) -> str:
+    sf_dir = sf_dir or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
 
     import pandas as pd
 
@@ -266,7 +270,10 @@ def _staged_dbscan_gold(sf_dir: str = "/root/testdata/sf0.01") -> str:
     return p
 
 
-def _dbscan_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+def _dbscan_oracle_sql(sf_dir: str | None = None) -> str:
+    sf_dir = sf_dir or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
     gold = _staged_dbscan_gold(sf_dir)
     return f"""
         SELECT k::BIGINT AS k, cluster::BIGINT AS cluster,

@@ -28,6 +28,8 @@ Reference parity: no graph layer in the reference; extends luby_mis
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -195,8 +197,10 @@ def _py_jones_plassmann(sf_dir: str) -> list[tuple[int, int]]:
     return sorted(colors.items())
 
 
-def _staged_coloring_gold(sf_dir: str = "/root/testdata/sf0.01") -> str:
-    import os
+def _staged_coloring_gold(sf_dir: str | None = None) -> str:
+    sf_dir = sf_dir or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
 
     import pandas as pd
 

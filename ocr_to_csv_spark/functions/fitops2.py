@@ -53,8 +53,8 @@ def _intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _INTERVALS_SQL = """
     SELECT user_id,
-           CAST(epoch(ts) AS BIGINT) AS s,
-           CAST(epoch(ts) AS BIGINT) + (event_id % 7 + 1) * 60 AS en,
+           floor(epoch(ts))::BIGINT AS s,
+           floor(epoch(ts))::BIGINT + (event_id % 7 + 1) * 60 AS en,
            event_id % 13 + 1 AS w
     FROM events
 """

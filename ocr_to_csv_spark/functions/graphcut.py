@@ -34,6 +34,8 @@ decomposition, and gives the storage-planning counterpart to
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -184,8 +186,10 @@ def _py_truss(edges: set[tuple[int, int]], k: int) -> dict[tuple[int, int], int]
         cur = new
 
 
-def _staged_truss_gold(sf_dir: str = "/root/testdata/sf0.01") -> str:
-    import os
+def _staged_truss_gold(sf_dir: str | None = None) -> str:
+    sf_dir = sf_dir or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
 
     import pandas as pd
 
@@ -202,7 +206,10 @@ def _staged_truss_gold(sf_dir: str = "/root/testdata/sf0.01") -> str:
     return p
 
 
-def _truss_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+def _truss_oracle_sql(sf_dir: str | None = None) -> str:
+    sf_dir = sf_dir or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
     gold = _staged_truss_gold(sf_dir)
     return f"""
         SELECT lo::BIGINT AS lo, hi::BIGINT AS hi,

@@ -6,7 +6,8 @@ distributed engine must re-express as bounded join rounds.
 
 The hierarchy is synthesized deterministically from customer keys
 (parent(k) = k div 2, roots 0 and 1 — a binary-heap-shaped forest,
-depth ≤ 11 at any tested sf), so both engines derive identical
+depth = ⌊log₂ max_key⌋, derived from the data per run), so both
+engines derive identical
 structure from the same table; swap in a real parent column for
 production data.
 
@@ -20,7 +21,10 @@ Scale design (100 TB):
 - ``subtree_sums`` builds the ancestor CLOSURE (node → each of its
   ≤ depth ancestors) by plain per-hop iteration — O(n·depth) rows is
   the OUTPUT size, so doubling cannot beat it — then one join with the
-  measure and one groupBy. Exact integer cents.
+  measure and one groupBy. Exact integer cents. Round count comes
+  from the data (⌊log₂ max_key⌋ + 1, a 1-row aggregate), never a
+  constant: a fixed cap silently truncates once the table outgrows
+  it (caught by the sf0.1 gate, r4).
 - The DuckDB oracles are literal RECURSIVE CTEs — the semantics the
   distributed plans must reproduce.
 
@@ -37,7 +41,6 @@ from pyspark.sql import functions as F
 from .util import table
 
 DOUBLING_ROUNDS = 12  # resolves chains up to depth 4096
-CLOSURE_ROUNDS = 12   # ≥ max tree depth at any tested sf
 
 
 def _nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -91,13 +94,21 @@ def q_subtree_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per node: account-balance cents summed over its whole subtree
     (descendants + self) and the descendant count — ancestor closure,
     one measure join, one groupBy."""
+    import math
+
     n = _nodes(spark, sf_dir)
     self_pairs = n.select(
         F.col("node"), F.col("node").alias("anc")
     )
     pairs = self_pairs
     cur = self_pairs
-    for _ in range(CLOSURE_ROUNDS):
+    # rounds derived from the DATA, not a constant: depth of the heap
+    # forest is floor(log2(max key)) — a fixed bound silently truncates
+    # subtrees the moment the table outgrows it (this failed the sf0.1
+    # gate at depth 13 with the old CLOSURE_ROUNDS=12 cap)
+    mx = n.agg(F.max("node")).collect()[0][0] or 1
+    rounds = max(1, int(math.log2(max(mx, 1))) + 1)
+    for _ in range(rounds):
         cur = cur.filter(F.col("anc") >= 2).select(
             "node", F.expr("anc div 2").alias("anc")
         )

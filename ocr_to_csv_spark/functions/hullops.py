@@ -36,6 +36,8 @@ reduction operators; the reference's contour → bounding-box step
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -162,8 +164,10 @@ def _py_monotone_chain(points: set[tuple[int, int]]) -> set[tuple[int, int]]:
     return set(lower[:-1]) | set(upper[:-1])
 
 
-def _staged_hull_gold(sf_dir: str = "/root/testdata/sf0.01") -> str:
-    import os
+def _staged_hull_gold(sf_dir: str | None = None) -> str:
+    sf_dir = sf_dir or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
 
     import pandas as pd
 
@@ -181,7 +185,10 @@ def _staged_hull_gold(sf_dir: str = "/root/testdata/sf0.01") -> str:
     return p
 
 
-def _hull_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+def _hull_oracle_sql(sf_dir: str | None = None) -> str:
+    sf_dir = sf_dir or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
     gold = _staged_hull_gold(sf_dir)
     return f"""
         SELECT grp, x::BIGINT AS x, y::BIGINT AS y
@@ -317,8 +324,10 @@ def _py_dp(ys: list[int], eps: int) -> list[int]:
     return sorted(kept)
 
 
-def _staged_dp_gold(sf_dir: str = "/root/testdata/sf0.01") -> str:
-    import os
+def _staged_dp_gold(sf_dir: str | None = None) -> str:
+    sf_dir = sf_dir or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
 
     import pandas as pd
 
@@ -335,7 +344,10 @@ def _staged_dp_gold(sf_dir: str = "/root/testdata/sf0.01") -> str:
     return p
 
 
-def _dp_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+def _dp_oracle_sql(sf_dir: str | None = None) -> str:
+    sf_dir = sf_dir or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
     gold = _staged_dp_gold(sf_dir)
     return f"""
         SELECT user_id::BIGINT AS user_id, idx::BIGINT AS idx,

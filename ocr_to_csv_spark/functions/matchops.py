@@ -25,6 +25,8 @@ itself.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -249,7 +251,6 @@ def _py_gale_shapley(cand: dict) -> list[tuple]:
 def _staged_matching_gold(sf_dir: str) -> str:
     """Golden stable matching from the independent pure-Python
     implementation, staged per sf dir."""
-    import os
 
     import pandas as pd
 
@@ -263,7 +264,10 @@ def _staged_matching_gold(sf_dir: str) -> str:
     return p
 
 
-def _matching_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+def _matching_oracle_sql(sf_dir: str | None = None) -> str:
+    sf_dir = sf_dir or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
     gold = _staged_matching_gold(sf_dir)
     return f"""
         SELECT s_suppkey::BIGINT AS s_suppkey,

@@ -32,6 +32,8 @@ Borůvka) with the symmetry-breaking primitive, and the trend family
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -144,8 +146,10 @@ def _py_greedy_mis(sf_dir: str) -> list[tuple[int, int]]:
     return sorted((k, int(k in mis)) for k in adj)
 
 
-def _staged_mis_gold(sf_dir: str = "/root/testdata/sf0.01") -> str:
-    import os
+def _staged_mis_gold(sf_dir: str | None = None) -> str:
+    sf_dir = sf_dir or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
 
     import pandas as pd
 
@@ -158,7 +162,10 @@ def _staged_mis_gold(sf_dir: str = "/root/testdata/sf0.01") -> str:
     return p
 
 
-def _mis_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+def _mis_oracle_sql(sf_dir: str | None = None) -> str:
+    sf_dir = sf_dir or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
     gold = _staged_mis_gold(sf_dir)
     return f"""
         SELECT id::BIGINT AS id, in_mis::INT AS in_mis FROM '{gold}'

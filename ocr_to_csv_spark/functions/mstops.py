@@ -46,6 +46,8 @@ clustering IS the MSF cut at a threshold).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -170,6 +172,15 @@ def q_boruvka_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
         for _sweep in range(_CONTRACT_SWEEPS):
+            # hash-min sweep + ONE pointer jump (lbl := lbl[lbl]) per
+            # sweep: the jump makes distance-to-minimum at least halve
+            # each sweep, so fixpoint arrives in O(log diameter) sweeps
+            # instead of O(diameter). One ACTION per sweep (the change
+            # count materializes the persisted next label table) — the
+            # old per-sweep localCheckpoint + isEmpty pair cost 2-3
+            # full jobs each and dominated wall time at sf0.1 (433 s →
+            # the r4 fix; data here is component-sized, job overhead
+            # is the cost).
             nb = (
                 ce.join(
                     lbl.select(F.col("cid").alias("a"), F.col("lbl").alias("la")),
@@ -178,30 +189,44 @@ def q_boruvka_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .groupBy("b")
                 .agg(F.min("la").alias("mn"))
             )
-            new = (
+            stepped = (
                 lbl.join(nb, lbl.cid == nb.b, "left")
                 .select(
                     "cid",
+                    F.col("lbl").alias("old"),
                     F.least(
                         "lbl", F.coalesce("mn", F.col("lbl"))
-                    ).alias("lbl2"),
+                    ).alias("mid"),
                 )
-                .withColumnRenamed("lbl2", "lbl")
-                .localCheckpoint()
             )
-            changed = (
-                new.join(lbl.withColumnRenamed("lbl", "old"), "cid")
-                .filter(F.col("lbl") != F.col("old"))
+            jump = stepped.select(
+                F.col("cid").alias("jcid"), F.col("mid").alias("jlbl")
             )
-            done = changed.isEmpty()
-            lbl = new
-            if done:
+            new = (
+                stepped.join(jump, stepped.mid == jump.jcid, "left")
+                .select(
+                    "cid",
+                    "old",
+                    F.least(
+                        "mid", F.coalesce("jlbl", F.col("mid"))
+                    ).alias("lbl"),
+                )
+                .localCheckpoint(eager=False)  # lazy: the agg action
+                # below materializes it; truncates the lineage the
+                # per-sweep self-join would otherwise double
+            )
+            n_changed = new.agg(
+                F.sum((F.col("lbl") != F.col("old")).cast("long"))
+            ).collect()[0][0]
+            lbl = new.drop("old")
+            if not n_changed:
                 break
         comp = (
             comp.join(lbl, comp.comp == lbl.cid)
             .select("id", F.col("lbl").alias("comp"))
             .localCheckpoint()
         )
+
     assert msf is not None
     return msf.select(
         F.col("lo").cast("long").alias("lo"),
@@ -266,9 +291,11 @@ def _py_kruskal(weighted: list[tuple[int, int, int]]) -> list[tuple]:
     return sorted(out)
 
 
-def _staged_msf_gold(sf_dir: str = "/root/testdata/sf0.01") -> str:
+def _staged_msf_gold(sf_dir: str | None = None) -> str:
     """Golden MSF from the independent Kruskal, staged per sf dir."""
-    import os
+    sf_dir = sf_dir or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
 
     import pandas as pd
 
@@ -282,7 +309,10 @@ def _staged_msf_gold(sf_dir: str = "/root/testdata/sf0.01") -> str:
     return p
 
 
-def _msf_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+def _msf_oracle_sql(sf_dir: str | None = None) -> str:
+    sf_dir = sf_dir or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
     gold = _staged_msf_gold(sf_dir)
     return f"""
         SELECT lo::BIGINT AS lo, hi::BIGINT AS hi, w::BIGINT AS w

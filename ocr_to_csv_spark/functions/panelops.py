@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from .util import table
 
 NANO = 1_000_000_000
+FE_SCALE = 1_000  # fe_within within-moment scale: nano overflowed int64 sums at sf0.1 (r4)
 LRU_SIZES = (1, 2, 4, 8)
 
 
@@ -61,11 +62,11 @@ def q_fe_within(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # per-entity demeaned moments as nano-rounded rationals
     num_i = F.expr(
-        f"CAST(round(CAST(ni * sxy - sx * sy AS DOUBLE) / ni * {NANO}) "
+        f"CAST(round(CAST(ni * sxy - sx * sy AS DOUBLE) / ni * {FE_SCALE}) "
         "AS BIGINT)"
     )
     den_i = F.expr(
-        f"CAST(round(CAST(ni * sxx - sx * sx AS DOUBLE) / ni * {NANO}) "
+        f"CAST(round(CAST(ni * sxx - sx * sx AS DOUBLE) / ni * {FE_SCALE}) "
         "AS BIGINT)"
     )
     agg = per.agg(
@@ -168,9 +169,9 @@ agg AS (
     SELECT count(*)::BIGINT AS n_entities,
            sum(ni)::BIGINT AS n_obs,
            sum(CAST(round(CAST(ni * sxy - sx * sy AS DOUBLE) / ni
-               * {NANO}) AS BIGINT))::BIGINT AS wnum,
+               * {FE_SCALE}) AS BIGINT))::BIGINT AS wnum,
            sum(CAST(round(CAST(ni * sxx - sx * sx AS DOUBLE) / ni
-               * {NANO}) AS BIGINT))::BIGINT AS wden,
+               * {FE_SCALE}) AS BIGINT))::BIGINT AS wden,
            sum(sx)::BIGINT AS tx, sum(sy)::BIGINT AS ty,
            sum(sxy)::BIGINT AS txy, sum(sxx)::BIGINT AS txx
     FROM per

@@ -254,7 +254,7 @@ d AS (
 SELECT user_id::BIGINT AS user_id,
        count(*)::BIGINT AS n_events,
        max(cum)::BIGINT AS peak_cents,
-       max_by(cum, epoch(ts) * 1048576 + event_id)::BIGINT AS final_cents,
+       max_by(cum, floor(epoch(ts))::BIGINT * 1048576 + event_id)::BIGINT AS final_cents,
        max(dd)::BIGINT AS max_drawdown_cents
 FROM d
 GROUP BY user_id

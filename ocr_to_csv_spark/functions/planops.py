@@ -151,7 +151,7 @@ j AS (
                 ELSE
                     CASE WHEN m.layout = 'bucket' THEN
                              CASE WHEN w.key % {N_BUCKETS}
-                                       = CAST(epoch(m.pk) AS BIGINT)
+                                       = floor(epoch(m.pk))::BIGINT
                                   THEN 1 ELSE 0 END
                          ELSE 1 END
            END AS scanned

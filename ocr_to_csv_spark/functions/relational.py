@@ -1105,8 +1105,8 @@ ORACLES = {
     "sessionize": """
         WITH g AS (
             SELECT user_id, event_id, ts,
-                   CASE WHEN lag(epoch(ts)) OVER w IS NULL
-                             OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                   CASE WHEN lag(floor(epoch(ts))) OVER w IS NULL
+                             OR floor(epoch(ts)) - lag(floor(epoch(ts))) OVER w > 1800
                         THEN 1 ELSE 0 END AS new_sess
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)

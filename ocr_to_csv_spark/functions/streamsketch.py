@@ -243,9 +243,9 @@ folded AS (
 )
 SELECT user_id, n_events,
        len(fin)::BIGINT AS n_counters,
-       array_to_string(list_transform(list_sort(fin),
-           x -> (x // {P2})::VARCHAR || ':' || (x % {P2})::VARCHAR), ',')
-           AS counters
+       coalesce(array_to_string(list_transform(list_sort(fin),
+           x -> (x // {P2})::VARCHAR || ':' || (x % {P2})::VARCHAR), ','),
+           '') AS counters
 FROM folded
 ORDER BY user_id
 """

@@ -28,6 +28,8 @@ postings, prefix_autocomplete, bwt_rle/mtf_encode, bloom_fpr_audit.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -350,15 +352,19 @@ ORDER BY doc_id
 
 
 def _rs_oracle() -> str:
-    # n / total_ones are data constants; read them at oracle build the
-    # way the staged goldens do (sf0.01 — the gate's scale)
+    # n / total_ones are data constants; read them at oracle build from
+    # the gate's sf dir (SPARK_GRAFT_ORACLE_SF_DIR — the staged-gold
+    # convention; default sf0.01, the driver's scale)
     import duckdb
 
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
     con = duckdb.connect()
     n, ones = con.sql(
         "SELECT count(*), sum(CASE WHEN o_orderpriority = '1-URGENT' "
         "THEN 1 ELSE 0 END) FROM "
-        "'/root/testdata/sf0.01/orders.parquet'"
+        f"'{sf_dir}/orders.parquet'"
     ).fetchall()[0]
     con.close()
     return _rs_sql(int(n), int(ones))

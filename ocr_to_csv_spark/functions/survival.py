@@ -97,8 +97,8 @@ FROM per_t
 
 def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-rational difference-in-differences of event value (cents)
-    across treat (user parity) × post (calendar split): did =
-    did_num / did_den."""
+    across treat (user parity) × post (calendar split), as the exact
+    integer-milli contrast of per-cell means."""
     ev = table(spark, sf_dir, "events").select(
         (F.col("user_id") % 2 == 0).cast("int").alias("treat"),
         (F.col("ts") >= F.lit(DID_SPLIT_DAY)).cast("int").alias("post"),
@@ -115,16 +115,20 @@ def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[cell(t, p, F.lit(1)).alias(f"n{t}{p}")
           for t in (0, 1) for p in (0, 1)],
     )
+    # Per-cell exact milli-means, then the DiD contrast on those: the
+    # old cross-multiplied rational (s·n·n·n) overflows int64 once cell
+    # sums pass ~1e8 cents (caught by the sf0.1 gate, r4). s·1000 stays
+    # < 2^63 up to $9.2e12 per cell; values are non-negative so Spark
+    # `div` (truncate) == DuckDB `//` (floor) per cell.
+    mean = {
+        f"m{t}{p}": F.expr(f"(s{t}{p} * 1000) div n{t}{p}")
+        for t in (0, 1) for p in (0, 1)
+    }
     return agg.select(
         "s00", "s01", "s10", "s11", "n00", "n01", "n10", "n11",
         (
-            (F.col("s11") * F.col("n10") - F.col("s10") * F.col("n11"))
-            * F.col("n01") * F.col("n00")
-            - (F.col("s01") * F.col("n00") - F.col("s00") * F.col("n01"))
-            * F.col("n11") * F.col("n10")
-        ).alias("did_num"),
-        (F.col("n11") * F.col("n10") * F.col("n01") * F.col("n00"))
-        .alias("did_den"),
+            mean["m11"] - mean["m10"] - mean["m01"] + mean["m00"]
+        ).alias("did_milli"),
     )
 
 
@@ -151,9 +155,8 @@ a AS (
 SELECT s00::BIGINT AS s00, s01::BIGINT AS s01, s10::BIGINT AS s10,
        s11::BIGINT AS s11, n00::BIGINT AS n00, n01::BIGINT AS n01,
        n10::BIGINT AS n10, n11::BIGINT AS n11,
-       ((s11 * n10 - s10 * n11) * n01 * n00
-        - (s01 * n00 - s00 * n01) * n11 * n10)::BIGINT AS did_num,
-       (n11 * n10 * n01 * n00)::BIGINT AS did_den
+       ((s11 * 1000) // n11 - (s10 * 1000) // n10
+        - (s01 * 1000) // n01 + (s00 * 1000) // n00)::BIGINT AS did_milli
 FROM a
 """
 

@@ -2,11 +2,15 @@
 subquery), Q11 (group-HAVING against a global aggregate), Q16
 (distinct-supplier counts with an anti-joined exclusion list), Q20
 (nested semi-joins against a half-of-shipped-quantity threshold) —
-the four warehouse skeletons that need a ``partsupp`` table.
+the four warehouse skeletons that need a ``partsupp`` table, over a
+SECOND, independent partsupp derivation.
 
-The driver ships no partsupp parquet, so BOTH engines derive the same
-table from part × supplier with shared integer formulas (dbgen-style
-striping): for i ∈ 0..3,
+tpch4.py (batch 33) derives partsupp by aggregating lineitem — dense
+only where lineitem has coverage. This module derives it dbgen-STYLE
+from part × supplier striping, so every part carries exactly 4
+supplier rows regardless of order history (the real TPC-H density),
+and the four shapes exercise partsupp-cardinality joins even for
+never-ordered parts. Shared integer formulas: for i ∈ 0..3,
   ps_suppkey    = (p_partkey + i·(S div 4) + p_partkey div S) mod S
   ps_availqty   = (7·p_partkey + 13·i) mod 9999 + 1
   ps_cost_cents = (31·p_partkey + 17·i) mod 100000 + 100
@@ -336,14 +340,14 @@ _Q20_SQL = f"""
 
 
 QUERIES = {
-    "min_cost_supplier": q_min_cost_supplier,
+    "min_cost_supplier_str": q_min_cost_supplier,
     "value_share": q_value_share,
     "parts_supplier_cnt": q_parts_supplier_cnt,
     "excess_stock_suppliers": q_excess_stock_suppliers,
 }
 
 ORACLES = {
-    "min_cost_supplier": _Q2_SQL,
+    "min_cost_supplier_str": _Q2_SQL,
     "value_share": _Q11_SQL,
     "parts_supplier_cnt": _Q16_SQL,
     "excess_stock_suppliers": _Q20_SQL,

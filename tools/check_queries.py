@@ -40,11 +40,15 @@ def _norm(df):
 def main():
     import duckdb
 
-    import __spark_entry__ as entrymod
-    from ocr_to_csv_spark.session import get_spark
-
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # staged-gold oracles (pure-python goldens written per sf dir) bind
+    # their sf at import time — point them at the gate's sf BEFORE the
+    # entry module loads, or they silently compare against sf0.01 golds
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
+
+    import __spark_entry__ as entrymod
+    from ocr_to_csv_spark.session import get_spark
 
     spark = get_spark("check_queries")
     con = duckdb.connect()
