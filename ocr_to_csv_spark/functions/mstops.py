@@ -15,16 +15,16 @@ Scale design (100 TB):
   (2) drop intra-component edges,
   (3) per-component minimum outgoing edge via groupBy-min on the
       (w, lo, hi) struct — map-side partial agg, never all-pairs,
-  (4) contract: hash-min label propagation TO FIXPOINT on the
-      component multigraph induced by the selected edges. That graph
-      has at most one edge per live component, so it is
-      component-count-sized — geometrically shrinking — and the
-      fixpoint loop (one keyed join + one groupBy per sweep, change
-      detection via a left-anti-style inequality join) costs
-      O(diameter of the selected pseudo-forest) sweeps on a structure
-      whose size halves every outer round. ``localCheckpoint`` after
-      every labels/msf update truncates lineage exactly as in
-      ``connected_components`` (textops.py).
+  (4) contract: hash-min label propagation WITH ONE POINTER JUMP
+      (lbl := min(lbl, lbl[lbl])) per sweep on the component
+      multigraph induced by the selected edges — the jump at least
+      halves the distance-to-minimum each sweep, so the fixpoint
+      arrives in O(log diameter) sweeps instead of O(diameter). The
+      graph has at most one edge per live component (component-count-
+      sized, geometrically shrinking); change detection is ONE
+      1-row agg per sweep. Loop state severs through parquet scratch
+      staging (``_stage``), not ``localCheckpoint`` — see _stage's
+      docstring for the measured checkpoint pathology this avoids.
   The strict total order (w, lo, hi) makes edge weights effectively
   distinct, so the MSF is UNIQUE (standard exchange argument) and an
   independent pure-Python Kruskal with union-find is a bit-exact
@@ -112,17 +112,54 @@ _MIN_INCIDENT_SQL = (
 )
 
 
+
+def _stage(df: DataFrame, tag: str) -> DataFrame:
+    """Materialize loop state to a parquet scratch dir and read it back
+    — the segment-staging idiom from the extraction pipeline. In this
+    Spark build, chained ``localCheckpoint`` materialization jobs grow
+    super-linearly across Borůvka's checkpoint generations (measured
+    1.6 s → 6.2 s → 63 s per call at sf0.1 while every other job stayed
+    milliseconds), so iterative state is severed through the
+    filesystem instead: constant cost per round, and the production
+    analogue is an Iceberg scratch table anyway."""
+    import shutil
+    import tempfile
+
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=f"ocr2csv_msf_{tag}_")
+    df.write.mode("overwrite").parquet(d)
+    out = df.sparkSession.read.parquet(d)
+    _SCRATCH_GENS[-1].append(d)
+    return out
+
+
+def _new_scratch_gen() -> None:
+    """Start a staging generation; drop all but the previous one (its
+    result DataFrame may still be consumed — the pipeline's
+    previous-results-stay-readable window)."""
+    import shutil
+
+    while len(_SCRATCH_GENS) > 1:
+        for d in _SCRATCH_GENS.pop(0):
+            shutil.rmtree(d, ignore_errors=True)
+    _SCRATCH_GENS.append([])
+
+
+_SCRATCH_GENS: list[list[str]] = [[]]
+
+
 def q_boruvka_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Borůvka minimum spanning forest (module docstring).
     Unique under the strict (w, lo, hi) order; golden-oracled by an
     independent pure-Python Kruskal."""
-    e = _weighted_edges(spark, sf_dir).localCheckpoint()
-    comp = (
+    e = _stage(_weighted_edges(spark, sf_dir), "e")
+    comp = _stage(
         e.select(F.col("lo").alias("id"))
         .unionByName(e.select(F.col("hi").alias("id")))
         .distinct()
-        .select("id", F.col("id").alias("comp"))
-        .localCheckpoint()
+        .select("id", F.col("id").alias("comp")),
+        "comp",
     )
     msf: DataFrame | None = None
     for _ in range(MSF_ROUNDS):
@@ -143,33 +180,35 @@ def q_boruvka_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand = ec.select(F.col("clo").alias("c"), pick.alias("e")).unionByName(
             ec.select(F.col("chi").alias("c"), pick.alias("e"))
         )
-        sel = (
+        sel = _stage(
             cand.groupBy("c")
             .agg(F.min("e").alias("m"))
             .select("m.*")
-            .distinct()
-            .localCheckpoint()
+            .distinct(),
+            "sel",
         )
         if sel.isEmpty():
             break
         picked = sel.select("lo", "hi", "w")
-        msf = (
+        msf = _stage(
             picked
             if msf is None
-            else msf.unionByName(picked).distinct()
-        ).localCheckpoint()
+            else msf.unionByName(picked).distinct(),
+            "msf",
+        )
         # Contract: hash-min to fixpoint on the component multigraph.
         ce = sel.select(F.col("clo").alias("a"), F.col("chi").alias("b"))
-        ce = (
-            ce.unionByName(ce.select(F.col("b").alias("a"), F.col("a").alias("b")))
-            .distinct()
-            .localCheckpoint()
+        ce = _stage(
+            ce.unionByName(
+                ce.select(F.col("b").alias("a"), F.col("a").alias("b"))
+            ).distinct(),
+            "ce",
         )
-        lbl = (
+        lbl = _stage(
             comp.select(F.col("comp").alias("cid"))
             .distinct()
-            .select("cid", F.col("cid").alias("lbl"))
-            .localCheckpoint()
+            .select("cid", F.col("cid").alias("lbl")),
+            "lbl",
         )
         for _sweep in range(_CONTRACT_SWEEPS):
             # hash-min sweep + ONE pointer jump (lbl := lbl[lbl]) per
@@ -211,20 +250,20 @@ def q_boruvka_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "mid", F.coalesce("jlbl", F.col("mid"))
                     ).alias("lbl"),
                 )
-                .localCheckpoint(eager=False)  # lazy: the agg action
-                # below materializes it; truncates the lineage the
-                # per-sweep self-join would otherwise double
             )
+            if _sweep % 2 == 1:  # sever every 2nd sweep: plan depth
+                # stays <= 2 self-join doublings, half the write jobs
+                new = _stage(new, "lblswp")
             n_changed = new.agg(
                 F.sum((F.col("lbl") != F.col("old")).cast("long"))
             ).collect()[0][0]
             lbl = new.drop("old")
             if not n_changed:
                 break
-        comp = (
+        comp = _stage(
             comp.join(lbl, comp.comp == lbl.cid)
-            .select("id", F.col("lbl").alias("comp"))
-            .localCheckpoint()
+            .select("id", F.col("lbl").alias("comp")),
+            "comp",
         )
 
     assert msf is not None
