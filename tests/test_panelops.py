@@ -19,7 +19,7 @@ def _read(name, cols):
 
 
 def test_fe_within_matches_python(spark):
-    from ocr_to_csv_spark.functions.panelops import q_fe_within
+    from ocr_to_csv_spark.functions.panelops import FE_SCALE, q_fe_within
 
     o = _read("orders", ["o_orderkey", "o_custkey", "o_totalprice"])
     li = _read("lineitem", ["l_orderkey"])
@@ -35,8 +35,8 @@ def test_fe_within_matches_python(spark):
         sx, sy = int(g.x.sum()), int(g.y.sum())
         sxy = int((g.x * g.y).sum())
         sxx = int((g.x * g.x).sum())
-        wnum += round((ni * sxy - sx * sy) / ni * NANO)
-        wden += round((ni * sxx - sx * sx) / ni * NANO)
+        wnum += round((ni * sxy - sx * sy) / ni * FE_SCALE)
+        wden += round((ni * sxx - sx * sx) / ni * FE_SCALE)
         tx += sx
         ty += sy
         txy += sxy

@@ -53,4 +53,5 @@ def test_diff_in_diff_hand_computed(spark, tmp_path):
     assert (r["s00"], r["s01"], r["s10"], r["s11"]) == (300, 400, 100, 800)
     assert (r["n00"], r["n01"], r["n10"], r["n11"]) == (2, 1, 1, 2)
     # did = (800/2 − 100/1) − (400/1 − 300/2) = 300 − 250 = 50 cents
-    assert r["did_num"] / r["did_den"] == 50.0
+    # = 50000 exact integer milli-cents (per-cell means are exact here)
+    assert r["did_milli"] == 50_000
