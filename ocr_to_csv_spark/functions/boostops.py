@@ -34,7 +34,15 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .textops import QC_BIAS, QC_BUCKETS, _qc_weight
-from .util import DUCK_HEX32, DUCK_TOKENS, hex32, table, tokens
+from .util import (
+    DUCK_HEX32,
+    DUCK_TOKENS,
+    hex32,
+    scratch_new_gen,
+    scratch_stage,
+    table,
+    tokens,
+)
 
 PL_LAYERS = 4
 LN_THRESHOLDS = (30, 40, 50, 60, 70)
@@ -56,8 +64,10 @@ def q_pareto_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     maximization (module doc): (custkey, spend, cnt, layer)."""
     remaining = _profiles(spark, sf_dir)
     outs = []
+    scratch_new_gen("pareto")
     for layer in range(1, PL_LAYERS + 1):
-        remaining = remaining.localCheckpoint(eager=True)
+        # scratch staging, not localCheckpoint: see util.scratch_stage
+        remaining = scratch_stage(remaining, "pareto")
         wafter = (
             Window.orderBy("spend")
             .rangeBetween(1, Window.unboundedFollowing)

@@ -91,27 +91,69 @@ def _sw_col(xa: Column, xb: Column) -> Column:
 
 def q_smith_waterman(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local-alignment score for each brand-blocked adjacent part-name
-    pair (module doc): (p_brand, key_a, key_b, len_a, len_b, sw)."""
+    pair (module doc): (p_brand, key_a, key_b, len_a, len_b, sw).
+
+    The O(m·n) DP per pair runs in an Arrow-batched ``mapInPandas``
+    stage: the Catalyst nested-fold form (``_sw_col``, kept for the
+    property tests) concatenates the flattened H matrix per cell —
+    O((mn)²) interpreted copying, 34 s at sf0.1 vs ~2 s here. Pairing
+    stays JVM-side (brand window); integer-exact recurrence identical
+    to the fold and the DuckDB oracle."""
     p = table(spark, sf_dir, "part")
     w = Window.partitionBy("p_brand").orderBy("p_partkey")
     pairs = (
         p.select(
             "p_brand",
             F.col("p_partkey").cast("long").alias("key_a"),
-            F.col("p_name").alias("name_a"),
+            F.substring("p_name", 1, SW_MAXLEN).alias("name_a"),
             F.lead("p_partkey").over(w).cast("long").alias("key_b"),
-            F.lead("p_name").over(w).alias("name_b"),
+            F.substring(
+                F.lead("p_name").over(w), 1, SW_MAXLEN
+            ).alias("name_b"),
         )
         .filter(F.col("key_b").isNotNull())
     )
-    xa, xb = _codes(F.col("name_a")), _codes(F.col("name_b"))
-    return pairs.select(
-        "p_brand",
-        "key_a",
-        "key_b",
-        F.size(xa).cast("long").alias("len_a"),
-        F.size(xb).cast("long").alias("len_b"),
-        _sw_col(xa, xb).alias("sw"),
+
+    def sw_batch(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            sws, las, lbs = [], [], []
+            for a, b in zip(pdf["name_a"], pdf["name_b"]):
+                xa = [ord(c) for c in a]
+                xb = [ord(c) for c in b]
+                las.append(len(xa))
+                lbs.append(len(xb))
+                prev = [0] * (len(xb) + 1)
+                best = 0
+                for av in xa:
+                    row = [0]
+                    for c, bv in enumerate(xb, 1):
+                        s_ = SW_MATCH if av == bv else SW_MISMATCH
+                        v = max(
+                            0, prev[c - 1] + s_, prev[c] + SW_GAP,
+                            row[-1] + SW_GAP,
+                        )
+                        row.append(v)
+                        if v > best:
+                            best = v
+                    prev = row
+                sws.append(best)
+            yield pd.DataFrame(
+                {
+                    "p_brand": pdf["p_brand"],
+                    "key_a": pdf["key_a"],
+                    "key_b": pdf["key_b"],
+                    "len_a": las,
+                    "len_b": lbs,
+                    "sw": sws,
+                }
+            )
+
+    return pairs.mapInPandas(
+        sw_batch,
+        "p_brand string, key_a long, key_b long, len_a long, len_b long,"
+        " sw long",
     ).orderBy("p_brand", "key_a")
 
 

@@ -52,6 +52,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .linkpred import _EDGES_SQL, _undirected_edges
+from .util import scratch_new_gen, scratch_stage
 
 MSF_ROUNDS = 24  # > log2(max component count) at any test sf
 _CONTRACT_SWEEPS = 40  # fixpoint guard; loop exits on no-change
@@ -113,48 +114,12 @@ _MIN_INCIDENT_SQL = (
 
 
 
-def _stage(df: DataFrame, tag: str) -> DataFrame:
-    """Materialize loop state to a parquet scratch dir and read it back
-    — the segment-staging idiom from the extraction pipeline. In this
-    Spark build, chained ``localCheckpoint`` materialization jobs grow
-    super-linearly across Borůvka's checkpoint generations (measured
-    1.6 s → 6.2 s → 63 s per call at sf0.1 while every other job stayed
-    milliseconds), so iterative state is severed through the
-    filesystem instead: constant cost per round, and the production
-    analogue is an Iceberg scratch table anyway."""
-    import shutil
-    import tempfile
-
-    import tempfile
-
-    d = tempfile.mkdtemp(prefix=f"ocr2csv_msf_{tag}_")
-    df.write.mode("overwrite").parquet(d)
-    out = df.sparkSession.read.parquet(d)
-    _SCRATCH_GENS[-1].append(d)
-    return out
-
-
-def _new_scratch_gen() -> None:
-    """Start a staging generation; drop all but the previous one (its
-    result DataFrame may still be consumed — the pipeline's
-    previous-results-stay-readable window)."""
-    import shutil
-
-    while len(_SCRATCH_GENS) > 1:
-        for d in _SCRATCH_GENS.pop(0):
-            shutil.rmtree(d, ignore_errors=True)
-    _SCRATCH_GENS.append([])
-
-
-_SCRATCH_GENS: list[list[str]] = [[]]
-
-
 def q_boruvka_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Borůvka minimum spanning forest (module docstring).
     Unique under the strict (w, lo, hi) order; golden-oracled by an
     independent pure-Python Kruskal."""
-    e = _stage(_weighted_edges(spark, sf_dir), "e")
-    comp = _stage(
+    e = scratch_stage(_weighted_edges(spark, sf_dir), "e")
+    comp = scratch_stage(
         e.select(F.col("lo").alias("id"))
         .unionByName(e.select(F.col("hi").alias("id")))
         .distinct()
@@ -180,7 +145,7 @@ def q_boruvka_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand = ec.select(F.col("clo").alias("c"), pick.alias("e")).unionByName(
             ec.select(F.col("chi").alias("c"), pick.alias("e"))
         )
-        sel = _stage(
+        sel = scratch_stage(
             cand.groupBy("c")
             .agg(F.min("e").alias("m"))
             .select("m.*")
@@ -190,7 +155,7 @@ def q_boruvka_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
         if sel.isEmpty():
             break
         picked = sel.select("lo", "hi", "w")
-        msf = _stage(
+        msf = scratch_stage(
             picked
             if msf is None
             else msf.unionByName(picked).distinct(),
@@ -198,13 +163,13 @@ def q_boruvka_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # Contract: hash-min to fixpoint on the component multigraph.
         ce = sel.select(F.col("clo").alias("a"), F.col("chi").alias("b"))
-        ce = _stage(
+        ce = scratch_stage(
             ce.unionByName(
                 ce.select(F.col("b").alias("a"), F.col("a").alias("b"))
             ).distinct(),
             "ce",
         )
-        lbl = _stage(
+        lbl = scratch_stage(
             comp.select(F.col("comp").alias("cid"))
             .distinct()
             .select("cid", F.col("cid").alias("lbl")),
@@ -253,14 +218,14 @@ def q_boruvka_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             if _sweep % 2 == 1:  # sever every 2nd sweep: plan depth
                 # stays <= 2 self-join doublings, half the write jobs
-                new = _stage(new, "lblswp")
+                new = scratch_stage(new, "lblswp")
             n_changed = new.agg(
                 F.sum((F.col("lbl") != F.col("old")).cast("long"))
             ).collect()[0][0]
             lbl = new.drop("old")
             if not n_changed:
                 break
-        comp = _stage(
+        comp = scratch_stage(
             comp.join(lbl, comp.comp == lbl.cid)
             .select("id", F.col("lbl").alias("comp")),
             "comp",

@@ -32,6 +32,40 @@ def table(spark, sf_dir: str, name: str, spread: bool = False):
     return df
 
 
+_SCRATCH_GENS: dict[str, list[list[str]]] = {}
+
+
+def scratch_stage(df, tag: str):
+    """Materialize iterative loop state to a parquet scratch dir and
+    read it back — the extraction pipeline's segment-staging idiom. In
+    this Spark build, chained ``localCheckpoint`` materialization jobs
+    grow super-linearly across checkpoint generations (measured 1.6 s →
+    6.2 s → 63 s per call in boruvka_msf at sf0.1, driver spinning in
+    Catalyst stats estimation), so loop state severs through the
+    filesystem: constant cost per round; the production analogue is an
+    Iceberg scratch table. Dirs are generation-scoped per ``tag``:
+    call ``scratch_new_gen(tag)`` at the top of each query invocation —
+    all generations but the previous one are deleted (its result
+    DataFrame may still be consumed by the caller)."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=f"ocr2csv_stage_{tag}_")
+    df.write.mode("overwrite").parquet(d)
+    out = df.sparkSession.read.parquet(d)
+    _SCRATCH_GENS.setdefault(tag, [[]])[-1].append(d)
+    return out
+
+
+def scratch_new_gen(tag: str) -> None:
+    import shutil
+
+    gens = _SCRATCH_GENS.setdefault(tag, [[]])
+    while len(gens) > 1:
+        for d in gens.pop(0):
+            shutil.rmtree(d, ignore_errors=True)
+    gens.append([])
+
+
 def global_seq(df, order_cols: list[str], out: str = "seq"):
     """Distributed global row_number over a total-order key WITHOUT a
     single-partition window: range-partition on the key, count rows per
