@@ -41,10 +41,23 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .util import table
+from .util import hash_min_fixpoint, scratch_new_gen, table
 
-EPS2 = 900  # ε = 30, squared
+EPS2_BASE = 900   # ε² at the 1500-customer reference scale (ε = 30)
+EPS2_REF_N = 1500  # reference customer count
 CELL = 30   # grid edge — must be ≥ ε so 3×3 neighbors cover
+
+
+def _eps2(n: int) -> int:
+    """Density-adaptive ε²: the synthetic blobs keep a FIXED footprint
+    while the point count grows with sf, so a fixed ε made the
+    neighbor count — and the ε-pair count — grow linearly with n
+    (40M pairs at sf0.1, r4 gate). Shrinking ε² as 1/n keeps
+    neighbors-per-point (and total pair count) roughly constant:
+    identical to the old constant at the 1500-customer sf0.01 gate
+    scale. Integer division — bit-identical in Spark, DuckDB and the
+    python golden."""
+    return max(1, (EPS2_BASE * EPS2_REF_N) // n)
 MINPTS = 5  # |N_ε(p)| ≥ minPts, self included
 _CC_SWEEPS = 40  # fixpoint guard; loop exits on no-change
 
@@ -79,6 +92,7 @@ def _eps_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All ordered (a, b) point pairs with dist² ≤ ε² (a = b included)
     via the 3×3 grid equi-join — never an all-pairs cross."""
     pts = _points(spark, sf_dir)
+    eps2 = _eps2(pts.count())
     offs = F.expr("sequence(-1, 1)")
     probe = (
         pts.select(
@@ -101,7 +115,7 @@ def _eps_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         probe.join(build, ["cell_x", "cell_y"])
-        .filter(d2 <= EPS2)
+        .filter(d2 <= eps2)
         .select("a", "b")
     )
 
@@ -125,7 +139,9 @@ WITH pts AS ({_POINTS_SQL})
 SELECT p.k, count(*)::BIGINT AS n_nbrs,
        CASE WHEN count(*) >= {MINPTS} THEN 1 ELSE 0 END AS is_core
 FROM pts p, pts q
-WHERE (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y) <= {EPS2}
+WHERE (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y)
+      <= greatest(900 * 1500
+                  // (SELECT count(*) FROM customer), 1)
 GROUP BY p.k
 """
 
@@ -148,33 +164,11 @@ def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b")
         .localCheckpoint()
     )
-    lbl = core.select(F.col("k").alias("id"), F.col("k").alias("lbl"))
-    for _ in range(_CC_SWEEPS):
-        nb = (
-            cc_edges.join(
-                lbl.select(F.col("id").alias("a"), F.col("lbl").alias("la")),
-                "a",
-            )
-            .groupBy("b")
-            .agg(F.min("la").alias("mn"))
-        )
-        new = (
-            lbl.join(nb, lbl.id == nb.b, "left")
-            .select(
-                "id",
-                F.least("lbl", F.coalesce("mn", F.col("lbl"))).alias("l2"),
-            )
-            .withColumnRenamed("l2", "lbl")
-            .localCheckpoint()
-        )
-        done = (
-            new.join(lbl.withColumnRenamed("lbl", "old"), "id")
-            .filter(F.col("lbl") != F.col("old"))
-            .isEmpty()
-        )
-        lbl = new
-        if done:
-            break
+    lbl = core.select(F.col("k").alias("cid"), F.col("k").alias("lbl"))
+    scratch_new_gen("dbscan")
+    lbl = hash_min_fixpoint(cc_edges, lbl, "dbscan", _CC_SWEEPS).select(
+        F.col("cid").alias("id"), "lbl"
+    )
     pts = _points(spark, sf_dir).select("k")
     core_lbl = lbl.select(F.col("id").alias("k"), F.col("lbl").alias("cluster"))
     # border: non-core with ≥1 core neighbor → min core-neighbor label
@@ -209,6 +203,7 @@ def _py_dbscan(sf_dir: str) -> list[tuple[int, int, int]]:
     keys = pd.concat(
         [pd.read_parquet(f, columns=["c_custkey"]) for f in files]
     )["c_custkey"].astype(int).tolist()
+    eps2 = _eps2(len(keys))
     pts = {}
     for k in keys:
         if k % 17 == 0:
@@ -220,7 +215,7 @@ def _py_dbscan(sf_dir: str) -> list[tuple[int, int, int]]:
     items = sorted(pts.items())
     for i, (ka, (xa, ya)) in enumerate(items):
         for kb, (xb, yb) in items[i:]:
-            if (xa - xb) ** 2 + (ya - yb) ** 2 <= EPS2:
+            if (xa - xb) ** 2 + (ya - yb) ** 2 <= eps2:
                 nbrs[ka].append(kb)
                 if ka != kb:
                     nbrs[kb].append(ka)

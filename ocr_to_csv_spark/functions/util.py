@@ -66,6 +66,50 @@ def scratch_new_gen(tag: str) -> None:
     gens.append([])
 
 
+def hash_min_fixpoint(edges, labels, tag: str, max_sweeps: int = 40):
+    """Hash-min label propagation to fixpoint over a symmetric edge
+    list — the contraction/connected-components inner loop. Per sweep:
+    one keyed join + min-agg (the hash-min step), then ONE pointer jump
+    (lbl := min(lbl, lbl[lbl])) so distance-to-minimum at least halves
+    — fixpoint in O(log diameter) sweeps instead of O(diameter). Change
+    detection is a single 1-row agg per sweep, and state severs through
+    ``scratch_stage`` every second sweep (see its docstring for the
+    localCheckpoint pathology this avoids). ``edges``: (a, b) both
+    directions; ``labels``: (cid, lbl), already staged/cheap to
+    recompute. Returns the fixpoint (cid, lbl)."""
+    for sweep in range(max_sweeps):
+        nb = (
+            edges.join(
+                labels.select(F.col("cid").alias("a"), F.col("lbl").alias("la")),
+                "a",
+            )
+            .groupBy("b")
+            .agg(F.min("la").alias("mn"))
+        )
+        stepped = labels.join(nb, labels.cid == nb.b, "left").select(
+            "cid",
+            F.col("lbl").alias("old"),
+            F.least("lbl", F.coalesce("mn", F.col("lbl"))).alias("mid"),
+        )
+        jump = stepped.select(
+            F.col("cid").alias("jcid"), F.col("mid").alias("jlbl")
+        )
+        new = stepped.join(jump, stepped.mid == jump.jcid, "left").select(
+            "cid",
+            "old",
+            F.least("mid", F.coalesce("jlbl", F.col("mid"))).alias("lbl"),
+        )
+        if sweep % 2 == 1:
+            new = scratch_stage(new, tag)
+        n_changed = new.agg(
+            F.sum((F.col("lbl") != F.col("old")).cast("long"))
+        ).collect()[0][0]
+        labels = new.drop("old")
+        if not n_changed:
+            break
+    return labels
+
+
 def global_seq(df, order_cols: list[str], out: str = "seq"):
     """Distributed global row_number over a total-order key WITHOUT a
     single-partition window: range-partition on the key, count rows per

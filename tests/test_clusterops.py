@@ -38,8 +38,8 @@ def test_core_counts_vs_bruteforce(spark):
     """Grid-join neighbor counts equal the brute-force counts — the
     3×3 cover loses no pair."""
     from ocr_to_csv_spark.functions.clusterops import (
-        EPS2,
         MINPTS,
+        _eps2,
         q_dbscan_core,
     )
     import glob
@@ -63,7 +63,7 @@ def test_core_counts_vs_bruteforce(spark):
         k: sum(
             1
             for (x2, y2) in pts.values()
-            if (x - x2) ** 2 + (y - y2) ** 2 <= EPS2
+            if (x - x2) ** 2 + (y - y2) ** 2 <= _eps2(len(keys))
         )
         for k, (x, y) in pts.items()
     }
