@@ -185,16 +185,41 @@ def _corpus_dir() -> str:
 
 def _stage_tag(*modules) -> str:
     """Content hash folded into every staged-fixture filename: hashes
-    the provider module source AND this file, so a synth/golden-formula
-    change regenerates the staging instead of silently comparing
-    against stale /tmp goldens even when the manual *_STAGE_V bump is
-    forgotten (ADVICE r3). Falls back to module names when source is
-    unreadable (zipimport deploy)."""
+    the provider module source AND this file AND the shared decode
+    substrate (imaging codecs + archive/audio/video parsers) every
+    staged fixture transitively depends on, so a synth/golden-formula
+    OR codec change regenerates the staging instead of silently
+    comparing against stale /tmp goldens even when the manual
+    *_STAGE_V bump is forgotten (ADVICE r3, r4). Falls back to module
+    names when source is unreadable (zipimport deploy)."""
     import hashlib
     import inspect
 
+    from ocr_to_csv_spark.extraction import audio as _dep_audio
+    from ocr_to_csv_spark.extraction import video as _dep_video
+    from ocr_to_csv_spark.imaging import codecs as _dep_codecs
+    from ocr_to_csv_spark.imaging import gif as _dep_gif
+    from ocr_to_csv_spark.imaging import jpeg as _dep_jpeg
+    from ocr_to_csv_spark.imaging import netpbm as _dep_netpbm
+    from ocr_to_csv_spark.imaging import png as _dep_png
+    from ocr_to_csv_spark.imaging import simple_formats as _dep_simple
+    from ocr_to_csv_spark.imaging import webp as _dep_webp
+    from ocr_to_csv_spark.sources import archive as _dep_archive
+
+    transitive = (
+        _dep_codecs,
+        _dep_jpeg,
+        _dep_png,
+        _dep_gif,
+        _dep_webp,
+        _dep_netpbm,
+        _dep_simple,
+        _dep_audio,
+        _dep_video,
+        _dep_archive,
+    )
     h = hashlib.md5()
-    for m in modules:
+    for m in (*modules, *transitive):
         try:
             h.update(inspect.getsource(m).encode())
         except (OSError, TypeError):

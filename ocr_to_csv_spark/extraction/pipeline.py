@@ -442,6 +442,7 @@ def extract(
     media: DataFrame,
     aliases: DataFrame,
     shuffle_partitions: int | None = None,
+    _salt_granularity: str = "cell",
 ) -> dict[str, DataFrame]:
     """Run the full pipeline; returns {'spans', 'rows', 'quarantine'} DataFrames.
 
@@ -512,9 +513,12 @@ def extract(
     # mega page fans out across tasks before the OCR-heavy stage (§4.3),
     # and the staged files inherit that layout.
     salt_cols = ("doc_id", "offset", "row")
-    if os.environ.get("SPARK_GRAFT_CELL_SALT") == "doc":
-        # benchmark counterfactual ONLY (tools/skew_bench.py): document-
-        # granularity distribution, which a mega-document straggles
+    if _salt_granularity == "doc":
+        # benchmark counterfactual ONLY (tools/skew_bench.py passes this
+        # explicitly): document-granularity distribution, which a
+        # mega-document straggles. An explicit parameter, not an env var,
+        # so no stray deployment setting can silently degrade the salt
+        # (ADVICE r4).
         salt_cols = ("doc_id",)
     seg = seg.repartition(py_factor * n_part, *salt_cols)
     stage_dir = tempfile.mkdtemp(prefix="ocr2csv_seg_stage_")

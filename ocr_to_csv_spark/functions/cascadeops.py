@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from .graphtext import _edges
 from .linkpred import _EDGES_SQL, _undirected_edges
-from .util import DUCK_HEX32, hex32, table
+from .util import gold_tag, DUCK_HEX32, hex32, table
 
 CASCADE_R = 3  # propagation rounds
 SEED_MOD = 97  # id % SEED_MOD == 0 seeds the cascade
@@ -220,7 +220,7 @@ def _staged_matching_gold(sf_dir: str | None = None) -> str:
 
     import pandas as pd
 
-    tag = os.path.basename(sf_dir.rstrip("/")) or "default"
+    tag = gold_tag(sf_dir, __name__)
     p = f"/tmp/ocr2csv_matching_gold_{tag}.parquet"
     if not os.path.exists(p):
         pd.DataFrame(

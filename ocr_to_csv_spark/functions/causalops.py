@@ -37,7 +37,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .util import table
+from .util import gold_tag, table
 
 CALIPER = 50  # max |score difference| for a valid match
 K_COVER = 8
@@ -251,7 +251,7 @@ def _staged_cover_gold(sf_dir: str | None = None) -> str:
 
     import pandas as pd
 
-    tag = os.path.basename(sf_dir.rstrip("/")) or "default"
+    tag = gold_tag(sf_dir, __name__)
     p = f"/tmp/ocr2csv_cover_gold_{tag}.parquet"
     if not os.path.exists(p):
         pd.DataFrame(

@@ -41,7 +41,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .util import hash_min_fixpoint, scratch_new_gen, table
+from .util import gold_tag, hash_min_fixpoint, scratch_new_gen, table
 
 EPS2_BASE = 900   # ε² at the 1500-customer reference scale (ε = 30)
 EPS2_REF_N = 1500  # reference customer count
@@ -256,7 +256,7 @@ def _staged_dbscan_gold(sf_dir: str | None = None) -> str:
 
     import pandas as pd
 
-    tag = os.path.basename(sf_dir.rstrip("/")) or "default"
+    tag = gold_tag(sf_dir, __name__)
     p = f"/tmp/ocr2csv_dbscan_gold_{tag}.parquet"
     if not os.path.exists(p):
         pd.DataFrame(

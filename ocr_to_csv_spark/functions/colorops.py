@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from .cascadeops import _staged_matching_gold, q_greedy_matching
 from .linkpred import _undirected_edges
 from .misops import _prio
+from .util import gold_tag
 
 COLOR_ROUNDS = 60  # fixpoint guard; expected O(log n) rounds
 
@@ -204,7 +205,7 @@ def _staged_coloring_gold(sf_dir: str | None = None) -> str:
 
     import pandas as pd
 
-    tag = os.path.basename(sf_dir.rstrip("/")) or "default"
+    tag = gold_tag(sf_dir, __name__)
     p = f"/tmp/ocr2csv_coloring_gold_{tag}.parquet"
     if not os.path.exists(p):
         pd.DataFrame(

@@ -76,6 +76,11 @@ def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     #    rightmost-minimum, so width-5 windows are comb of two
     #    overlapping width-4 spans — 3 zip_with passes total, no
     #    per-window slice.
+    # The doubling ladder below (s2 width-2, s4 width-4, w5 = comb of two
+    # width-4 spans) is hardcoded for W_WIN == 5; the DuckDB oracle
+    # follows W_WIN, so a silent constant change would only surface at
+    # the gate. Fail loudly here instead.
+    assert W_WIN == 5, "winnowing ladder is built for W_WIN == 5"
     staged = d.select(
         "doc_id",
         F.transform(ngrams(F.lower(F.col("text")), W_K), hex32).alias("hs"),

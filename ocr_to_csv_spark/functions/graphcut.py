@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .linkpred import _EDGES_SQL, _undirected_edges
+from .util import gold_tag
 
 K_TRUSS = 4  # edges must sit in ≥ 2 triangles of the survivor graph
 N_PARTS = 8  # hash-sharding fan-out under audit
@@ -193,7 +194,7 @@ def _staged_truss_gold(sf_dir: str | None = None) -> str:
 
     import pandas as pd
 
-    tag = os.path.basename(sf_dir.rstrip("/")) or "default"
+    tag = gold_tag(sf_dir, __name__)
     # v2: augmented graph (cliques + strip); version tag guards against
     # stale goldens when the graph construction changes (ADVICE r2)
     p = f"/tmp/ocr2csv_truss_gold_v2_{K_TRUSS}_{tag}.parquet"

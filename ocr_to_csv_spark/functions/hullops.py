@@ -41,7 +41,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .util import table
+from .util import gold_tag, table
 
 DP_EPS = 60  # DP tolerance (plane is 1000 wide, trajectories ~NPTS long)
 
@@ -171,7 +171,7 @@ def _staged_hull_gold(sf_dir: str | None = None) -> str:
 
     import pandas as pd
 
-    tag = os.path.basename(sf_dir.rstrip("/")) or "default"
+    tag = gold_tag(sf_dir, __name__)
     p = f"/tmp/ocr2csv_hull_gold_v1_{tag}.parquet"
     if not os.path.exists(p):
         rows = []
@@ -331,7 +331,7 @@ def _staged_dp_gold(sf_dir: str | None = None) -> str:
 
     import pandas as pd
 
-    tag = os.path.basename(sf_dir.rstrip("/")) or "default"
+    tag = gold_tag(sf_dir, __name__)
     p = f"/tmp/ocr2csv_dp_gold_v1_{DP_EPS}_{tag}.parquet"
     if not os.path.exists(p):
         rows = []

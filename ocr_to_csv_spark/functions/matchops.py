@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from .curation8 import ORACLES as C8_ORACLES
 from .geoops import _GEO_SQL, q_geo_grid_join
 from .textops import ORACLES as TX_ORACLES
+from .util import gold_tag
 
 
 def q_stable_match_round(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -254,7 +255,7 @@ def _staged_matching_gold(sf_dir: str) -> str:
 
     import pandas as pd
 
-    tag = os.path.basename(sf_dir.rstrip("/")) or "default"
+    tag = gold_tag(sf_dir, __name__)
     p = f"/tmp/ocr2csv_match_gold_{tag}.parquet"
     if not os.path.exists(p):
         rows = _py_gale_shapley(_py_points_and_candidates(sf_dir))

@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 
 from .linkpred import _undirected_edges
 from .statsops import TS_FROM, TS_TO
-from .util import table
+from .util import gold_tag, table
 
 _MIS_ROUNDS = 40  # fixpoint guard; expected O(log n) rounds
 
@@ -153,7 +153,7 @@ def _staged_mis_gold(sf_dir: str | None = None) -> str:
 
     import pandas as pd
 
-    tag = os.path.basename(sf_dir.rstrip("/")) or "default"
+    tag = gold_tag(sf_dir, __name__)
     p = f"/tmp/ocr2csv_mis_gold_{tag}.parquet"
     if not os.path.exists(p):
         pd.DataFrame(

@@ -52,7 +52,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .linkpred import _EDGES_SQL, _undirected_edges
-from .util import scratch_new_gen, scratch_stage
+from .util import gold_tag, scratch_new_gen, scratch_stage
 
 MSF_ROUNDS = 24  # > log2(max component count) at any test sf
 _CONTRACT_SWEEPS = 40  # fixpoint guard; loop exits on no-change
@@ -118,6 +118,8 @@ def q_boruvka_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Borůvka minimum spanning forest (module docstring).
     Unique under the strict (w, lo, hi) order; golden-oracled by an
     independent pure-Python Kruskal."""
+    for _tag in ("e", "comp", "sel", "msf", "ce", "lbl", "lblswp"):
+        scratch_new_gen(_tag)  # reclaim the previous invocation's scratch
     e = scratch_stage(_weighted_edges(spark, sf_dir), "e")
     comp = scratch_stage(
         e.select(F.col("lo").alias("id"))
@@ -303,7 +305,7 @@ def _staged_msf_gold(sf_dir: str | None = None) -> str:
 
     import pandas as pd
 
-    tag = os.path.basename(sf_dir.rstrip("/")) or "default"
+    tag = gold_tag(sf_dir, __name__)
     p = f"/tmp/ocr2csv_msf_gold_{tag}.parquet"
     if not os.path.exists(p):
         rows = _py_kruskal(_py_weighted_edges(sf_dir))

@@ -281,7 +281,7 @@ def q_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= Q20_FROM) & (F.col("l_shipdate") < Q20_TO)
     )
     shipped = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty")
+        F.sum(F.round(F.col("l_quantity")).cast("long")).alias("sum_qty")
     )
     p = (
         table(spark, sf_dir, "part")
@@ -316,7 +316,7 @@ def q_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q20_SQL = f"""
     WITH {_PARTSUPP_SQL.strip()},
     shipped AS (
-        SELECT l_partkey, l_suppkey, sum(l_quantity::BIGINT)::BIGINT AS sum_qty
+        SELECT l_partkey, l_suppkey, sum(round(l_quantity)::BIGINT)::BIGINT AS sum_qty
         FROM lineitem
         WHERE l_shipdate >= '{Q20_FROM}' AND l_shipdate < '{Q20_TO}'
         GROUP BY l_partkey, l_suppkey

@@ -149,6 +149,28 @@ def global_seq(df, order_cols: list[str], out: str = "seq"):
     )
 
 
+def gold_tag(sf_dir: str, module_name: str) -> str:
+    """Cache tag for /tmp staged-golden parquet files: the sf-dir
+    basename plus a content hash of the module that defines the golden
+    formula, so a formula change (e.g. the r4 dbscan density-adaptive-ε
+    change) invalidates warm /tmp caches instead of silently comparing
+    against stale goldens (ADVICE r4). Falls back to the bare module
+    name when source is unreadable (zipimport deploy)."""
+    import hashlib
+    import inspect
+    import os
+    import sys
+
+    h = hashlib.md5()
+    m = sys.modules.get(module_name)
+    try:
+        h.update(inspect.getsource(m).encode())
+    except (OSError, TypeError):
+        h.update(module_name.encode())
+    base = os.path.basename(sf_dir.rstrip("/")) or "default"
+    return f"{base}_{h.hexdigest()[:8]}"
+
+
 def hex32(col: Column) -> Column:
     """First 32 bits of md5 as a non-negative int64 (parity with DuckDB
     ``('0x' || substr(md5(x),1,8))::BIGINT``)."""

@@ -7,7 +7,7 @@ stage spreads the mega page across tasks, so max-task stays within a
 small factor of the median even though one document holds ~100x the
 median document's cells.
 
-Run the counterfactual with SPARK_GRAFT_CELL_SALT=doc (document-
+Run the counterfactual with --no-salt (document-
 granularity distribution): the same corpus then shows one task
 carrying the whole mega page in the classify stage.
 
@@ -180,8 +180,6 @@ def main() -> None:
     ap.add_argument("--no-salt", action="store_true",
                     help="document-granularity counterfactual")
     a = ap.parse_args()
-    if a.no_salt:
-        os.environ["SPARK_GRAFT_CELL_SALT"] = "doc"
 
     corpus = _build_corpus(a.docs, a.rows)
     ev_dir = f"/tmp/ocr2csv_skew_events_{os.getpid()}"
@@ -202,7 +200,8 @@ def main() -> None:
     tabs = pipeline.load_corpus(spark, corpus)
     t0 = time.time()
     res = pipeline.extract(
-        spark, tabs["documents"], tabs["media"], tabs["aliases"]
+        spark, tabs["documents"], tabs["media"], tabs["aliases"],
+        _salt_granularity="doc" if a.no_salt else "cell",
     )
     n_spans = res["spans"].count()
     wall = time.time() - t0
