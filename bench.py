@@ -45,6 +45,71 @@ def _corpus(n_docs: int, seed: int = 42) -> str:
     return d
 
 
+def _contention_probe() -> dict:
+    """Forensics for the r4 orphan-JVM pollution: the driver's bench read
+    170 docs/s while exclusive-host runs read 205.7 because two stray
+    debug JVMs were burning cores. Sample (a) every OTHER live JVM /
+    Spark process (excluding this process's own children — the bench's
+    driver JVM is a child) with its CPU share, and (b) the host CPU
+    steal fraction over a 1 s window, so the emitted numbers carry their
+    own contamination evidence."""
+    import subprocess
+
+    me = os.getpid()
+    procs: list[dict] = []
+    try:
+        out = subprocess.run(
+            ["ps", "-eo", "pid,ppid,pcpu,comm,args"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout
+        rows = []
+        parent = {}
+        for line in out.splitlines()[1:]:
+            parts = line.split(None, 4)
+            if len(parts) < 5:
+                continue
+            pid, ppid, pcpu, comm, args = parts
+            parent[int(pid)] = int(ppid)
+            rows.append((int(pid), float(pcpu), comm, args))
+
+        def _mine(pid: int) -> bool:  # in this process's descendant tree
+            seen = 0
+            while pid > 1 and seen < 64:
+                if pid == me:
+                    return True
+                pid = parent.get(pid, 1)
+                seen += 1
+            return False
+
+        for pid, pcpu, comm, args in rows:
+            if _mine(pid):
+                continue
+            if ("java" in comm or "spark" in args.lower()) and pcpu > 5.0:
+                procs.append(
+                    {"pid": pid, "pcpu": pcpu, "cmd": args[:120]}
+                )
+    except Exception:
+        pass
+    steal = None
+    try:
+        def _steal():
+            with open("/proc/stat") as f:
+                p = f.readline().split()
+            return int(p[8]), sum(int(x) for x in p[1:])
+
+        s0, t0 = _steal()
+        time.sleep(1.0)
+        s1, t1 = _steal()
+        steal = round((s1 - s0) / max(t1 - t0, 1), 4)
+    except Exception:
+        pass
+    return {
+        "contended": bool(procs),
+        "sibling_jvms": procs,
+        "cpu_steal_frac": steal,
+    }
+
+
 def main() -> None:
     from ocr_to_csv_spark.extraction import pipeline
     from ocr_to_csv_spark.functions import (
@@ -72,6 +137,7 @@ def main() -> None:
     n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "2560"))
     corpus = _corpus(n_docs)  # generated before timing starts
 
+    probe_pre = _contention_probe()  # before our own JVM exists
     spark = get_spark(
         "bench", extra_conf={"spark.ui.showConsoleProgress": "false"}
     )
@@ -144,6 +210,7 @@ def main() -> None:
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
 
+    probe_post = _contention_probe()  # JVMs that appeared mid-run
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -157,6 +224,9 @@ def main() -> None:
                 "extract_docs": n_docs,
                 "extract_spans": n_spans,
                 "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+                "contended": probe_pre["contended"] or probe_post["contended"],
+                "contention_pre": probe_pre,
+                "contention_post": probe_post,
             }
         )
     )
