@@ -140,6 +140,92 @@ def _decode_table(bits: list[int], vals: list[int]) -> list[int]:
     return lut
 
 
+_FAST_TABLE_CACHE: dict[tuple, list[int]] = {}
+
+
+def _fast_ac_table(bits: list[int], vals: list[int]) -> list[int]:
+    """Combined Huffman-code + value-extension LUT for the baseline AC
+    walk: one 16-bit-lookahead table lookup decodes the code AND the
+    magnitude bits that follow it whenever ``codelen + size <= 16`` (the
+    overwhelmingly common case — Huffman gives frequent symbols short
+    codes), collapsing the per-symbol work to index/unpack/append.
+
+    Entry layout (non-negative int):
+      cls 0 (fast coefficient):  adv<<21 | run<<17 | (extended_v + 65536)
+        adv = codelen + size (total bits to consume), vbias fits 17 bits
+        (|v| <= 32767 for any size reachable in 16 bits)
+      cls 1 (EOB):               1<<27 | codelen<<21
+      cls 2 (ZRL):               2<<27 | codelen<<21
+      cls 3 (slow/invalid):      3<<27 | codelen<<21 | sym
+        sym == 0 marks an invalid window (no code prefix); a real slow
+        entry (codelen + size > 16) keeps its RRRRSSSS symbol and the
+        caller reads the magnitude bits itself."""
+    key = ("ac", tuple(bits), tuple(vals))
+    lut = _FAST_TABLE_CACHE.get(key)
+    if lut is None:
+        enc = _build_canonical(bits, vals)
+        arr = np.full(1 << 16, 3 << 27, dtype=np.int64)
+        idx = np.arange(1 << 16, dtype=np.int64)
+        for sym, (code, length) in enc.items():
+            lo = code << (16 - length)
+            hi = (code + 1) << (16 - length)
+            if sym == 0x00:
+                arr[lo:hi] = (1 << 27) | (length << 21)
+            elif sym == 0xF0:
+                arr[lo:hi] = (2 << 27) | (length << 21)
+            else:
+                run, size = sym >> 4, sym & 0x0F
+                if length + size <= 16:
+                    shift = 16 - length - size
+                    v = (idx[lo:hi] >> shift) & ((1 << size) - 1)
+                    ext = np.where(
+                        v >= (1 << (size - 1)), v, v - (1 << size) + 1
+                    )
+                    arr[lo:hi] = (
+                        ((length + size) << 21) | (run << 17) | (ext + 65536)
+                    )
+                else:
+                    arr[lo:hi] = (3 << 27) | (length << 21) | sym
+        lut = arr.tolist()
+        if len(_FAST_TABLE_CACHE) < 64:
+            _FAST_TABLE_CACHE[key] = lut
+    return lut
+
+
+def _fast_dc_table(bits: list[int], vals: list[int]) -> list[int]:
+    """DC twin of :func:`_fast_ac_table`. Entry layout:
+      cls 0 (fast):  adv<<18 | (extended_diff + 131072)
+        (diff bias needs 18 bits: |diff| <= 32767 within 16 lookahead)
+      cls 3 (slow/invalid): 3<<27 | codelen<<18 | size_category
+        category 0 is always fast (adv = codelen <= 16), so a cls-3
+        entry with category 0 marks an invalid window."""
+    key = ("dc", tuple(bits), tuple(vals))
+    lut = _FAST_TABLE_CACHE.get(key)
+    if lut is None:
+        enc = _build_canonical(bits, vals)
+        arr = np.full(1 << 16, 3 << 27, dtype=np.int64)
+        idx = np.arange(1 << 16, dtype=np.int64)
+        for size, (code, length) in enc.items():
+            lo = code << (16 - length)
+            hi = (code + 1) << (16 - length)
+            if length + size <= 16:
+                if size == 0:
+                    arr[lo:hi] = (length << 18) | 131072
+                else:
+                    shift = 16 - length - size
+                    v = (idx[lo:hi] >> shift) & ((1 << size) - 1)
+                    ext = np.where(
+                        v >= (1 << (size - 1)), v, v - (1 << size) + 1
+                    )
+                    arr[lo:hi] = ((length + size) << 18) | (ext + 131072)
+            else:
+                arr[lo:hi] = (3 << 27) | (length << 18) | size
+        lut = arr.tolist()
+        if len(_FAST_TABLE_CACHE) < 64:
+            _FAST_TABLE_CACHE[key] = lut
+    return lut
+
+
 def _quality_qt(quality: int) -> np.ndarray:
     quality = min(100, max(1, quality))
     scale = 5000 // quality if quality < 50 else 200 - 2 * quality
@@ -570,7 +656,17 @@ def _decode_segments(
     decode hot path in pure Python. All restart segments decode inside
     this one call — restart intervals are a few MCUs, so per-segment
     function + output-list setup used to cost ~20% of the entropy
-    decode."""
+    decode.
+
+    r5: the per-symbol walk is table-driven with VALUE-INLINED combined
+    LUTs (:func:`_fast_ac_table` / :func:`_fast_dc_table`): one 16-bit
+    lookahead lookup yields code + run + sign-extended magnitude
+    whenever ``codelen + size <= 16``, so the fast path per coefficient
+    is index, three shifts, and an append — no second bit-fetch, no
+    extension branch. Entries with longer code+magnitude (rare by
+    Huffman construction) and invalid windows fall back to the explicit
+    path. The AC refill threshold is 26 bits (max fast advance), which
+    keeps the 64-bit accumulator in range."""
     M64 = 0xFFFFFFFFFFFFFFFF
     nb = scan_comps[0]["hs"] * scan_comps[0]["vs"]  # luma blocks per MCU
     # hoist per-component lookups out of the MCU loop; preds indexed by
@@ -610,17 +706,20 @@ def _decode_segments(
                 pred = preds[ci]
                 for b in range(nblk):
                     base = (mb + b) << 23
-                    # DC symbol
+                    # DC symbol (combined code+magnitude lookup)
                     if nbits < 16:
                         acc = ((acc << 32) | words[wi]) & M64
                         wi += 1
                         nbits += 32
-                    entry = dct[(acc >> (nbits - 16)) & 0xFFFF]
-                    if entry == 0:
-                        raise ValueError("bad Huffman code")
-                    nbits -= entry >> 8
-                    size = entry & 0xFF
-                    if size:
+                    e = dct[(acc >> (nbits - 16)) & 0xFFFF]
+                    if e < 0x8000000:  # fast: diff fully decoded
+                        nbits -= e >> 18
+                        pred += (e & 0x3FFFF) - 131072
+                    else:
+                        size = e & 0xFF
+                        if size == 0:
+                            raise ValueError("bad Huffman code")
+                        nbits -= (e >> 18) & 31
                         if nbits < size:
                             acc = ((acc << 32) | words[wi]) & M64
                             wi += 1
@@ -635,27 +734,36 @@ def _decode_segments(
                         append(base | (pred + 65536))
                     k = 1
                     while k < 64:
-                        if nbits < 16:
+                        if nbits < 26:  # max fast advance is 26 bits
                             acc = ((acc << 32) | words[wi]) & M64
                             wi += 1
                             nbits += 32
-                        entry = act[(acc >> (nbits - 16)) & 0xFFFF]
-                        if entry == 0:
+                        e = act[(acc >> (nbits - 16)) & 0xFFFF]
+                        if e < 0x8000000:  # fast: value inlined
+                            nbits -= e >> 21
+                            k += (e >> 17) & 15
+                            if k > 63:
+                                raise ValueError("AC index overflow")
+                            if keep:
+                                append(base | (k << 17) | (e & 0x1FFFF))
+                            k += 1
+                            continue
+                        cls = e >> 27
+                        if cls == 1:  # EOB
+                            nbits -= (e >> 21) & 63
+                            break
+                        if cls == 2:  # ZRL
+                            nbits -= (e >> 21) & 63
+                            k += 16
+                            continue
+                        sym = e & 0xFF
+                        if sym == 0:
                             raise ValueError("bad Huffman code")
-                        nbits -= entry >> 8
-                        sym = entry & 0xFF
-                        if sym == 0x00:  # EOB
-                            break
-                        run = sym >> 4
-                        size = sym & 0x0F
-                        if size == 0:
-                            if run == 15:  # ZRL
-                                k += 16
-                                continue
-                            break
-                        k += run
+                        nbits -= (e >> 21) & 63
+                        k += sym >> 4
                         if k > 63:
                             raise ValueError("AC index overflow")
+                        size = sym & 0x0F
                         if nbits < size:
                             acc = ((acc << 32) | words[wi]) & M64
                             wi += 1
@@ -686,6 +794,8 @@ def decode(data: bytes) -> np.ndarray:
     qts: dict[int, np.ndarray] = {}
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
+    spec_dc: dict[int, tuple] = {}
+    spec_ac: dict[int, tuple] = {}
     comps: list[dict] = []
     h = w = 0
     restart_interval = 0
@@ -738,6 +848,7 @@ def decode(data: bytes) -> np.ndarray:
                 nv = sum(bits)
                 vals = list(body[b + 17 : b + 17 + nv])
                 (huff_dc if tc == 0 else huff_ac)[tid] = _decode_table(bits, vals)
+                (spec_dc if tc == 0 else spec_ac)[tid] = (bits, vals)
                 b += 17 + nv
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
@@ -786,8 +897,10 @@ def decode(data: bytes) -> np.ndarray:
     lw, lv = luma["hs"], luma["vs"]
 
     segments = _split_scan(data, scan_pos)
+    fast_dc = {c["dc"]: _fast_dc_table(*spec_dc[c["dc"]]) for c in scan_comps}
+    fast_ac = {c["ac"]: _fast_ac_table(*spec_ac[c["ac"]]) for c in scan_comps}
     packed = _decode_segments(
-        segments, restart_interval, n_total, scan_comps, huff_dc, huff_ac
+        segments, restart_interval, n_total, scan_comps, fast_dc, fast_ac
     )
 
     # ONE vectorized unpack + scatter of all sparse zigzag coefficients,
