@@ -294,23 +294,31 @@ class SnapshotCatalog:
 
     @staticmethod
     def _derive_fields(
-        parent_fields: list[dict] | None, schema_json: str | None
+        parent_fields: list[dict] | None, schema_json: str | None,
+        next_id_floor: int = 0,
     ) -> tuple[list[dict], bool]:
         """Iceberg-style field-id assignment: match the commit's schema
         to the parent's fields BY NAME (same name keeps its id), assign
         fresh ids to new columns, record the current type per id.
-        Returns (fields, changed) where ``changed`` flags any rename
-        survivor (id present, type changed) — i.e. a promotion — so the
-        manifest can mark that per-dir resolution is required on read.
-        Renames themselves never pass through here (they commit explicit
-        fields via ``rename_column``)."""
+        ``next_id_floor`` is the table's last-ever-assigned column id
+        (Iceberg's ``last-column-id``): fresh ids start ABOVE it, so an
+        id retired by ``drop_column`` is never reused — a re-added
+        same-name column gets a fresh id and the old physical data
+        stays invisible. Returns (fields, changed) where ``changed``
+        flags any rename survivor (id present, type changed) — i.e. a
+        promotion — so the manifest can mark that per-dir resolution is
+        required on read. Renames themselves never pass through here
+        (they commit explicit fields via ``rename_column``)."""
         if not schema_json:
             return list(parent_fields or []), False
         from pyspark.sql.types import StructType
 
         cur = StructType.fromJson(json.loads(schema_json))
         by_name = {f["name"]: f for f in (parent_fields or [])}
-        next_id = max((f["id"] for f in (parent_fields or [])), default=0) + 1
+        next_id = max(
+            max((f["id"] for f in (parent_fields or [])), default=0),
+            next_id_floor,
+        ) + 1
         fields, changed = [], False
         for f in cur.fields:
             t = f.dataType.simpleString()
@@ -384,8 +392,19 @@ class SnapshotCatalog:
         # id resolution. Tables that never rename/promote — and renamed
         # tables once compaction rewrites every dir — stay on the fast
         # shared-scan path.
+        # last-column-id floor: the max id this table has EVER assigned
+        # (parent's recorded value, else the max over parent fields),
+        # so fresh ids never collide with ids retired by drop_column
+        parent_last = pman.get("last_column_id") or max(
+            (f["id"] for f in (pman.get("fields") or [])), default=0
+        )
         if fields is None:
-            fields, _ = self._derive_fields(pman.get("fields"), schema_json)
+            fields, _ = self._derive_fields(
+                pman.get("fields"), schema_json, parent_last
+            )
+        last_column_id = max(
+            parent_last, max((f["id"] for f in fields), default=0)
+        )
         cur_map = {str(f["id"]): [f["name"], f["type"]] for f in fields}
         dir_fields = {
             d: m
@@ -408,12 +427,28 @@ class SnapshotCatalog:
             if d not in dir_fields:
                 dir_fields[d] = parent_map if d in parent_dirs else cur_map
         by_id = {str(f["id"]): f for f in fields}
+        cur_names = {f["name"] for f in fields}
+        # per-dir id resolution is needed when (a) a live id's physical
+        # name/type differs from the current schema (rename/promotion
+        # whose old dirs still exist), or (b) a DROPPED id's physical
+        # column shares a name with a current field — the drop-then-
+        # re-add case, where a by-name fast-path read would resurrect
+        # the old data under the fresh field id
         ids_evolved = any(
-            (e[0] if isinstance(e, list) else e) != by_id[fid]["name"]
-            or (isinstance(e, list) and e[1] != by_id[fid]["type"])
+            (
+                fid in by_id
+                and (
+                    (e[0] if isinstance(e, list) else e)
+                    != by_id[fid]["name"]
+                    or (isinstance(e, list) and e[1] != by_id[fid]["type"])
+                )
+            )
+            or (
+                fid not in by_id
+                and (e[0] if isinstance(e, list) else e) in cur_names
+            )
             for m in dir_fields.values()
             for fid, e in m.items()
-            if fid in by_id
         )
         manifest = {
             "snapshot_id": sid,
@@ -426,6 +461,7 @@ class SnapshotCatalog:
             "partition_by": partition_by or [],
             "schema_json": schema_json,
             "fields": fields,
+            "last_column_id": last_column_id,
             "dir_fields": dir_fields,
             "ids_evolved": ids_evolved,
             "summary": {"added_data_files": added_files, **(summary or {})},
@@ -967,7 +1003,15 @@ class SnapshotCatalog:
             raise ValueError(f"table '{name}' has no column '{old}'")
         if new in names:
             raise ValueError(f"table '{name}' already has column '{new}'")
-        if old in (man.get("partition_by") or []):
+        specs = man.get("dir_specs") or {
+            d: man.get("partition_by", []) for d in man["data_dirs"]
+        }
+        if old in (man.get("partition_by") or []) or any(
+            old in s for s in specs.values()
+        ):
+            # current spec OR any live dir's historical spec (partition-
+            # spec evolution leaves old dirs hive-encoded under the old
+            # spec): the name is baked into data paths either way
             raise ValueError(
                 f"cannot rename partition column '{old}' (hive-encoded "
                 "in data paths); rewrite the table with a new spec"
@@ -1002,6 +1046,29 @@ class SnapshotCatalog:
             }
             for rel, files in (man.get("file_stats") or {}).items()
         }
+        # re-key metadata sidecars: the bloom index hashes VALUES only,
+        # so a rename is a pure file move + label update — no rebuild;
+        # same for the NDV/null column stats
+        bp = self._bloom_path(name, old)
+        if os.path.exists(bp):
+            with open(bp) as fh:
+                payload = json.load(fh)
+            payload["col"] = new
+            tmp = self._bloom_path(name, new) + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(payload, fh)
+            os.replace(tmp, self._bloom_path(name, new))
+            os.remove(bp)
+        if os.path.exists(self._ndv_path(name)):
+            with open(self._ndv_path(name)) as fh:
+                stats = json.load(fh)
+            cols_stats = stats.get("columns", {})
+            if old in cols_stats:
+                cols_stats[new] = cols_stats.pop(old)
+                tmp = self._ndv_path(name) + ".tmp"
+                with open(tmp, "w") as fh:
+                    json.dump(stats, fh)
+                os.replace(tmp, self._ndv_path(name))
         return self._commit(
             name, "rename-column", man["data_dirs"], 0,
             summary={"renamed": f"{old}->{new}"},
@@ -1013,6 +1080,86 @@ class SnapshotCatalog:
                 "delete_files": man.get("delete_files") or [],
                 "dir_specs": man.get("dir_specs")
                 or {d: man.get("partition_by", []) for d in man["data_dirs"]},
+                "file_stats": fstats,
+            },
+        )
+
+    def drop_column(self, name: str, col: str) -> int:
+        """Metadata-only column drop (Iceberg ``ALTER TABLE DROP
+        COLUMN``): the field id leaves the schema; no data dir is
+        touched. A column later RE-ADDED under the same name gets a
+        FRESH field id (``_derive_fields`` matches names against the
+        post-drop schema), and id-based per-dir resolution refuses to
+        resurrect the old physical column under the new id — Iceberg's
+        "new column, old data invisible" semantics. Time travel to a
+        pre-drop snapshot still shows the column with its values.
+        Refused for partition columns of the current spec or any live
+        dir's historical spec (hive-encoded in paths), while an
+        equality delete keys on the column (``compact`` first), and for
+        the last remaining column. The column's bloom sidecar, file
+        stats, and NDV stats entries are removed."""
+        sid = self._ref_head(name, None)
+        if sid is None:
+            raise ValueError(f"unknown table '{name}'")
+        man = self._load_manifest(name, sid)
+        fields = man.get("fields") or self._derive_fields(
+            None, man.get("schema_json")
+        )[0]
+        names = [f["name"] for f in fields]
+        if col not in names:
+            raise ValueError(f"table '{name}' has no column '{col}'")
+        if len(fields) == 1:
+            raise ValueError("cannot drop the last remaining column")
+        specs = man.get("dir_specs") or {
+            d: man.get("partition_by", []) for d in man["data_dirs"]
+        }
+        if col in (man.get("partition_by") or []) or any(
+            col in s for s in specs.values()
+        ):
+            raise ValueError(
+                f"cannot drop partition column '{col}' (hive-encoded in "
+                "data paths); rewrite the table with a new spec"
+            )
+        for e in man.get("delete_files") or []:
+            if not e.get("positional") and col in (e.get("keys") or []):
+                raise ValueError(
+                    f"cannot drop '{col}': a merge-on-read equality "
+                    "delete keys on it — run compact() first"
+                )
+        new_fields = [dict(f) for f in fields if f["name"] != col]
+        from pyspark.sql.types import StructType
+
+        st = StructType.fromJson(json.loads(man["schema_json"]))
+        nst = StructType([fd for fd in st.fields if fd.name != col])
+        fstats = {
+            rel: {
+                fp: {c: v for c, v in cols.items() if c != col}
+                for fp, cols in files.items()
+            }
+            for rel, files in (man.get("file_stats") or {}).items()
+        }
+        bp = self._bloom_path(name, col)
+        if os.path.exists(bp):
+            os.remove(bp)
+        if os.path.exists(self._ndv_path(name)):
+            with open(self._ndv_path(name)) as fh:
+                stats = json.load(fh)
+            if col in stats.get("columns", {}):
+                stats["columns"].pop(col)
+                tmp = self._ndv_path(name) + ".tmp"
+                with open(tmp, "w") as fh:
+                    json.dump(stats, fh)
+                os.replace(tmp, self._ndv_path(name))
+        return self._commit(
+            name, "drop-column", man["data_dirs"], 0,
+            summary={"dropped": col},
+            partition_by=man.get("partition_by", []),
+            schema_json=nst.json(),
+            fields=new_fields,
+            extra={
+                "dir_seqs": man.get("dir_seqs") or {},
+                "delete_files": man.get("delete_files") or [],
+                "dir_specs": specs,
                 "file_stats": fstats,
             },
         )
@@ -1180,8 +1327,17 @@ class SnapshotCatalog:
         mapping = (man.get("dir_fields") or {}).get(rel) or {}
         cols = []
         for f in fields:
-            e = mapping.get(str(f["id"]), f["name"])
-            phys = e[0] if isinstance(e, list) else e
+            if mapping:
+                e = mapping.get(str(f["id"]))
+                if e is None:
+                    # the dir predates this field id — _align null-fills.
+                    # No name fallback: a physical column with the same
+                    # NAME but a different (dropped) id must stay
+                    # invisible (drop-then-re-add semantics).
+                    continue
+                phys = e[0] if isinstance(e, list) else e
+            else:  # legacy pre-id dir: resolve by name
+                phys = f["name"]
             if phys in df.columns:
                 cols.append(F.col(phys).cast(f["type"]).alias(f["name"]))
         for c in ("_pos_fp", "_pos_idx"):
@@ -1335,6 +1491,7 @@ class SnapshotCatalog:
                 "fields": man_to.get("fields"),
                 "dir_fields": man_to.get("dir_fields"),
                 "ids_evolved": man_to.get("ids_evolved"),
+                "schema_json": man_to.get("schema_json"),
             },
         )
 

@@ -1099,3 +1099,187 @@ def test_rename_incremental_and_changes_resolve(spark, tmp_path):
     ch = cat.read_changes("t", v1, v3)
     got = {(r["id"], r["val"], r["_change_type"]) for r in ch.collect()}
     assert got == {(2, "b", "insert")}
+
+
+# ------------- id-based schema evolution, round 5: drop / re-add -------------
+
+
+def test_drop_column_metadata_only(spark, tmp_path):
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    v1 = cat.overwrite(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "id int, v string, x int"
+        ),
+        "t",
+    )
+    v2 = cat.drop_column("t", "x")
+    assert cat.read("t").columns == ["id", "v"]
+    assert _rows(cat.read("t")) == {(1, "a"), (2, "b")}
+    # time travel: pre-drop snapshot still shows the column with values
+    assert cat.read("t", snapshot_id=v1).columns == ["id", "v", "x"]
+    assert _rows(cat.read("t", snapshot_id=v1)) == {(1, "a", 10), (2, "b", 20)}
+    # no data dir was rewritten
+    m1, m2 = cat._load_manifest("t", v1), cat._load_manifest("t", v2)
+    assert m1["data_dirs"] == m2["data_dirs"]
+
+
+def test_drop_then_readd_gets_fresh_id_old_data_invisible(spark, tmp_path):
+    """Iceberg last-column-id semantics: a re-added same-name column
+    carries a FRESH field id, so pre-drop physical data stays NULL."""
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    v1 = cat.overwrite(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "id int, v string, x int"
+        ),
+        "t",
+    )
+    old_id = next(
+        f["id"] for f in cat._load_manifest("t", v1)["fields"]
+        if f["name"] == "x"
+    )
+    cat.drop_column("t", "x")
+    cat.append(
+        spark.createDataFrame([(3, "c", 30)], "id int, v string, x int"), "t"
+    )
+    man = cat._load_manifest("t", cat.current_snapshot_id("t"))
+    new_id = next(f["id"] for f in man["fields"] if f["name"] == "x")
+    assert new_id != old_id  # retired id is never reused
+    assert man["last_column_id"] == new_id
+    # old rows: x is NULL (old physical column invisible); new row: 30
+    got = {(r["id"], r["v"], r["x"]) for r in cat.read("t").collect()}
+    assert got == {(1, "a", None), (2, "b", None), (3, "c", 30)}
+    # pre-drop time travel still shows the original values
+    assert _rows(cat.read("t", snapshot_id=v1)) == {
+        (1, "a", 10), (2, "b", 20)
+    }
+
+
+def test_drop_column_refusals(spark, tmp_path):
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    cat.overwrite(
+        spark.createDataFrame(
+            [(1, "x", "p1"), (2, "y", "p2")], "id int, v string, part string"
+        ),
+        "t",
+        partition_by=["part"],
+    )
+    with pytest.raises(ValueError, match="partition column"):
+        cat.drop_column("t", "part")
+    with pytest.raises(ValueError, match="no column"):
+        cat.drop_column("t", "nope")
+    cat.delete_keys(spark.createDataFrame([(1,)], "id int"), "t", ["id"])
+    with pytest.raises(ValueError, match="delete keys"):
+        cat.drop_column("t", "id")
+    cat2 = SnapshotCatalog(spark, str(tmp_path / "c2"))
+    cat2.overwrite(spark.createDataFrame([(1,)], "id int"), "u")
+    with pytest.raises(ValueError, match="last remaining"):
+        cat2.drop_column("u", "id")
+
+
+def test_drop_refused_for_historical_spec_column(spark, tmp_path):
+    """Partition-spec evolution leaves old dirs hive-encoded under the
+    old spec: a column in ANY live dir's spec cannot be dropped or
+    renamed even after the current spec stops using it."""
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    cat.overwrite(
+        spark.createDataFrame(
+            [(1, "a", "p1")], "id int, v string, part string"
+        ),
+        "t",
+        partition_by=["part"],
+    )
+    cat.append(
+        spark.createDataFrame([(2, "b", "p2")], "id int, v string, part string"),
+        "t",
+        partition_by=[],
+        evolve_spec=True,
+    )
+    man = cat._load_manifest("t", cat.current_snapshot_id("t"))
+    assert man["partition_by"] == []  # current spec no longer uses part
+    with pytest.raises(ValueError, match="partition column"):
+        cat.drop_column("t", "part")
+    with pytest.raises(ValueError, match="partition column"):
+        cat.rename_column("t", "part", "bucket")
+
+
+def test_rename_rekeys_bloom_index_and_ndv_stats(spark, tmp_path):
+    """The bloom sidecar hashes values only, so a rename re-keys it in
+    place — equality pruning keeps working under the new name with no
+    rebuild; NDV stats re-key the same way."""
+    import os
+
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    for lo in (0, 40, 80):
+        cat.append(
+            spark.range(lo, lo + 40).selectExpr(
+                "id", "CAST(id AS STRING) AS v"
+            ),
+            "t",
+        )
+    cat.build_bloom_index("t", "v")
+    cat.build_ndv_stats("t")
+    before = cat.plan_files_eq("t", "v", "7")
+    assert before["kept_files"] < before["total_files"]
+    cat.rename_column("t", "v", "val")
+    assert not os.path.exists(cat._bloom_path("t", "v"))
+    after = cat.plan_files_eq("t", "val", "7")
+    assert after["kept_files"] == before["kept_files"]
+    assert after["total_files"] == before["total_files"]
+    import json as _json
+
+    with open(cat._bloom_path("t", "val")) as fh:
+        assert _json.load(fh)["col"] == "val"
+    stats = cat.table_stats("t")
+    assert "val" in stats["columns"] and "v" not in stats["columns"]
+    # the pruned read still returns the right row under the new name
+    assert _rows(cat.read_eq("t", "val", "7")) == {(7, "7")}
+
+
+def test_drop_column_drops_bloom_and_ndv_entries(spark, tmp_path):
+    import os
+
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    cat.overwrite(
+        spark.createDataFrame([(1, "a", 5)], "id int, v string, x int"), "t"
+    )
+    cat.build_bloom_index("t", "x")
+    cat.build_ndv_stats("t")
+    cat.drop_column("t", "x")
+    assert not os.path.exists(cat._bloom_path("t", "x"))
+    assert "x" not in cat.table_stats("t")["columns"]
+
+
+def test_drop_readd_then_compact_returns_to_fast_path(spark, tmp_path):
+    """After compaction rewrites every dir under the current schema the
+    manifest drops back to the fast shared-scan path, with the re-added
+    column's data intact and old data still invisible."""
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    cat.overwrite(
+        spark.createDataFrame([(1, "a", 10)], "id int, v string, x int"), "t"
+    )
+    cat.drop_column("t", "x")
+    cat.append(
+        spark.createDataFrame([(2, "b", 20)], "id int, v string, x int"), "t"
+    )
+    assert cat._load_manifest("t", cat.current_snapshot_id("t"))[
+        "ids_evolved"
+    ]
+    cat.compact("t", target_files=1)
+    man = cat._load_manifest("t", cat.current_snapshot_id("t"))
+    assert not man["ids_evolved"]
+    got = {(r["id"], r["v"], r["x"]) for r in cat.read("t").collect()}
+    assert got == {(1, "a", None), (2, "b", 20)}
+
+
+def test_drop_readd_incremental_read_resolves(spark, tmp_path):
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    v1 = cat.overwrite(
+        spark.createDataFrame([(1, "a", 10)], "id int, v string, x int"), "t"
+    )
+    cat.drop_column("t", "x")
+    v3 = cat.append(
+        spark.createDataFrame([(2, "b", 20)], "id int, v string, x int"), "t"
+    )
+    inc = cat.read_incremental("t", v1, v3)
+    got = {(r["id"], r["v"], r["x"]) for r in inc.collect()}
+    assert got == {(2, "b", 20)}

