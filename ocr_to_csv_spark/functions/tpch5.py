@@ -18,6 +18,11 @@ never-ordered parts. Shared integer formulas: for i ∈ 0..3,
 (hex32 discipline, no RNG state). S = |supplier| is a metadata-scale
 driver value (the n-docs pattern of linkpred._undirected_edges).
 
+NOTE on comparability: /root/testdata carries no partsupp table, so
+Q2/Q11/Q16/Q20 run over this derivation — shapes and oracles are
+faithful TPC-H skeletons, but the NUMBERS are not comparable to
+published TPC-H results (different partsupp contents by construction).
+
 Scale design (100 TB):
 - partsupp materializes map-side from the part scan (4-way bounded
   fan-out via explode(sequence), no shuffle); at real scale it is a
